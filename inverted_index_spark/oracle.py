@@ -142,43 +142,9 @@ def intersect_positionally(
 
 
 # ---------------------------------------------------------------------------
-# query AST (mirrors reference query.rs:5-27)
+# query AST (shared with the Spark compiler; mirrors reference query.rs:5-27)
 
-
-@dataclass(frozen=True)
-class Query:
-    pass
-
-
-@dataclass(frozen=True)
-class Match(Query):
-    text: str
-
-
-@dataclass(frozen=True)
-class And(Query):
-    children: Tuple[Query, ...]
-
-    def __init__(self, *children: Query):
-        object.__setattr__(self, "children", tuple(children))
-
-
-@dataclass(frozen=True)
-class Or(Query):
-    children: Tuple[Query, ...]
-
-    def __init__(self, *children: Query):
-        object.__setattr__(self, "children", tuple(children))
-
-
-@dataclass(frozen=True)
-class Phrase(Query):
-    text: str
-
-
-@dataclass(frozen=True)
-class Prefix(Query):
-    text: str
+from .qast import And, Match, Or, Phrase, Prefix, Query  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

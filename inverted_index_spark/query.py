@@ -1,0 +1,388 @@
+"""Query AST -> DataFrame compiler (the read path).
+
+Every operator of the reference's query algebra is compiled to a
+relational plan that Catalyst optimizes and executes JVM-side — the
+tokenizer never runs on document data at query time, and no Python UDF
+appears anywhere in the query pipeline:
+
+* Match   -> postings scan with ``term IN (...)`` (exact ngram lookup,
+             reference index.rs:76-86)
+* Prefix  -> postings range scan ``term >= p AND term < succ(p)``
+             (index.rs:109-129); parquet min/max stats prune row-groups
+             because postings files are sorted by term
+* And     -> branch-count aggregation on doc_id (k-way semi-join,
+             util/btree_map_ext.rs:9-50)
+* Or      -> unionByName + doc_id re-merge (MergeCoalesceMap,
+             util/coalesce.rs:78-120)
+* Phrase  -> per adjacent term pair, an equi-join on
+             (doc_id, l.pos + 1 = r.pos) — the positional intersection
+             of postings.rs:66-112 expressed relationally — then an
+             And-combine of the pairs
+* position coalescing -> gaps-and-islands window aggregation that
+  reproduces the reference's *neighbor-only* merge rule
+  (util/coalesce.rs:32-73 + postings.rs:7-15) exactly: two positions
+  merge iff same token ordinal AND byte ranges overlap/touch AND they
+  are adjacent in (begin, end, pos) sort order
+* scoring -> sum of coalesced widths / sqrt(doc bytes) in float32
+  (search_result.rs:19-28); order score desc, doc_id asc (index.rs:148-156)
+
+Working in exploded rows (doc_id, begin, end, pos) keeps every stage in
+whole-stage codegen; position arrays are only materialized for the final
+(top-k) result set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analysis import analyze_query
+from .build import FtsIndex
+from .qast import And, Match, Or, Phrase, Prefix, Query
+from .udfs import byte_slice_highlight
+
+K1 = 1.2
+B = 0.75
+
+ROW_COLS = ["doc_id", "begin", "end", "pos"]
+
+
+def prefix_upper_bound(prefix: str) -> Optional[str]:
+    """Exclusive upper bound for the term range scan: prefix[:-1] +
+    successor(last char), skipping surrogates (util/successor.rs:9-24)."""
+    last = ord(prefix[-1])
+    if last == 0xD7FF:
+        nxt = 0xE000
+    elif last == 0x10FFFF:
+        return None
+    else:
+        nxt = last + 1
+    return prefix[:-1] + chr(nxt)
+
+
+@dataclass
+class PlanResult:
+    """Compiled query node.
+
+    docs: membership (doc_id) — docs the node matches, which for Phrase
+          includes docs with zero adjacency positions (postings.rs:101-112
+          keeps every doc in the pair doc-id intersection).
+    rows: matched positions, one row per (doc_id, begin, end, pos).
+    """
+
+    docs: DataFrame
+    rows: DataFrame
+
+
+class FtsEngine:
+    """Compiles Query ASTs against an FtsIndex and scores results."""
+
+    def __init__(self, index: FtsIndex):
+        self.index = index
+
+    # ------------------------------------------------------------------
+    # leaf scans
+
+    def _empty(self) -> PlanResult:
+        rows = (
+            self.index.postings.filter(F.lit(False))
+            .select("doc_id", F.explode("positions").alias("p"))
+            .select("doc_id", "p.begin", "p.end", "p.pos")
+        )
+        return PlanResult(docs=rows.select("doc_id"), rows=rows)
+
+    def _scan(self, predicate) -> PlanResult:
+        rows = (
+            self.index.postings.filter(predicate)
+            .select("doc_id", F.explode("positions").alias("p"))
+            .select("doc_id", "p.begin", "p.end", "p.pos")
+        )
+        return PlanResult(docs=rows.select("doc_id").distinct(), rows=rows)
+
+    def _match(self, text: str) -> PlanResult:
+        terms: List[str] = []
+        for tok in analyze_query(text):
+            if tok.term not in terms:
+                terms.append(tok.term)
+        if not terms:
+            return self._empty()
+        return self._scan(F.col("term").isin(terms))
+
+    def _prefix(self, prefix: str) -> PlanResult:
+        if not prefix:
+            return self._empty()
+        hi = prefix_upper_bound(prefix)
+        pred = F.col("term") >= prefix
+        if hi is not None:
+            pred = pred & (F.col("term") < hi)
+        return self._scan(pred)
+
+    # ------------------------------------------------------------------
+    # combinators
+
+    def _union(self, children: List[PlanResult]) -> PlanResult:
+        if not children:
+            return self._empty()
+        docs = children[0].docs
+        rows = children[0].rows
+        for c in children[1:]:
+            docs = docs.unionByName(c.docs)
+            rows = rows.unionByName(c.rows)
+        return PlanResult(docs=docs.distinct(), rows=rows)
+
+    def _intersect(self, children: List[PlanResult]) -> PlanResult:
+        """Docs in every child; positions union of child rows over them.
+
+        One aggregation replaces the k-way zig-zag intersection
+        (util/btree_map_ext.rs:22-48): tag each branch, count distinct
+        branches per doc, keep docs hitting all k.
+        """
+        if not children:
+            return self._empty()
+        if len(children) == 1:
+            return children[0]
+        tagged = None
+        for i, c in enumerate(children):
+            t = c.docs.select("doc_id", F.lit(i).alias("branch"))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        docs = (
+            tagged.groupBy("doc_id")
+            .agg(F.countDistinct("branch").alias("nb"))
+            .filter(F.col("nb") == len(children))
+            .select("doc_id")
+        )
+        rows = None
+        for c in children:
+            rows = c.rows if rows is None else rows.unionByName(c.rows)
+        rows = rows.join(F.broadcast(docs), "doc_id", "left_semi")
+        return PlanResult(docs=docs, rows=rows)
+
+    def _phrase(self, text: str) -> PlanResult:
+        terms = [t.term for t in analyze_query(text)]
+        if len(terms) < 2:
+            return self._empty()
+        pairs: List[PlanResult] = []
+        for t0, t1 in zip(terms, terms[1:]):
+            left = self._scan(F.col("term") == t0).rows
+            right = self._scan(F.col("term") == t1).rows
+            # docs containing BOTH terms stay in the result even with no
+            # adjacency (postings.rs:101-112): empty position lists score 0
+            docs = (
+                left.select("doc_id")
+                .distinct()
+                .join(right.select("doc_id").distinct(), "doc_id", "left_semi")
+            )
+            l = left.alias("l")
+            r = right.alias("r")
+            adj = l.join(
+                r,
+                (F.col("l.doc_id") == F.col("r.doc_id"))
+                & (F.col("l.pos") + 1 == F.col("r.pos")),
+            )
+            rows = (
+                adj.select(
+                    F.col("l.doc_id").alias("doc_id"),
+                    F.col("l.begin").alias("begin"),
+                    F.col("l.end").alias("end"),
+                    F.col("l.pos").alias("pos"),
+                )
+                .unionByName(
+                    adj.select(
+                        F.col("r.doc_id").alias("doc_id"),
+                        F.col("r.begin").alias("begin"),
+                        F.col("r.end").alias("end"),
+                        F.col("r.pos").alias("pos"),
+                    )
+                )
+                .distinct()
+            )
+            pairs.append(PlanResult(docs=docs, rows=rows))
+        return self._intersect(pairs)
+
+    def compile(self, query: Query) -> PlanResult:
+        if isinstance(query, Match):
+            return self._match(query.text)
+        if isinstance(query, Prefix):
+            return self._prefix(query.text)
+        if isinstance(query, Phrase):
+            return self._phrase(query.text)
+        if isinstance(query, And):
+            return self._intersect([self.compile(q) for q in query.children])
+        if isinstance(query, Or):
+            return self._union([self.compile(q) for q in query.children])
+        raise TypeError(f"unknown query node: {query!r}")
+
+    # ------------------------------------------------------------------
+    # coalescing + scoring
+
+    @staticmethod
+    def coalesce_rows(rows: DataFrame) -> DataFrame:
+        """Neighbor-only position coalescing as a window computation.
+
+        Islands within a doc: consecutive rows (in (begin, end, pos)
+        order) with the same ordinal whose ranges chain-overlap/touch.
+        Exactly reproduces the reference's insert-time neighbor merge
+        (util/coalesce.rs:32-73): a row merges only with its immediate
+        predecessor's accumulated interval, and a different ordinal in
+        between breaks the chain.
+        """
+        w = Window.partitionBy("doc_id").orderBy("begin", "end", "pos")
+        pos_changed = (
+            F.lag("pos").over(w).isNull() | (F.col("pos") != F.lag("pos").over(w))
+        )
+        rows = rows.withColumn(
+            "run_id",
+            F.sum(F.when(pos_changed, 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        wr = Window.partitionBy("doc_id", "run_id").orderBy("begin", "end", "pos")
+        prev_end = F.max("end").over(
+            wr.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        new_island = prev_end.isNull() | (F.col("begin") > prev_end)
+        rows = rows.withColumn(
+            "island_id",
+            F.sum(F.when(new_island, 1).otherwise(0)).over(
+                wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return rows.groupBy("doc_id", "run_id", "island_id").agg(
+            F.min("begin").alias("begin"),
+            F.max("end").alias("end"),
+            F.min("pos").alias("pos"),
+        ).select(*ROW_COLS)
+
+    def results(
+        self,
+        query: Query,
+        k: Optional[int] = None,
+        with_positions: bool = True,
+    ) -> DataFrame:
+        """Execute a query -> (doc_id, score, [positions]).
+
+        Parity score: float32 sum(coalesced widths)/sqrt(doc bytes)
+        (search_result.rs:19-28); order score desc, doc_id asc
+        (index.rs:148-156). Position arrays are assembled only for the
+        returned docs (post-limit) — cheap even at huge corpus scale.
+        """
+        plan = self.compile(query)
+        coalesced = self.coalesce_rows(plan.rows)
+        widths = coalesced.groupBy("doc_id").agg(
+            F.sum(F.col("end") - F.col("begin")).alias("width")
+        )
+        scored = (
+            plan.docs.join(widths, "doc_id", "left")
+            .fillna({"width": 0})
+            .join(self.index.docstats.select("doc_id", "doclen_bytes"), "doc_id")
+            .withColumn(
+                "score",
+                (
+                    F.col("width").cast("float")
+                    / F.sqrt(F.col("doclen_bytes").cast("double")).cast("float")
+                ).cast("float"),
+            )
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if k is not None:
+            scored = scored.limit(k)
+        if not with_positions:
+            return scored
+        arrays = (
+            coalesced.join(F.broadcast(scored.select("doc_id")), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("begin", "end", "pos"))
+                ).alias("positions")
+            )
+        )
+        return (
+            scored.join(arrays, "doc_id", "left")
+            .withColumn(
+                "positions",
+                F.coalesce(
+                    F.col("positions"),
+                    F.array().cast("array<struct<begin:int,end:int,pos:int>>"),
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def search(self, text: str, k: Optional[int] = None) -> DataFrame:
+        """Reference ``search`` = query(Match(text)) (index.rs:72-74)."""
+        return self.results(Match(text), k=k)
+
+    def highlight(
+        self, results: DataFrame, before: str, after: str
+    ) -> DataFrame:
+        """Attach highlighted content (search_result.rs:54-66)."""
+        return (
+            results.join(self.index.docs.select("doc_id", "text"), "doc_id")
+            .withColumn(
+                "highlighted",
+                byte_slice_highlight(
+                    F.col("text"),
+                    F.col("positions"),
+                    F.lit(before),
+                    F.lit(after),
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    # ------------------------------------------------------------------
+    # production scorer: BM25 over full tokens
+
+    def bm25(self, text: str, k: int = 10) -> DataFrame:
+        """BM25 top-k (k1=1.2, b=0.75) over full-token postings.
+
+        idf = ln((N - df + 0.5)/(df + 0.5) + 1); dl = tokens per doc;
+        all JVM-side: postings scan -> termdict join (broadcast: one row
+        per query term) -> docstats join -> weighted sum -> top-k via
+        TakeOrderedAndProject.
+        """
+        terms: List[str] = []
+        for tok in analyze_query(text):
+            if tok.term not in terms:
+                terms.append(tok.term)
+        if not terms:
+            return (
+                self.index.docstats.select("doc_id")
+                .withColumn("score", F.lit(0.0))
+                .filter(F.lit(False))
+            )
+        n, avgdl = float(self.index.n_docs), float(self.index.avgdl)
+        matched = self.index.postings.filter(
+            F.col("term").isin(terms) & (F.col("tf") > 0)
+        ).select("term", "doc_id", "tf")
+        df_tbl = (
+            self.index.termdict.filter(F.col("term").isin(terms))
+            .select("term", F.col("df_full").alias("df"))
+        )
+        idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        per_term = (
+            matched.join(F.broadcast(df_tbl), "term")
+            .join(self.index.docstats.select("doc_id", "doclen_tokens"), "doc_id")
+            .withColumn(
+                "s",
+                idf
+                * F.col("tf")
+                * (K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + K1
+                    * (1.0 - B + B * F.col("doclen_tokens") / F.lit(avgdl))
+                ),
+            )
+        )
+        return (
+            per_term.groupBy("doc_id")
+            .agg(F.sum("s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )

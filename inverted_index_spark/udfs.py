@@ -1,0 +1,106 @@
+"""Vectorized (Arrow-batched) pandas UDFs.
+
+The ONLY Python that runs on executors in the whole engine is the
+tokenizer below — everything downstream (posting assembly, coalescing,
+intersection, scoring, top-k) is expressed relationally and stays
+JVM-side in whole-stage codegen. Per ``input_hint``: no per-row Python
+at the Spark API level; Arrow batches in/out.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .analysis import english_utf8_tokenize, utf8_len
+
+TOKEN_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType(), False),
+            StructField("begin", IntegerType(), False),
+            StructField("end", IntegerType(), False),
+            StructField("pos", IntegerType(), False),
+            # True when the term is the complete token (the longest
+            # edge-ngram). BM25 tf/df count only these.
+            StructField("full", BooleanType(), False),
+        ]
+    )
+)
+
+
+def _analyze_one(text: str, ngrams: bool) -> List[Tuple[str, int, int, int, bool]]:
+    out: List[Tuple[str, int, int, int, bool]] = []
+    for tok in english_utf8_tokenize(text):
+        if ngrams:
+            # edge-ngrams: every char prefix; end offset assumes token
+            # bytes contiguous from begin (reference tokenizers.rs:222-239)
+            finish = tok.begin
+            term = tok.term
+            n = len(term)
+            for i in range(n):
+                finish += utf8_len(term[i])
+                out.append(
+                    (term[: i + 1].lower(), tok.begin, finish, tok.pos, i == n - 1)
+                )
+        else:
+            out.append((tok.term.lower(), tok.begin, tok.end, tok.pos, True))
+    return out
+
+
+def make_tokenize_udf(ngrams: bool = True):
+    """Arrow-batched tokenizer: text -> array<struct<term,begin,end,pos,full>>."""
+
+    @pandas_udf(TOKEN_SCHEMA)
+    def tokenize(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _analyze_one(t, ngrams) if t is not None else [])
+
+    return tokenize
+
+
+@pandas_udf(StringType())
+def byte_slice_highlight(
+    it: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
+) -> Iterator[pd.Series]:
+    """highlight(text, positions, before, after) via UTF-8 byte slicing.
+
+    Mirrors reference search_result.rs:54-66: each position's byte range
+    is wrapped with before/after markers; positions are sorted and
+    non-overlapping (guaranteed by coalescing upstream).
+    """
+    for texts, position_lists, befores, afters in it:
+        out = []
+        for text, positions, before, after in zip(
+            texts, position_lists, befores, afters
+        ):
+            if text is None:
+                out.append(None)
+                continue
+            raw = text.encode("utf-8")
+            bb = (before or "").encode("utf-8")
+            ba = (after or "").encode("utf-8")
+            parts = bytearray()
+            cursor = 0
+            for p in positions if positions is not None else []:
+                b, e = int(p["begin"]), int(p["end"])
+                parts += raw[cursor:b] + bb + raw[b:e] + ba
+                cursor = e
+            parts += raw[cursor:]
+            out.append(parts.decode("utf-8"))
+        yield pd.Series(out, dtype=object)
+
+
+def doclen_bytes_col(text_col: str = "text"):
+    """UTF-8 byte length of a string column (JVM-side, no UDF)."""
+    return F.octet_length(F.col(text_col))

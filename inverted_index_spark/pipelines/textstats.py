@@ -1,0 +1,116 @@
+"""Text-analysis pipeline operators over a documents table.
+
+Large-scale training-data prep primitives: per-document statistics,
+quality scoring, language ID, fingerprinting, token/term frequency
+tables. All JVM-side (built-in functions only) except tokenization,
+which reuses the engine's Arrow-batched tokenizer for exact parity with
+the index build.
+
+Every function takes/returns DataFrames and scales linearly: narrow maps
+plus one aggregation, no joins, no skew-prone keys (doc_id grouping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..build import tokenize_docs
+
+# Tiny deterministic stopword lists for n-gram/stopword language ID.
+# Heuristic quality only — the point is the distributed plumbing and a
+# deterministic, SQL-mirrorable formula.
+LANG_STOPWORDS = {
+    "de": ["der", "die", "und", "den", "von", "zu", "das", "mit", "ist", "nicht"],
+    "en": ["the", "of", "and", "to", "in", "is", "you", "that", "it", "for"],
+    "es": ["de", "la", "que", "el", "en", "los", "se", "del", "las", "por"],
+    "fr": ["de", "la", "le", "et", "les", "des", "en", "un", "du", "une"],
+}
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, doclen_bytes, doclen_tokens) — corpus statistics feeding
+    BM25 normalization (avgdl) and quality filters."""
+    toks = tokenize_docs(docs, ngrams=False)
+    return (
+        docs.select("doc_id", F.octet_length("text").alias("doclen_bytes"))
+        .join(
+            toks.groupBy("doc_id").agg(
+                F.count("*").cast("bigint").alias("doclen_tokens")
+            ),
+            "doc_id",
+            "left",
+        )
+        .fillna({"doclen_tokens": 0})
+    )
+
+
+def term_tf(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) over full tokens — the raw postings feed."""
+    return (
+        tokenize_docs(docs, ngrams=False)
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def term_df(docs: DataFrame) -> DataFrame:
+    """(term, df) document frequency over full tokens."""
+    return (
+        tokenize_docs(docs, ngrams=False)
+        .select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+
+
+def term_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, pos) — exploded token stream with ordinals."""
+    return tokenize_docs(docs, ngrams=False).select("doc_id", "term", "pos")
+
+
+def quality(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features: token count, distinct-token ratio,
+    mean token length (chars). Rounded for cross-engine comparison."""
+    toks = tokenize_docs(docs, ngrams=False)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.countDistinct("term").cast("bigint").alias("n_distinct"),
+            F.round(F.avg(F.length("term")), 4).alias("mean_token_len"),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4),
+        )
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — md5 content fingerprint (stable across engines)."""
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language ID: hits per language list, argmax with
+    lexicographic tie-break. Deterministic and SQL-mirrorable."""
+    toks = tokenize_docs(docs, ngrams=False)
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term").isin(words), 1).otherwise(0)).alias(
+                f"hits_{lang}"
+            )
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reverse order so earlier language wins ties (lexicographic argmax)
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), lang
+        ).otherwise(pred)
+    return agg.select("doc_id", pred.alias("lang_pred"))

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Headline benchmark: index build throughput + query latency.
+
+Reads ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), reshapes
+the documents table into the canonical transcript corpus (input_hint
+shape), optionally amplifies it deterministically
+(``$SPARK_GRAFT_BENCH_MULT`` copies per doc, default 8), builds the
+production full-token BM25 index end-to-end (tokenize UDF -> postings
+shuffle -> parquet segments + termdict + docstats), then times the
+headline queries against the parquet-backed index.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., plus throughput fields (postings_built_per_sec etc.)}
+
+Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors)
+is produced by scripts/scaling_bench.py, which runs this file at two
+parallelism levels in fresh JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.build import build_and_save, load_index
+    from inverted_index_spark.qast import And, Match, Or, Phrase, Prefix
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.session import get_spark
+    from inverted_index_spark.transcripts import (
+        transcript_docs,
+        transcripts_from_documents,
+    )
+
+    spark = get_spark("fts-bench", cores=cores)
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if mult > 1:
+        # deterministic amplification: `mult` distinct doc ids per source
+        # row, same text — scales the corpus without external data
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        base = base.crossJoin(reps).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"), "text"
+        )
+    transcripts = transcripts_from_documents(base)
+    docs = transcript_docs(transcripts).select(
+        "doc_id", "text", "conv_id", "turn_idx", "role", "ts"
+    )
+
+    idx_path = os.path.join(tempfile.gettempdir(), f"fts_bench_idx_{cores}")
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    build_and_save(spark, docs, idx_path, ngrams=False)
+    build_sec = time.perf_counter() - t0
+
+    idx = load_index(spark, idx_path)
+    n_docs = idx.n_docs
+    n_postings = idx.postings.count()
+    n_tokens = int(
+        idx.docstats.agg(F.sum("doclen_tokens").alias("s")).collect()[0]["s"]
+    )
+    eng = FtsEngine(idx)
+
+    def timed(fn) -> float:
+        t = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t, 4)
+
+    queries = {
+        "bm25_topk": lambda: eng.bm25("scan merge join", k=10).collect(),
+        "match_topk": lambda: eng.search("merge", k=10).collect(),
+        "and_query": lambda: eng.results(
+            And(Match("scan"), Match("merge")), k=10, with_positions=False
+        ).collect(),
+        "or_query": lambda: eng.results(
+            Or(Match("window"), Match("stream")), k=10, with_positions=False
+        ).collect(),
+        "phrase_query": lambda: eng.results(Phrase("batch batch"), k=10).collect(),
+        "prefix_query": lambda: eng.results(
+            Prefix("mer"), k=10, with_positions=False
+        ).collect(),
+    }
+    qtimes = {name: timed(fn) for name, fn in queries.items()}
+
+    total = round(build_sec + sum(qtimes.values()), 3)
+    out = {
+        "metric": "index_build_plus_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cores": cores,
+        "amplification": mult,
+        "n_docs": n_docs,
+        "n_tokens": n_tokens,
+        "n_postings": n_postings,
+        "build_sec": round(build_sec, 3),
+        "postings_built_per_sec": round(n_postings / build_sec, 1),
+        "tokens_indexed_per_sec": round(n_tokens / build_sec, 1),
+    }
+    shutil.rmtree(idx_path, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,97 @@ def build_index(
     )
 
 
+def build_and_save(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    ngrams: bool = True,
+    term_buckets: Optional[int] = None,
+) -> FtsIndex:
+    """Build and persist the index with a SINGLE tokenize pass.
+
+    ``build_index`` + ``save_index`` would re-run the tokenizer UDF once
+    per derived table (postings, docstats, termdict all share the tokens
+    lineage). At scale the tokenize pass dominates, so here the postings
+    table is written first and everything else is derived from the
+    written parquet:
+
+      * termdict = groupBy(term) over postings (cheap columnar scan,
+        positions column pruned away);
+      * doclen_tokens = sum(tf) per doc over postings (tf counts full
+        tokens in both modes, so this equals the token count);
+      * doclen_bytes = octet_length(text) straight from the doc table.
+    """
+    if term_buckets is None:
+        term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Materialize the doc store FIRST and derive everything from the
+    # written files: if the incoming lineage contains any
+    # evaluation-order nondeterminism (e.g. freshly assigned doc ids),
+    # re-computing it per derived table would let postings and docstats
+    # disagree on ids. One write pins the assignment.
+    docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    docs = spark.read.parquet(os.path.join(path, "docs"))
+
+    tokens = tokenize_docs(docs, ngrams=ngrams)
+    (
+        tokens.groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("begin", "end", "pos"))
+            ).alias("positions"),
+            F.sum(F.when(F.col("full"), 1).otherwise(0)).cast("int").alias("tf"),
+        )
+        .repartition(term_buckets, F.col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+
+    postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df_full"),
+        F.sum("tf").cast("long").alias("cf"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "termdict"))
+
+    (
+        docs.select("doc_id", F.octet_length("text").alias("doclen_bytes"))
+        .join(
+            postings.groupBy("doc_id").agg(
+                F.sum("tf").cast("int").alias("doclen_tokens")
+            ),
+            "doc_id",
+            "left",
+        )
+        .fillna({"doclen_tokens": 0})
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "docstats"))
+    )
+    docstats = spark.read.parquet(os.path.join(path, "docstats"))
+
+    stats = docstats.agg(
+        F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")
+    ).collect()[0]
+    meta = {
+        "n_docs": int(stats["n"]),
+        "avgdl": float(stats["avgdl"] or 0.0),
+        "ngrams": ngrams,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    return FtsIndex(
+        postings=postings,
+        docstats=docstats,
+        termdict=spark.read.parquet(os.path.join(path, "termdict")),
+        docs=docs,
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        ngrams=ngrams,
+    )
+
+
 def save_index(index: FtsIndex, path: str) -> None:
     """Persist index tables as parquet + JSON meta (Iceberg-style layout:
     data files + a small metadata document; swap-in a real catalog by

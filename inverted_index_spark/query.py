@@ -102,6 +102,26 @@ class FtsEngine:
         )
         return PlanResult(docs=rows.select("doc_id").distinct(), rows=rows)
 
+    def _term_pred(self, term: str):
+        """Predicate selecting postings of one query term.
+
+        Parity (ngram) index: exact dictionary lookup (index.rs:81) —
+        the stored edge-ngrams make Match prefix-matching implicitly.
+        Production (full-token) index: prefix-expansion range scan
+        ``[term, succ(term))`` — equivalent because the set of indexed
+        ngrams of a token equals its set of char-prefixes (SURVEY §2.4;
+        deviation only for tokens whose Unicode lowercase changes char
+        count, e.g. İ). Both are sargable: parquet min/max on the
+        term-sorted postings files prune row groups either way.
+        """
+        if self.index.ngrams:
+            return F.col("term") == term
+        hi = prefix_upper_bound(term)
+        pred = F.col("term") >= term
+        if hi is not None:
+            pred = pred & (F.col("term") < hi)
+        return pred
+
     def _match(self, text: str) -> PlanResult:
         terms: List[str] = []
         for tok in analyze_query(text):
@@ -109,7 +129,10 @@ class FtsEngine:
                 terms.append(tok.term)
         if not terms:
             return self._empty()
-        return self._scan(F.col("term").isin(terms))
+        pred = self._term_pred(terms[0])
+        for t in terms[1:]:
+            pred = pred | self._term_pred(t)
+        return self._scan(pred)
 
     def _prefix(self, prefix: str) -> PlanResult:
         if not prefix:
@@ -166,8 +189,8 @@ class FtsEngine:
             return self._empty()
         pairs: List[PlanResult] = []
         for t0, t1 in zip(terms, terms[1:]):
-            left = self._scan(F.col("term") == t0).rows
-            right = self._scan(F.col("term") == t1).rows
+            left = self._scan(self._term_pred(t0)).rows
+            right = self._scan(self._term_pred(t1)).rows
             # docs containing BOTH terms stay in the result even with no
             # adjacency (postings.rs:101-112): empty position lists score 0
             docs = (

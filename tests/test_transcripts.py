@@ -1,0 +1,59 @@
+"""Transcript corpus generation + stable doc-id assignment."""
+
+from pyspark.sql import functions as F
+
+from inverted_index_spark.transcripts import (
+    assign_doc_ids,
+    synthetic_transcripts,
+    transcript_docs,
+    transcripts_from_documents,
+)
+
+
+def test_synthetic_shape_and_determinism(spark):
+    a = synthetic_transcripts(spark, n_conversations=20, turns_per_conv=4, seed=7)
+    b = synthetic_transcripts(spark, n_conversations=20, turns_per_conv=4, seed=7)
+    assert a.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert dict(a.dtypes)["turn_idx"] == "int"
+    assert dict(a.dtypes)["ts"] == "timestamp"
+    assert a.count() == 80
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # different seed -> different text
+    c = synthetic_transcripts(spark, n_conversations=20, turns_per_conv=4, seed=8)
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_doc_ids_dense_and_ordered(spark):
+    tr = synthetic_transcripts(spark, n_conversations=30, turns_per_conv=5, seed=1)
+    docs = assign_doc_ids(tr, num_partitions=7)
+    rows = docs.select("doc_id", "conv_id", "turn_idx").collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(150))
+    # doc_id order == (conv_id, turn_idx) lexicographic order
+    by_key = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [r["doc_id"] for r in by_key] == list(range(150))
+
+
+def test_doc_ids_stable_across_partitioning(spark):
+    tr = synthetic_transcripts(spark, n_conversations=25, turns_per_conv=4, seed=3)
+    a = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(tr, num_partitions=3).collect()
+    }
+    b = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(tr.repartition(13), num_partitions=11).collect()
+    }
+    assert a == b
+
+
+def test_transcripts_from_documents_roundtrip(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tr = transcripts_from_documents(docs, turns_per_conv=8)
+    assert tr.count() == docs.count()
+    out = transcript_docs(tr)
+    # reassigned ids reproduce the original dense ordering, texts intact
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out.collect():
+        assert orig[r["doc_id"]] == r["text"]

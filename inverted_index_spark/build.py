@@ -180,15 +180,33 @@ def build_and_save(
     docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
     docs = spark.read.parquet(os.path.join(path, "docs"))
 
-    tokens = tokenize_docs(docs, ngrams=ngrams)
-    (
-        tokens.groupBy("term", "doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("begin", "end", "pos"))
-            ).alias("positions"),
-            F.sum(F.when(F.col("full"), 1).otherwise(0)).cast("int").alias("tf"),
+    # Tokenize AND assemble posting lists in one map pass: postings are
+    # doc-local (all occurrences of a term in a doc sit in the same
+    # batch), so there is nothing to shuffle before assembly — the
+    # exploded-token shuffle + collect_list of the naive plan
+    # (build_index) is pure overhead at scale. The only shuffle left is
+    # the (term, salt) layout repartition of the assembled rows.
+    # Production (full-token) indexes use the batch-vectorized
+    # mapInArrow kernel (arrow_build.py, no per-token Python); the
+    # parity ngram path keeps the per-doc Python assembler. The
+    # explicit repartition before the UDF pins the tokenizer stage's
+    # parallelism (file-split coalescing of a small-but-dense text
+    # table must not serialize it).
+    from .udfs import POSTINGS_ROW_SCHEMA, assemble_postings_batches
+
+    src = docs.select("doc_id", "text").repartition(term_buckets)
+    if ngrams:
+        assembled = src.mapInPandas(
+            assemble_postings_batches(True), schema=POSTINGS_ROW_SCHEMA
         )
+    else:
+        from .arrow_build import assemble_postings_arrow
+
+        assembled = src.mapInArrow(
+            assemble_postings_arrow, schema=POSTINGS_ROW_SCHEMA
+        )
+    (
+        assembled
         .repartition(
             term_buckets,
             F.col("term"),

@@ -93,6 +93,48 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
 
 
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens) — whitespace vs BPE-ish counts.
+
+    ``ws_tokens``: whitespace-split count. ``bpe_tokens``: count of
+    matches of a GPT-style pre-tokenizer regex (word / number-chunk /
+    punctuation-run / whitespace-run pieces) — a deterministic proxy for
+    subword token counts used to budget training data. Both stay
+    JVM-side (regexp over the text column, no UDF).
+    """
+    # GPT-2-style pretokenizer classes, simplified to a POSIX-safe form:
+    # letter runs (with leading space), digit runs, punctuation runs
+    bpe_re = r"[ ]?[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(bpe_re), 0))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
+    """(doc_id, fp) — winnowing-style rolling-hash fingerprint.
+
+    Karp-Rabin over word ids: each ``window``-word span gets
+    ``md5(span)``; the document fingerprint is the minimum span hash
+    (the winnowing selection with one global window), falling back to
+    md5(text) for docs shorter than the window. Shift-resistant — unlike
+    ``fingerprint`` (exact md5), a doc that shares any w-word stretch
+    with another can be bucketed with it. All JVM-side.
+    """
+    toks = F.split(F.col("text"), " ")
+    spans = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array(F.md5(F.col("text"))))
+    return docs.select("doc_id", F.array_min(spans).alias("fp"))
+
+
 def langid(docs: DataFrame) -> DataFrame:
     """Stopword-ratio language ID: hits per language list, argmax with
     lexicographic tie-break. Deterministic and SQL-mirrorable."""

@@ -11,6 +11,9 @@ import os
 import shutil
 import tempfile
 
+# module-level so the warm-up UDF's stringified type hints (PEP 563 via
+# ``from __future__ import annotations``) resolve against module globals
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -52,10 +55,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m advisory coalesces a CPU-bound pandas-UDF stage
+        # over a few-hundred-MB shuffle down to a handful of tasks —
+        # cores idle while Python chews; 8m keeps those stages wide
+        # without producing tiny-file writes at sandbox scale
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # split text-bearing parquet finely enough that the tokenizer
+        # stage parallelizes even when the corpus is tens of MB
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -64,6 +75,22 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
     return spark
+
+
+def warm_python_workers(spark: SparkSession, tasks: int | None = None) -> None:
+    """Spin up executor Python workers (pandas/numpy import, Arrow runtime)
+    with a trivial vectorized job — a per-JVM one-time cost callers may
+    want excluded from throughput measurements."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if tasks is None:
+        tasks = spark.sparkContext.defaultParallelism * 4
+
+    @pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(tasks).repartition(tasks).select(_warm("id")).count()
 
 
 def stop_spark() -> None:

@@ -23,7 +23,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .analysis import english_utf8_tokenize, utf8_len
+from .analysis import english_utf8_tokenize_fast as english_utf8_tokenize
+from .analysis import utf8_len
 
 TOKEN_SCHEMA = ArrayType(
     StructType(
@@ -67,6 +68,64 @@ def make_tokenize_udf(ngrams: bool = True):
         return texts.map(lambda t: _analyze_one(t, ngrams) if t is not None else [])
 
     return tokenize
+
+
+POSTINGS_ROW_SCHEMA = (
+    "term string, doc_id long, "
+    "positions array<struct<begin:int,end:int,pos:int>>, tf int"
+)
+
+
+def assemble_postings_batches(ngrams: bool):
+    """mapInPandas kernel: doc rows -> assembled posting rows.
+
+    Every occurrence of a term within one document lands in the same
+    Python batch (postings are doc-local), so posting lists can be fully
+    assembled here — no exploded-token shuffle, no collect_list
+    aggregation. Output rows only need a layout repartition by
+    (term, salt). Cuts the build's shuffle volume from one row per token
+    occurrence to one row per (term, doc) pair with positions packed.
+
+    Positions are emitted sorted by (begin, end, pos) — the order the
+    reference maintains via binary-search insertion
+    (/root/reference/src/util/coalesce.rs:64-73).
+    """
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: List[str] = []
+            doc_ids: List[int] = []
+            positions: List[list] = []
+            tfs: List[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                per_term: dict = {}
+                for term, b, e, p, full in _analyze_one(text, ngrams):
+                    entry = per_term.get(term)
+                    if entry is None:
+                        per_term[term] = entry = ([], [0])
+                    entry[0].append({"begin": b, "end": e, "pos": p})
+                    if full:
+                        entry[1][0] += 1
+                for term, (plist, tf) in per_term.items():
+                    terms.append(term)
+                    doc_ids.append(doc_id)
+                    plist.sort(
+                        key=lambda q: (q["begin"], q["end"], q["pos"])
+                    )
+                    positions.append(plist)
+                    tfs.append(tf[0])
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": doc_ids,
+                    "positions": positions,
+                    "tf": tfs,
+                }
+            )
+
+    return assemble
 
 
 @pandas_udf(StringType())

@@ -1,0 +1,95 @@
+"""Vectorized tokenizer + Arrow posting assembly: exact equivalence with
+the reference-semantics Python paths."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from inverted_index_spark.analysis import (
+    english_utf8_tokenize,
+    english_utf8_tokenize_fast,
+)
+from inverted_index_spark.arrow_build import assemble_postings_arrow
+from inverted_index_spark.udfs import _analyze_one
+
+CASES = [
+    "",
+    " ",
+    "a",
+    "...",
+    "Hi, Dave! How are you?",
+    "a..b c",
+    "  x  ",
+    "Won't stop won't",
+    "tab\there\nnewline\x0bvtab",
+    "end.",
+    ".start",
+    "mixé utf ñ",
+    "嗨 您好",
+    "İstanbul is big",
+    "1a2b 3C4D",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_fast_tokenizer_equals_exact(text):
+    assert english_utf8_tokenize_fast(text) == english_utf8_tokenize(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_fast_tokenizer_property(text):
+    assert english_utf8_tokenize_fast(text) == english_utf8_tokenize(text)
+
+
+def _python_assemble(doc_id, text):
+    per = {}
+    for term, b, e, p, full in _analyze_one(text, False):
+        per.setdefault(term, []).append((b, e, p))
+    return {
+        (term, doc_id): (sorted(pl), len(pl)) for term, pl in per.items()
+    }
+
+
+def _arrow_assemble(texts):
+    batch = pa.RecordBatch.from_pydict(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    got = {}
+    for out in assemble_postings_arrow(iter([batch])):
+        d = out.to_pydict()
+        for term, doc, pl, tf in zip(
+            d["term"], d["doc_id"], d["positions"], d["tf"]
+        ):
+            got[(term, doc)] = (
+                [(q["begin"], q["end"], q["pos"]) for q in pl],
+                tf,
+            )
+    return got
+
+
+def test_arrow_assembly_matches_python():
+    texts = CASES + ["batch batch batch", "is is is", "the quick brown fox"]
+    expect = {}
+    for i, t in enumerate(texts):
+        expect.update(_python_assemble(i, t))
+    assert _arrow_assemble(texts) == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=8))
+def test_arrow_assembly_property(texts):
+    expect = {}
+    for i, t in enumerate(texts):
+        expect.update(_python_assemble(i, t))
+    assert _arrow_assemble(texts) == expect
+
+
+def test_mixed_ascii_and_unicode_batch():
+    texts = ["plain ascii here", "嗨 您好 unicode doc", "more ascii"]
+    expect = {}
+    for i, t in enumerate(texts):
+        expect.update(_python_assemble(i, t))
+    assert _arrow_assemble(texts) == expect

@@ -1,0 +1,61 @@
+"""Multimodal binary-column plumbing (stub decode, real Spark shapes)."""
+
+import pytest
+
+from inverted_index_spark.pipelines.multimodal import (
+    _decode_image_bytes,
+    frame_sample,
+    image_features,
+    resize_images,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    return synth_media(docs).cache()
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert dict(media.dtypes)["data"] == "binary"
+    assert media.count() == 50
+    row = media.orderBy("doc_id").first()
+    assert row["meta"]["width"] >= 16 and row["meta"]["codec"] == "fake"
+    # deterministic: regenerating yields identical blobs
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    again = synth_media(docs).orderBy("doc_id").first()
+    assert bytes(again["data"]) == bytes(row["data"])
+
+
+def test_image_features(media):
+    feats = image_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert 16 <= r["width"] <= 64 and 16 <= r["height"] <= 64
+        assert 0.0 <= r["mean_px"] <= 255.0
+        assert len(r["phash"]) == 16  # 64 bits hex
+
+
+def test_resize_shape(media):
+    rows = resize_images(media, width=8, height=8).collect()
+    assert all(len(r["pixels"]) == 64 for r in rows)
+
+
+def test_frame_sample_expansion(media):
+    rows = frame_sample(media, every_n=1).collect()
+    assert len(rows) == 50  # stub media: one frame each
+    assert all(r["frame_idx"] == 0 for r in rows)
+
+
+def test_decode_rejects_real_formats():
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"\x89PNG\r\n\x1a\n....")

@@ -1,0 +1,120 @@
+"""Training-data pipeline ops: ANN recall, near-dup detection with
+planted duplicates, token counting, rolling fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_spark.pipelines.dedup import near_dup_pairs, with_text_hash
+from inverted_index_spark.pipelines.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+    neardup_pairs_cosine,
+)
+from inverted_index_spark.pipelines.textstats import (
+    rolling_fingerprint,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_lsh_topk_recall_on_planted_neighbors(spark, embeddings):
+    """LSH is an ANN method: it must retrieve genuinely-near vectors.
+
+    The synthetic corpus is near-orthogonal noise (best cos ~0.33), so
+    recall is only meaningful on planted neighbors: 5 slightly-perturbed
+    copies of the query vector, all at cos > 0.999.
+    """
+    qvec = list(
+        embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    planted = [
+        (10000 + i, [x + (0.001 * ((i + j) % 3 - 1)) for j, x in enumerate(qvec)])
+        for i in range(5)
+    ]
+    embs = embeddings.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    exact = [r["vec_id"] for r in cosine_topk(embs, qvec, k=6).collect()]
+    assert set(exact) == {0, 10000, 10001, 10002, 10003, 10004}
+    approx = {
+        r["vec_id"] for r in lsh_bucketed_topk(embs, qvec, k=6, n_planes=8).collect()
+    }
+    assert 0 in approx
+    assert len(approx & set(exact)) >= 5  # >= 4/5 planted neighbors found
+
+
+def test_neardup_cosine_finds_planted_dup(spark, embeddings):
+    # plant an exact duplicate of vec 0 with a new id
+    v0 = embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    planted = spark.createDataFrame(
+        [(99999, list(v0))], "vec_id long, embedding array<float>"
+    )
+    embs = embeddings.select("vec_id", "embedding").unionByName(planted)
+    pairs = neardup_pairs_cosine(embs, threshold=0.999).collect()
+    assert any(r["vec_a"] == 0 and r["vec_b"] == 99999 for r in pairs)
+
+
+def test_minhash_neardup_finds_planted_dup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different words about spark shuffles here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = near_dup_pairs(docs, num_hashes=8, rows_per_band=2, k=3, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_exact_dup_rank(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["dup_rank"] for r in with_text_hash(docs).collect()}
+    assert rows == {1: 0, 2: 1, 3: 0}
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "a1b2, x! 12345")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert rows[1]["ws_tokens"] == 2
+    # "a1b2, x! 12345" ws: 3. bpe pieces: a,1,b,2,",", " x","!", " ",123,45
+    assert rows[2]["ws_tokens"] == 3
+    assert rows[2]["bpe_tokens"] > rows[2]["ws_tokens"]
+
+
+def test_rolling_fingerprint_matches_pure_python(spark):
+    import hashlib
+
+    def expected(text, window=8):
+        toks = text.split(" ")
+        if len(toks) < window:
+            return hashlib.md5(text.encode()).hexdigest()
+        return min(
+            hashlib.md5(" ".join(toks[i : i + window]).encode()).hexdigest()
+            for i in range(len(toks) - window + 1)
+        )
+
+    texts = {
+        1: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+        2: "prefix w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+        3: "just three words",  # shorter than window -> whole-text hash
+        4: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",  # exact dup of 1
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fp"] for r in rolling_fingerprint(docs, window=8).collect()}
+    assert fps == {i: expected(t) for i, t in texts.items()}
+    assert fps[1] == fps[4]  # exact duplicates always collide

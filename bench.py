@@ -76,13 +76,15 @@ def main() -> None:
     warm_python_workers(spark)
 
     t0 = time.perf_counter()
-    build_and_save(spark, docs, idx_path, ngrams=False)
+    # store_docs=False: at the design scale the corpus IS the lakehouse
+    # table — the index references it rather than duplicating it
+    build_and_save(spark, docs, idx_path, ngrams=False, store_docs=False)
     build_sec = time.perf_counter() - t0
 
     from inverted_index_spark.segments import build_segments
     from inverted_index_spark.wand import wand_topk
 
-    idx = load_index(spark, idx_path)
+    idx = load_index(spark, idx_path, docs=docs)
     n_docs = idx.n_docs
     n_postings = idx.postings.count()
     n_tokens = int(

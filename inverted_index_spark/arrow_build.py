@@ -62,6 +62,29 @@ _LOWER = np.arange(256, dtype=np.uint8)
 _LOWER[ord("A") : ord("Z") + 1] += 32
 
 
+def _stat_batch(doc_ids, byte_lens) -> pa.RecordBatch:
+    """Per-doc stat rows: term = '' (impossible as a real term — the
+    analyzer only emits non-empty alnum strings), positions = [],
+    tf = doclen_bytes. Lets docstats derive from the postings files
+    without a second scan of the corpus."""
+    n = len(doc_ids)
+    empty_lists = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)),
+        pa.StructArray.from_arrays(
+            [pa.array([], type=pa.int32())] * 3, names=["begin", "end", "pos"]
+        ),
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([""] * n, type=pa.string()),
+            pa.array(np.asarray(doc_ids, dtype=np.int64), type=pa.int64()),
+            empty_lists,
+            pa.array(np.asarray(byte_lens, dtype=np.int32), type=pa.int32()),
+        ],
+        schema=POSTINGS_ARROW_SCHEMA,
+    )
+
+
 def _assemble_ascii(texts: List[str], doc_ids: np.ndarray) -> pa.RecordBatch:
     """Vectorized assembly of one batch of ASCII docs."""
     joined = "\n".join(texts)
@@ -189,5 +212,9 @@ def assemble_postings_arrow(
                 other_ids.append(d)
         if ascii_texts:
             yield _assemble_ascii(ascii_texts, np.asarray(ascii_ids, np.int64))
+            yield _stat_batch(ascii_ids, [len(t) for t in ascii_texts])
         if other_texts:
             yield _assemble_fallback(other_texts, other_ids)
+            yield _stat_batch(
+                other_ids, [len(t.encode("utf-8")) for t in other_texts]
+            )

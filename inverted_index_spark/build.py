@@ -53,7 +53,7 @@ class FtsIndex:
     postings: DataFrame
     docstats: DataFrame
     termdict: DataFrame
-    docs: DataFrame
+    docs: Optional[DataFrame]
     n_docs: int
     avgdl: float  # mean doclen_tokens (BM25 dl normalization)
     ngrams: bool = True
@@ -145,6 +145,7 @@ def build_and_save(
     ngrams: bool = True,
     term_buckets: Optional[int] = None,
     salt: int = 8,
+    store_docs: bool = True,
 ) -> FtsIndex:
     """Build and persist the index with a SINGLE tokenize pass.
 
@@ -158,7 +159,14 @@ def build_and_save(
         positions column pruned away);
       * doclen_tokens = sum(tf) per doc over postings (tf counts full
         tokens in both modes, so this equals the token count);
-      * doclen_bytes = octet_length(text) straight from the doc table.
+      * doclen_bytes = the per-doc stat rows (term='') the assembly
+        kernel emits into the postings files — so docstats needs NO
+        second scan of the corpus.
+
+    ``store_docs=False`` skips copying the document table into the index
+    (at 10^12 turns the corpus is the lakehouse table itself — the index
+    should reference, not duplicate it); the returned handle keeps the
+    caller's ``docs`` DataFrame for highlight/doc-store lookups.
 
     Skew (explicit, per the design-scale requirement): the physical
     partitioning of the postings files is ``(term, salt)`` with
@@ -172,13 +180,16 @@ def build_and_save(
     if term_buckets is None:
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    # Materialize the doc store FIRST and derive everything from the
-    # written files: if the incoming lineage contains any
-    # evaluation-order nondeterminism (e.g. freshly assigned doc ids),
-    # re-computing it per derived table would let postings and docstats
-    # disagree on ids. One write pins the assignment.
-    docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-    docs = spark.read.parquet(os.path.join(path, "docs"))
+    # With store_docs, materialize the doc store FIRST and tokenize the
+    # re-read files: if the incoming lineage contains evaluation-order
+    # nondeterminism (e.g. freshly assigned doc ids), re-computing it
+    # per derived table would let tables disagree on ids. Without
+    # store_docs the corpus is scanned exactly once (postings write) and
+    # every other table derives from that one materialization, so
+    # consistency holds either way.
+    if store_docs:
+        docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        docs = spark.read.parquet(os.path.join(path, "docs"))
 
     # Tokenize AND assemble posting lists in one map pass: postings are
     # doc-local (all occurrences of a term in a doc sit in the same
@@ -216,7 +227,8 @@ def build_and_save(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "postings"))
     )
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+    raw = spark.read.parquet(os.path.join(path, "postings"))
+    postings = raw.filter(F.col("term") != "")
 
     postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
@@ -225,7 +237,8 @@ def build_and_save(
     ).write.mode("overwrite").parquet(os.path.join(path, "termdict"))
 
     (
-        docs.select("doc_id", F.octet_length("text").alias("doclen_bytes"))
+        raw.filter(F.col("term") == "")
+        .select("doc_id", F.col("tf").cast("int").alias("doclen_bytes"))
         .join(
             postings.groupBy("doc_id").agg(
                 F.sum("tf").cast("int").alias("doclen_tokens")
@@ -274,14 +287,25 @@ def save_index(index: FtsIndex, path: str) -> None:
         json.dump(meta, fh)
 
 
-def load_index(spark: SparkSession, path: str) -> FtsIndex:
+def load_index(
+    spark: SparkSession, path: str, docs: Optional[DataFrame] = None
+) -> FtsIndex:
+    """Load a persisted index. ``docs`` supplies the document table when
+    the index was built with ``store_docs=False`` (the doc store then
+    lives in the caller's lakehouse, not the index directory)."""
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
+    if docs is None and os.path.exists(os.path.join(path, "docs")):
+        docs = spark.read.parquet(os.path.join(path, "docs"))
     return FtsIndex(
-        postings=spark.read.parquet(os.path.join(path, "postings")),
+        # stat rows (term='', build_and_save) never match a real term
+        # but must not surface as postings
+        postings=spark.read.parquet(os.path.join(path, "postings")).filter(
+            F.col("term") != ""
+        ),
         docstats=spark.read.parquet(os.path.join(path, "docstats")),
         termdict=spark.read.parquet(os.path.join(path, "termdict")),
-        docs=spark.read.parquet(os.path.join(path, "docs")),
+        docs=docs,
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
         ngrams=meta["ngrams"],

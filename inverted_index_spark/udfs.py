@@ -116,6 +116,13 @@ def assemble_postings_batches(ngrams: bool):
                     )
                     positions.append(plist)
                     tfs.append(tf[0])
+                # per-doc stat row (term='' is impossible as a real
+                # term): tf carries doclen_bytes so docstats can be
+                # derived from the postings files alone
+                terms.append("")
+                doc_ids.append(doc_id)
+                positions.append([])
+                tfs.append(len(text.encode("utf-8")))
             yield pd.DataFrame(
                 {
                     "term": terms,

@@ -63,11 +63,31 @@ def _arrow_assemble(texts):
         for term, doc, pl, tf in zip(
             d["term"], d["doc_id"], d["positions"], d["tf"]
         ):
+            if term == "":  # per-doc stat rows, asserted separately
+                continue
             got[(term, doc)] = (
                 [(q["begin"], q["end"], q["pos"]) for q in pl],
                 tf,
             )
     return got
+
+
+def test_stat_rows_carry_byte_lengths():
+    texts = ["hello world", "嗨 您好", ""]
+    batch = pa.RecordBatch.from_pydict(
+        {"doc_id": np.arange(3, dtype=np.int64), "text": texts}
+    )
+    stats = {}
+    for out in assemble_postings_arrow(iter([batch])):
+        d = out.to_pydict()
+        for term, doc, pl, tf in zip(
+            d["term"], d["doc_id"], d["positions"], d["tf"]
+        ):
+            if term == "":
+                stats[doc] = (tf, pl)
+    assert stats[0] == (11, [])
+    assert stats[1] == (len("嗨 您好".encode()), [])
+    assert stats[2] == (0, [])
 
 
 def test_arrow_assembly_matches_python():

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the optimizations the engine relies on at
+scale must actually appear in the plan (SURVEY §4), or a refactor could
+silently regress them.
+
+* term predicates reach the parquet scan (row-group pruning over the
+  term-sorted postings files);
+* the per-query-term df table and doc membership joins broadcast (never
+  a sort-merge shuffle of the big postings side against a 3-row dict);
+* column pruning: the BM25 path never reads the positions column.
+"""
+
+import pytest
+
+from inverted_index_spark.build import build_and_save
+from inverted_index_spark.qast import Match, Prefix
+from inverted_index_spark.query import FtsEngine
+
+
+def _formatted(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("planidx"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return FtsEngine(build_and_save(spark, docs, path, ngrams=False))
+
+
+def test_bm25_pushes_term_filter_and_broadcasts(engine):
+    plan = _formatted(engine.bm25("scan merge join", k=10))
+    assert "In(term, [join,merge,scan])" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_prunes_positions_column(engine):
+    plan = _formatted(engine.bm25("scan merge join", k=10))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    postings_scans = [l for l in scan_lines if "tf" in l]
+    assert postings_scans, "no postings scan found"
+    assert all("positions" not in l for l in postings_scans)
+
+
+def test_prefix_range_scan_is_pushed(engine):
+    plan = _formatted(
+        engine.results(Prefix("mer"), k=10, with_positions=False)
+    )
+    assert "GreaterThanOrEqual(term,mer)" in plan
+    assert "LessThan(term,mes)" in plan
+
+
+def test_match_production_mode_pushes_range(engine):
+    plan = _formatted(
+        engine.results(Match("merge"), k=10, with_positions=False)
+    )
+    # full-token index: Match compiles to prefix-expansion range scan
+    assert "GreaterThanOrEqual(term,merge)" in plan
+
+
+def test_bm25_topk_is_take_ordered(engine):
+    plan = _formatted(engine.bm25("scan", k=10))
+    assert "TakeOrderedAndProject" in plan

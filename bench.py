@@ -75,6 +75,7 @@ def main() -> None:
 
     warm_python_workers(spark)
 
+    t_wall0 = time.time()
     t0 = time.perf_counter()
     # store_docs=False: at the design scale the corpus IS the lakehouse
     # table — the index references it rather than duplicating it
@@ -91,6 +92,32 @@ def main() -> None:
         idx.docstats.agg(F.sum("doclen_tokens").alias("s")).collect()[0]["s"]
     )
     eng = FtsEngine(idx)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY_BUILD"):
+        # scaling-bench mode: the metric is build throughput; skip the
+        # query/segment timing so each sample is short and comparable
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_sec",
+                    "value": round(build_sec, 3),
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": sf,
+                    "cores": cores,
+                    "amplification": mult,
+                    "n_docs": n_docs,
+                    "n_tokens": n_tokens,
+                    "n_postings": n_postings,
+                    "build_sec": round(build_sec, 3),
+                    "postings_built_per_sec": round(n_postings / build_sec, 1),
+                    "tokens_indexed_per_sec": round(n_tokens / build_sec, 1),
+                    "build_started_epoch_ms": int(t_wall0 * 1000),
+                }
+            )
+        )
+        shutil.rmtree(idx_path, ignore_errors=True)
+        return
 
     t0 = time.perf_counter()
     manifest = build_segments(

@@ -146,6 +146,7 @@ def build_and_save(
     term_buckets: Optional[int] = None,
     salt: int = 8,
     store_docs: bool = True,
+    layout: str = "doc",
 ) -> FtsIndex:
     """Build and persist the index with a SINGLE tokenize pass.
 
@@ -168,14 +169,24 @@ def build_and_save(
     should reference, not duplicate it); the returned handle keeps the
     caller's ``docs`` DataFrame for highlight/doc-store lookups.
 
-    Skew (explicit, per the design-scale requirement): the physical
-    partitioning of the postings files is ``(term, salt)`` with
-    ``salt = hash(doc_id) % salt`` — partitioning on ``term`` alone
-    would put a Zipf-hot term's entire posting list in one partition
-    (one straggler task + one giant file at 10^12 turns). Salting caps
-    any term's share of a partition at ~1/salt while keeping files
-    term-sorted, so parquet row-group min/max pruning on term predicates
-    is unaffected (term ranges overlap *across* files, not within).
+    Physical layout (``layout=``):
+
+    * ``"doc"`` (default) — postings stay in their map task's doc slice
+      and are only SORTED by (term, doc_id) within each file: **zero
+      postings shuffle**. A query term touches every file but prunes to
+      1-2 row groups per file via parquet min/max stats on the sorted
+      term column. This matches the doc-range segment philosophy
+      (uniform partitions regardless of term skew — a Zipf-hot term
+      spreads over all files by construction) and removes the build's
+      largest exchange (the assembled postings are ~4-5x the byte
+      volume of the raw text).
+    * ``"term"`` — an explicit ``(term, salt(doc_id))`` repartition
+      co-locates each term's postings in one bucket (tighter pruning:
+      a term touches 1-2 files). The salt caps a hot term's share of
+      any partition at ~1/salt, so the Zipf head cannot create a
+      straggler task or a giant file. Worth the shuffle when the
+      postings table itself (not the compressed segments) serves
+      latency-critical queries.
     """
     if term_buckets is None:
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -205,7 +216,7 @@ def build_and_save(
     # table must not serialize it).
     from .udfs import POSTINGS_ROW_SCHEMA, assemble_postings_batches
 
-    src = docs.select("doc_id", "text").repartition(term_buckets)
+    src = docs.select("doc_id", "text").repartition(term_buckets, F.col("doc_id"))
     if ngrams:
         assembled = src.mapInPandas(
             assemble_postings_batches(True), schema=POSTINGS_ROW_SCHEMA
@@ -216,14 +227,14 @@ def build_and_save(
         assembled = src.mapInArrow(
             assemble_postings_arrow, schema=POSTINGS_ROW_SCHEMA
         )
-    (
-        assembled
-        .repartition(
+    if layout == "term":
+        assembled = assembled.repartition(
             term_buckets,
             F.col("term"),
             F.pmod(F.xxhash64("doc_id"), F.lit(max(salt, 1))),
         )
-        .sortWithinPartitions("term", "doc_id")
+    (
+        assembled.sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(path, "postings"))
     )

@@ -344,6 +344,12 @@ class FtsEngine:
         self, results: DataFrame, before: str, after: str
     ) -> DataFrame:
         """Attach highlighted content (search_result.rs:54-66)."""
+        if self.index.docs is None:
+            raise ValueError(
+                "index has no document table (built with store_docs=False "
+                "and loaded without docs=...); pass the corpus DataFrame "
+                "to load_index to enable highlighting"
+            )
         return (
             results.join(self.index.docs.select("doc_id", "text"), "doc_id")
             .withColumn(

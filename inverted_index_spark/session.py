@@ -49,11 +49,22 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
+    # glibc malloc spawns up to 8 arenas/core; with one python worker
+    # per task slot the mmap churn showed up as 50%+ kernel time at
+    # 32-wide. Cap arenas before the JVM (and thus the forked python
+    # worker daemon) starts. Harmless elsewhere.
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE helps ad-hoc query plans but adds per-stage re-planning
+        # latency; the build pipeline sets every partitioning explicitly,
+        # so jobs dominated by fixed stage count can turn it off
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # default 64m advisory coalesces a CPU-bound pandas-UDF stage
         # over a few-hundred-MB shuffle down to a handful of tasks —
@@ -71,6 +82,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    evt_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evt_dir:
+        # scaling_bench parses these logs for aggregate task time (the
+        # work-conserving scaling metric on a clock-throttled VM)
+        os.makedirs(evt_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evt_dir)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)

@@ -39,6 +39,23 @@ def _engine(spark: SparkSession, sf_dir: str):
     return _ENGINES[key]
 
 
+def _engine_fulltoken(spark: SparkSession, sf_dir: str):
+    """Production-mode engine (full-token index, no materialized ngrams)."""
+    from inverted_index_spark.build import build_index
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.session import ship_package
+
+    key = (id(spark), sf_dir, "full")
+    if key not in _ENGINES:
+        ship_package(spark)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index(spark, docs, ngrams=False)
+        idx.postings = idx.postings.cache()
+        idx.docstats = idx.docstats.cache()
+        _ENGINES[key] = FtsEngine(idx)
+    return _ENGINES[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'scan merge join' over sf0.001 docs."""
     eng = _engine(spark, "/root/testdata/sf0.001")
@@ -126,6 +143,17 @@ def _q_bm25_topk(spark, sf):
     return eng.bm25("scan merge join", k=10).select(
         "doc_id", F.round(F.col("score"), 4).alias("score_r4")
     )
+
+
+def _q_bm25_batch(spark, sf):
+    eng = _engine_fulltoken(spark, sf)
+    return eng.bm25_batch(["scan merge join", "window stream", "group value"], k=5) \
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score"), 4).alias("score_r4"),
+            "rank",
+        )
 
 
 def _q_exact_dups(spark, sf):
@@ -247,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_docs": _q_prefix_docs,
         "phrase_match": _q_phrase_match,
         "bm25_topk": _q_bm25_topk,
+        "bm25_batch": _q_bm25_batch,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -381,6 +410,38 @@ def oracle_sql() -> dict[str, str]:
               cross join stats
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
+        """,
+        "bm25_batch": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            q as (select * from (values (0,'scan'),(0,'merge'),(0,'join'),
+                                        (1,'window'),(1,'stream'),
+                                        (2,'group'),(2,'value'))
+                  as t(query_id, term)),
+            df as (select term, count(*)::double as df
+                   from tf where term in (select term from q) group by term),
+            scored as (
+              select q.query_id, tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join q on q.term = tf.term
+              join df on df.term = tf.term
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by q.query_id, tf.doc_id
+            )
+            select query_id, doc_id, round(score, 4) as score_r4, rank
+            from (select *, row_number() over
+                    (partition by query_id
+                     order by score desc, doc_id asc)::int as rank
+                  from scored)
+            where rank <= 5
         """,
         "exact_dups": """
             select doc_id, md5(text) as text_hash,

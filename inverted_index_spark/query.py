@@ -367,6 +367,65 @@ class FtsEngine:
     # ------------------------------------------------------------------
     # production scorer: BM25 over full tokens
 
+    def bm25_batch(self, texts: List[str], k: int = 10) -> DataFrame:
+        """Top-k BM25 for MANY queries in one job.
+
+        Returns (query_id, doc_id, score, rank) with rank 1..k per
+        query (score desc, doc_id asc). One postings scan covers the
+        union of all query terms; per-query top-k is a window
+        ``row_number() <= k`` partitioned by query_id (SURVEY §2.4
+        window-functions row). At 10^5 queries/batch this amortizes the
+        scan and shuffles once — the shape for offline relevance jobs.
+        """
+        q_terms: List[tuple] = []  # (query_id, term)
+        for qid, text in enumerate(texts):
+            seen: List[str] = []
+            for tok in analyze_query(text):
+                if tok.term not in seen:
+                    seen.append(tok.term)
+            q_terms.extend((qid, t) for t in seen)
+        if not q_terms:
+            return self.index.docstats.sparkSession.createDataFrame(
+                [], "query_id int, doc_id long, score double, rank int"
+            )
+        spark = self.index.postings.sparkSession
+        qdf = spark.createDataFrame(q_terms, "query_id int, term string")
+        all_terms = list({t for _, t in q_terms})
+        n, avgdl = float(self.index.n_docs), float(self.index.avgdl)
+        matched = self.index.postings.filter(
+            F.col("term").isin(all_terms) & (F.col("tf") > 0)
+        ).select("term", "doc_id", "tf")
+        df_tbl = self.index.termdict.filter(
+            F.col("term").isin(all_terms)
+        ).select("term", F.col("df_full").alias("df"))
+        idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        per_term = (
+            matched.join(F.broadcast(qdf), "term")  # fan out to queries
+            .join(F.broadcast(df_tbl), "term")
+            .join(self.index.docstats.select("doc_id", "doclen_tokens"), "doc_id")
+            .withColumn(
+                "s",
+                idf
+                * F.col("tf")
+                * (K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + K1
+                    * (1.0 - B + B * F.col("doclen_tokens") / F.lit(avgdl))
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            per_term.groupBy("query_id", "doc_id")
+            .agg(F.sum("s").alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+
     def bm25(self, text: str, k: int = 10) -> DataFrame:
         """BM25 top-k (k1=1.2, b=0.75) over full-token postings.
 

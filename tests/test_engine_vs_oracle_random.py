@@ -1,0 +1,73 @@
+"""Randomized cross-check: the Spark engine vs the pure-Python oracle
+(SURVEY §5.2) on seeded random corpora — doc sets, byte-offset
+positions, parity scores, and rank order must all agree for every query
+shape (Match / And / Or / Phrase / Prefix)."""
+
+import random
+
+import pytest
+
+from inverted_index_spark.oracle import OracleIndex
+from inverted_index_spark.qast import And, Match, Or, Phrase, Prefix
+from tests.conftest import build_engine
+
+WORDS = [
+    "scan", "merge", "join", "Won't", "İstanbul", "a", "bb", "ccc",
+    "data2", "x9", "嗨", "您好", "mixé", "UPPER", "lower", "scan",
+]
+PUNCT = ["", ",", "!", "...", "?"]
+
+
+def _corpus(seed: int, n_docs: int = 18):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        words = [
+            rng.choice(WORDS) + rng.choice(PUNCT)
+            for _ in range(rng.randint(0, 10))
+        ]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+def _queries(seed: int):
+    rng = random.Random(seed + 1000)
+    qs = []
+    for _ in range(4):
+        t1, t2 = rng.choice(WORDS).lower(), rng.choice(WORDS).lower()
+        qs.extend(
+            [
+                Match(t1),
+                Match(f"{t1} {t2}"),
+                And(Match(t1), Match(t2)),
+                Or(Match(t1), Match(t2)),
+                Phrase(f"{t1} {t2}"),
+                Prefix(t1[: max(1, len(t1) - 1)]),
+                And(Or(Match(t1), Phrase(f"{t2} {t1}")), Match(t2)),
+            ]
+        )
+    return qs
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_random_corpus_parity(spark, seed):
+    docs = _corpus(seed)
+    eng = build_engine(spark, docs, ngrams=True)
+    oracle = OracleIndex()
+    for doc_id, text in docs:
+        oracle.add(doc_id, text)
+
+    for q in _queries(seed):
+        expect = [
+            (r.doc_id, [tuple(p) for p in r.positions], round(r.score, 5))
+            for r in oracle.query(q)
+        ]
+        got = [
+            (
+                r["doc_id"],
+                [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+                round(r["score"], 5),
+            )
+            for r in eng.results(q).collect()
+        ]
+        assert got == expect, f"query {q} diverged on seed {seed}"

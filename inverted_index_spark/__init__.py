@@ -37,6 +37,11 @@ from .transcripts import (  # noqa: F401
     synthetic_transcripts,
     transcript_docs,
 )
+from .upsert import (  # noqa: F401
+    compact_index,
+    load_index_merged,
+    upsert_saved,
+)
 from .wand import wand_topk  # noqa: F401
 
 __all__ = [
@@ -53,6 +58,9 @@ __all__ = [
     "save_index",
     "load_index",
     "upsert_docs",
+    "upsert_saved",
+    "compact_index",
+    "load_index_merged",
     "build_segments",
     "load_manifest",
     "wand_topk",

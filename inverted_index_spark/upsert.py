@@ -1,0 +1,199 @@
+"""Incremental upsert for saved indexes: MERGE semantics, no base rewrite.
+
+The reference upserts one document at a time by deleting its old
+postings in place (/root/reference/src/index.rs:36-51). In-place surgery
+on immutable parquet is a rewrite of every touched file, so at scale the
+engine uses the lakehouse pattern instead (Iceberg MERGE INTO /
+delete-files semantics, hand-rolled over plain parquet):
+
+  * each upsert batch is a **generation** g (monotone, in meta.json);
+  * the batch's postings (same assembly kernels as the batch build,
+    including the term='' per-doc stat rows) land as NEW files under
+    ``postings_delta/gen=g/`` — the base is never touched;
+  * the batch's doc ids land in ``tombstones/gen=g/``;
+  * the read view keeps a posting row of generation r iff
+    ``r >= max tombstone generation for its doc`` — so a re-indexed
+    doc's old rows (r < g) vanish and its new rows (r = g) survive,
+    across any number of generations;
+  * termdict and docstats are re-derived from the merged view per batch
+    (small columnar aggregates); ``compact_index`` folds everything
+    back into a fresh generation-0 base.
+
+Correctness matches the reference's observable semantics: stale
+postings gone, stale terms disappear from the term dictionary (their
+df drops to 0 and the aggregate drops the row), doc stats updated
+(test_upsert_incremental.py mirrors reference test update_doc).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import FtsIndex, load_index
+from .udfs import POSTINGS_ROW_SCHEMA, assemble_postings_batches
+
+DELTA_DIR = "postings_delta"
+TOMB_DIR = "tombstones"
+
+
+def _meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def merged_postings(spark: SparkSession, path: str) -> DataFrame:
+    """Generation-filtered postings view (stat rows included).
+
+    Base rows are generation 0; delta rows carry their directory's
+    ``gen``. A per-doc max-tombstone-generation table (one small agg)
+    joins against every row: keep iff ``row.gen >= max_tomb_gen(doc)``.
+    """
+    base = spark.read.parquet(os.path.join(path, "postings")).withColumn(
+        "gen", F.lit(0)
+    )
+    delta_path = os.path.join(path, DELTA_DIR)
+    if os.path.isdir(delta_path) and os.listdir(delta_path):
+        delta = spark.read.parquet(delta_path).select(*base.columns)
+        allp = base.unionByName(delta)
+    else:
+        return base.drop("gen")
+    tombs = (
+        spark.read.parquet(os.path.join(path, TOMB_DIR))
+        .groupBy("doc_id")
+        .agg(F.max("gen").alias("tomb_gen"))
+    )
+    return (
+        allp.join(F.broadcast(tombs), "doc_id", "left")
+        .filter(F.col("tomb_gen").isNull() | (F.col("gen") >= F.col("tomb_gen")))
+        .drop("gen", "tomb_gen")
+    )
+
+
+def _assemble(docs: DataFrame, ngrams: bool) -> DataFrame:
+    if ngrams:
+        return docs.select("doc_id", "text").mapInPandas(
+            assemble_postings_batches(True), schema=POSTINGS_ROW_SCHEMA
+        )
+    from .arrow_build import assemble_postings_arrow
+
+    return docs.select("doc_id", "text").mapInArrow(
+        assemble_postings_arrow, schema=POSTINGS_ROW_SCHEMA
+    )
+
+
+def upsert_saved(
+    spark: SparkSession,
+    path: str,
+    changed_docs: DataFrame,
+    docs: Optional[DataFrame] = None,
+) -> FtsIndex:
+    """Apply one upsert batch (re-indexed or new docs) to a saved index.
+
+    ``changed_docs``: (doc_id, text) of every document whose content
+    changed or that is new; previous versions of exactly these doc ids
+    are superseded. Base postings files are not rewritten — the batch
+    appends one delta generation + tombstones and refreshes the small
+    derived tables (termdict, docstats, meta).
+    """
+    meta = _meta(path)
+    gen = int(meta.get("generation", 0)) + 1
+    ngrams = bool(meta.get("ngrams", False))
+
+    (
+        _assemble(changed_docs, ngrams)
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, DELTA_DIR, f"gen={gen}"))
+    )
+    (
+        changed_docs.select("doc_id")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, TOMB_DIR, f"gen={gen}"))
+    )
+
+    merged = merged_postings(spark, path)
+    postings = merged.filter(F.col("term") != "")
+    postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df_full"),
+        F.sum("tf").cast("long").alias("cf"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "termdict.new"))
+    (
+        merged.filter(F.col("term") == "")
+        .select("doc_id", F.col("tf").cast("int").alias("doclen_bytes"))
+        .join(
+            postings.groupBy("doc_id").agg(
+                F.sum("tf").cast("int").alias("doclen_tokens")
+            ),
+            "doc_id",
+            "left",
+        )
+        .fillna({"doclen_tokens": 0})
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "docstats.new"))
+    )
+    for name in ("termdict", "docstats"):
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        os.replace(os.path.join(path, f"{name}.new"), os.path.join(path, name))
+
+    docstats = spark.read.parquet(os.path.join(path, "docstats"))
+    stats = docstats.agg(
+        F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")
+    ).collect()[0]
+    meta.update(
+        generation=gen,
+        n_docs=int(stats["n"]),
+        avgdl=float(stats["avgdl"] or 0.0),
+    )
+    _write_meta(path, meta)
+
+    return FtsIndex(
+        postings=postings,
+        docstats=docstats,
+        termdict=spark.read.parquet(os.path.join(path, "termdict")),
+        docs=docs,
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        ngrams=ngrams,
+    )
+
+
+def compact_index(spark: SparkSession, path: str) -> None:
+    """Fold delta generations back into a generation-0 base (the
+    maintenance job a real deployment schedules off-peak)."""
+    meta = _meta(path)
+    if int(meta.get("generation", 0)) == 0:
+        return
+    merged_postings(spark, path).sortWithinPartitions(
+        "term", "doc_id"
+    ).write.mode("overwrite").parquet(os.path.join(path, "postings.new"))
+    shutil.rmtree(os.path.join(path, "postings"))
+    os.replace(os.path.join(path, "postings.new"), os.path.join(path, "postings"))
+    shutil.rmtree(os.path.join(path, DELTA_DIR), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, TOMB_DIR), ignore_errors=True)
+    meta["generation"] = 0
+    _write_meta(path, meta)
+
+
+def load_index_merged(
+    spark: SparkSession, path: str, docs: Optional[DataFrame] = None
+) -> FtsIndex:
+    """load_index that respects delta generations (use after upserts)."""
+    idx = load_index(spark, path, docs=docs)
+    if int(_meta(path).get("generation", 0)) > 0:
+        idx.postings = merged_postings(spark, path).filter(F.col("term") != "")
+    return idx

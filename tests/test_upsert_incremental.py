@@ -1,0 +1,99 @@
+"""Incremental (delta + tombstone) upsert on a saved index: reference
+update_doc semantics (index.rs:221-230) without rewriting base files."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_spark.build import build_and_save
+from inverted_index_spark.query import FtsEngine
+from inverted_index_spark.upsert import (
+    compact_index,
+    load_index_merged,
+    upsert_saved,
+)
+
+
+@pytest.fixture()
+def saved(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (0, "learn to program in rust today"),
+            (1, "what sorcery is this"),
+            (2, "rust belt cities"),
+        ],
+        ["doc_id", "text"],
+    )
+    build_and_save(spark, docs, path, ngrams=False)
+    return path
+
+
+def _docs_of(spark, path, term):
+    eng = FtsEngine(load_index_merged(spark, path))
+    return sorted(
+        r["doc_id"] for r in eng.bm25(term, k=100).collect()
+    )
+
+
+def test_upsert_replaces_and_removes_stale(spark, saved):
+    base_files = set(os.listdir(os.path.join(saved, "postings")))
+    changed = spark.createDataFrame(
+        [(0, "learn to code in python today")], ["doc_id", "text"]
+    )
+    idx = upsert_saved(spark, saved, changed)
+    # stale term: 'rust' no longer in doc 0; still in doc 2
+    assert _docs_of(spark, saved, "rust") == [2]
+    assert _docs_of(spark, saved, "python") == [0]
+    # 'program' disappears entirely -> gone from the term dictionary
+    assert idx.termdict.filter(F.col("term") == "program").count() == 0
+    # doc stats follow the new content
+    row = idx.docstats.filter(F.col("doc_id") == 0).first()
+    assert row["doclen_tokens"] == 6
+    assert row["doclen_bytes"] == len("learn to code in python today")
+    # base postings files untouched
+    assert set(os.listdir(os.path.join(saved, "postings"))) == base_files
+
+
+def test_multi_generation_latest_wins(spark, saved):
+    upsert_saved(
+        spark,
+        saved,
+        spark.createDataFrame([(1, "first rewrite spark")], ["doc_id", "text"]),
+    )
+    idx = upsert_saved(
+        spark,
+        saved,
+        spark.createDataFrame([(1, "second rewrite flink")], ["doc_id", "text"]),
+    )
+    assert _docs_of(spark, saved, "flink") == [1]
+    assert _docs_of(spark, saved, "spark") == []
+    assert _docs_of(spark, saved, "sorcery") == []
+    assert idx.n_docs == 3
+
+
+def test_new_doc_via_upsert(spark, saved):
+    idx = upsert_saved(
+        spark,
+        saved,
+        spark.createDataFrame([(9, "brand new document")], ["doc_id", "text"]),
+    )
+    assert idx.n_docs == 4
+    assert _docs_of(spark, saved, "brand") == [9]
+
+
+def test_compact_preserves_results(spark, saved):
+    upsert_saved(
+        spark,
+        saved,
+        spark.createDataFrame([(0, "compacted content here")], ["doc_id", "text"]),
+    )
+    before = _docs_of(spark, saved, "compacted")
+    compact_index(spark, saved)
+    assert _docs_of(spark, saved, "compacted") == before == [0]
+    assert _docs_of(spark, saved, "learn") == []
+    assert not os.path.isdir(os.path.join(saved, "postings_delta"))
+    import json
+
+    assert json.load(open(os.path.join(saved, "meta.json")))["generation"] == 0

@@ -71,10 +71,16 @@ class PlanResult:
           includes docs with zero adjacency positions (postings.rs:101-112
           keeps every doc in the pair doc-id intersection).
     rows: matched positions, one row per (doc_id, begin, end, pos).
+    complete: True when ``docs`` provably equals the distinct doc ids of
+          ``rows`` (scans/unions/intersections of such) — scoring can
+          then skip the membership join and its duplicated subtree.
+          Phrase breaks it: a doc with both terms but no adjacency is a
+          member with zero rows.
     """
 
     docs: DataFrame
     rows: DataFrame
+    complete: bool = False
 
 
 class FtsEngine:
@@ -92,7 +98,7 @@ class FtsEngine:
             .select("doc_id", F.explode("positions").alias("p"))
             .select("doc_id", "p.begin", "p.end", "p.pos")
         )
-        return PlanResult(docs=rows.select("doc_id"), rows=rows)
+        return PlanResult(docs=rows.select("doc_id"), rows=rows, complete=True)
 
     def _scan(self, predicate) -> PlanResult:
         rows = (
@@ -100,7 +106,9 @@ class FtsEngine:
             .select("doc_id", F.explode("positions").alias("p"))
             .select("doc_id", "p.begin", "p.end", "p.pos")
         )
-        return PlanResult(docs=rows.select("doc_id").distinct(), rows=rows)
+        return PlanResult(
+            docs=rows.select("doc_id").distinct(), rows=rows, complete=True
+        )
 
     def _term_pred(self, term: str):
         """Predicate selecting postings of one query term.
@@ -154,7 +162,11 @@ class FtsEngine:
         for c in children[1:]:
             docs = docs.unionByName(c.docs)
             rows = rows.unionByName(c.rows)
-        return PlanResult(docs=docs.distinct(), rows=rows)
+        return PlanResult(
+            docs=docs.distinct(),
+            rows=rows,
+            complete=all(c.complete for c in children),
+        )
 
     def _intersect(self, children: List[PlanResult]) -> PlanResult:
         """Docs in every child; positions union of child rows over them.
@@ -181,7 +193,10 @@ class FtsEngine:
         for c in children:
             rows = c.rows if rows is None else rows.unionByName(c.rows)
         rows = rows.join(F.broadcast(docs), "doc_id", "left_semi")
-        return PlanResult(docs=docs, rows=rows)
+        # every surviving doc has rows from each (complete) branch
+        return PlanResult(
+            docs=docs, rows=rows, complete=all(c.complete for c in children)
+        )
 
     def _phrase(self, text: str) -> PlanResult:
         terms = [t.term for t in analyze_query(text)]
@@ -294,13 +309,28 @@ class FtsEngine:
         """
         plan = self.compile(query)
         coalesced = self.coalesce_rows(plan.rows)
-        widths = coalesced.groupBy("doc_id").agg(
-            F.sum(F.col("end") - F.col("begin")).alias("width")
-        )
+        # ONE aggregation produces width AND (optionally) the position
+        # array — and it reuses the coalesce windows' hash partitioning
+        # on doc_id, so the whole post-scan pipeline is a single
+        # exchange. The membership join (with its duplicated subtree)
+        # only exists for plans where a doc can match with zero rows
+        # (Phrase, see PlanResult.complete).
+        aggs = [F.sum(F.col("end") - F.col("begin")).alias("width")]
+        if with_positions:
+            aggs.append(
+                F.sort_array(
+                    F.collect_list(F.struct("begin", "end", "pos"))
+                ).alias("positions")
+            )
+        per_doc = coalesced.groupBy("doc_id").agg(*aggs)
+        if not plan.complete:
+            per_doc = plan.docs.join(per_doc, "doc_id", "left").fillna(
+                {"width": 0}
+            )
         scored = (
-            plan.docs.join(widths, "doc_id", "left")
-            .fillna({"width": 0})
-            .join(self.index.docstats.select("doc_id", "doclen_bytes"), "doc_id")
+            per_doc.join(
+                self.index.docstats.select("doc_id", "doclen_bytes"), "doc_id"
+            )
             .withColumn(
                 "score",
                 (
@@ -308,32 +338,19 @@ class FtsEngine:
                     / F.sqrt(F.col("doclen_bytes").cast("double")).cast("float")
                 ).cast("float"),
             )
-            .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
         if k is not None:
             scored = scored.limit(k)
         if not with_positions:
-            return scored
-        arrays = (
-            coalesced.join(F.broadcast(scored.select("doc_id")), "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("begin", "end", "pos"))
-                ).alias("positions")
-            )
-        )
-        return (
-            scored.join(arrays, "doc_id", "left")
-            .withColumn(
-                "positions",
-                F.coalesce(
-                    F.col("positions"),
-                    F.array().cast("array<struct<begin:int,end:int,pos:int>>"),
-                ),
-            )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            return scored.select("doc_id", "score")
+        return scored.select(
+            "doc_id",
+            "score",
+            F.coalesce(
+                F.col("positions"),
+                F.array().cast("array<struct<begin:int,end:int,pos:int>>"),
+            ).alias("positions"),
         )
 
     def search(self, text: str, k: Optional[int] = None) -> DataFrame:

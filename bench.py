@@ -154,6 +154,11 @@ def main() -> None:
         "wand_bm25": lambda: wand_topk(
             spark, idx_path, "scan merge join", k=10
         ).collect(),
+        # amortized many-query path: 64 queries, one job
+        "bm25_batch64": lambda: eng.bm25_batch(
+            ["scan merge", "window stream", "group value", "join filter"] * 16,
+            k=10,
+        ).collect(),
     }
     qtimes = {name: timed(fn) for name, fn in queries.items()}
 

@@ -170,3 +170,41 @@ def assign_doc_ids(
 def transcript_docs(transcripts: DataFrame) -> DataFrame:
     """Transcript table -> document table (doc_id, text, + metadata)."""
     return assign_doc_ids(transcripts).select("doc_id", *TRANSCRIPT_COLS)
+
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcripts(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> DataFrame:
+    """Read a transcript table from any supported source format.
+
+    parquet/iceberg-dir reads rely on the embedded schema; csv/json get
+    the input_hint schema applied explicitly (csv additionally parses
+    the header and timestamps). Column order/extra columns are
+    normalized to TRANSCRIPT_COLS.
+    """
+    if format == "parquet":
+        df = spark.read.parquet(path)
+    elif format == "json":
+        df = spark.read.schema(TRANSCRIPT_DDL).json(path)
+    elif format == "csv":
+        # CSV cannot distinguish empty string from null; normalize the
+        # optional string columns back to '' (the transcript convention)
+        df = (
+            spark.read.schema(TRANSCRIPT_DDL)
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .csv(path)
+            .fillna({"role": "", "text": "", "tool": ""})
+        )
+    else:
+        df = spark.read.format(format).load(path)
+    missing = [c for c in TRANSCRIPT_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(f"transcript source missing columns: {missing}")
+    return df.select(*TRANSCRIPT_COLS)

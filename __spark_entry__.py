@@ -251,6 +251,23 @@ def _q_cosine_topk(spark, sf):
     return cosine_topk(embs, qvec, k=10)
 
 
+def _q_ivf_topk(spark, sf):
+    from inverted_index_spark.pipelines.similarity import ivf_topk
+
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    # n_probe == n_centroids probes every cell -> exact: shares the
+    # brute-force oracle; the pruned-probe recall path is tested in
+    # tests/test_pipelines.py
+    return ivf_topk(embs, qvec, k=10, n_centroids=8, n_probe=8)
+
+
+def _q_highlight(spark, sf):
+    eng = _engine(spark, sf)
+    res = eng.search("merge", k=5)
+    return eng.highlight(res, "<b>", "</b>").select("doc_id", "highlighted")
+
+
 def _q_sessions(spark, sf):
     from inverted_index_spark.pipelines.events import sessionize
 
@@ -293,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # can't reproduce cheaply; exactness is covered in tests/ against
         # brute-force or pure-Python baselines instead
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "highlight": _q_highlight,
         "neardup_cosine": _q_neardup_cosine,
         "minhash_neardup": _q_minhash_neardup,
         "image_features": _q_image_features,
@@ -535,6 +554,23 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "cosine_topk": """
+            with q as (select embedding as qe from embeddings where vec_id = 0),
+            terms as (
+              select e.vec_id,
+                     unnest(e.embedding)::double as x,
+                     unnest(q.qe)::double as y
+              from embeddings e cross join q
+            ),
+            sums as (
+              select vec_id, sum(x*y) as d, sum(x*x) as nx, sum(y*y) as ny
+              from terms group by vec_id
+            )
+            select vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) as cos
+            from sums
+            order by d / (sqrt(nx) * sqrt(ny)) desc, vec_id asc
+            limit 10
+        """,
+        "ivf_topk": """
             with q as (select embedding as qe from embeddings where vec_id = 0),
             terms as (
               select e.vec_id,

@@ -49,6 +49,44 @@ def test_lsh_topk_recall_on_planted_neighbors(spark, embeddings):
     assert len(approx & set(exact)) >= 5  # >= 4/5 planted neighbors found
 
 
+def test_ivf_topk_recall_on_planted_neighbors(spark, embeddings):
+    from inverted_index_spark.pipelines.similarity import ivf_topk
+
+    qvec = list(
+        embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    planted = [
+        (20000 + i, [x + (0.001 * ((i + j) % 3 - 1)) for j, x in enumerate(qvec)])
+        for i in range(5)
+    ]
+    embs = embeddings.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    exact = {r["vec_id"] for r in cosine_topk(embs, qvec, k=6).collect()}
+    assert exact == {0, 20000, 20001, 20002, 20003, 20004}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(embs, qvec, k=6, n_centroids=8, n_probe=2).collect()
+    }
+    # near-identical vectors share the query's cell: all found
+    assert approx == exact
+
+
+def test_ivf_deterministic(spark, embeddings):
+    from inverted_index_spark.pipelines.similarity import ivf_topk
+
+    qvec = list(
+        embeddings.filter(F.col("vec_id") == 3).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    a = [r["vec_id"] for r in ivf_topk(embeddings, qvec, k=5).collect()]
+    b = [r["vec_id"] for r in ivf_topk(embeddings, qvec, k=5).collect()]
+    assert a == b and a[0] == 3
+
+
 def test_neardup_cosine_finds_planted_dup(spark, embeddings):
     # plant an exact duplicate of vec 0 with a new id
     v0 = embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[

@@ -206,7 +206,9 @@ def build_segments(
                 done[row["shard_id"]] = row
 
     src = (
-        index.postings.filter(F.col("tf") > 0)
+        # term='' guards against a caller passing the raw postings files
+        # (build_and_save's per-doc stat rows carry tf=doclen_bytes)
+        index.postings.filter((F.col("tf") > 0) & (F.col("term") != ""))
         .select("term", "doc_id", "tf")
         .join(
             index.docstats.select("doc_id", F.col("doclen_tokens").alias("dl")),

@@ -150,6 +150,24 @@ def upsert_saved(
         shutil.rmtree(os.path.join(path, name), ignore_errors=True)
         os.replace(os.path.join(path, f"{name}.new"), os.path.join(path, name))
 
+    # keep the doc store (if this index carries one) in sync, or
+    # highlight/doc lookups would serve superseded text
+    docs_dir = os.path.join(path, "docs")
+    if os.path.isdir(docs_dir):
+        base_docs = spark.read.parquet(docs_dir)
+        (
+            base_docs.join(
+                changed_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            .unionByName(changed_docs, allowMissingColumns=True)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "docs.new"))
+        )
+        shutil.rmtree(docs_dir)
+        os.replace(os.path.join(path, "docs.new"), docs_dir)
+        if docs is None:
+            docs = spark.read.parquet(docs_dir)
+
     docstats = spark.read.parquet(os.path.join(path, "docstats"))
     stats = docstats.agg(
         F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")

@@ -83,6 +83,28 @@ def test_new_doc_via_upsert(spark, saved):
     assert _docs_of(spark, saved, "brand") == [9]
 
 
+def test_doc_store_follows_upsert(spark, tmp_path):
+    path = str(tmp_path / "idx2")
+    docs = spark.createDataFrame(
+        [(0, "original words"), (1, "other doc")], ["doc_id", "text"]
+    )
+    from inverted_index_spark.build import build_and_save
+
+    build_and_save(spark, docs, path, ngrams=True, store_docs=True)
+    upsert_saved(
+        spark,
+        path,
+        spark.createDataFrame([(0, "replaced words")], ["doc_id", "text"]),
+    )
+    idx = load_index_merged(spark, path)
+    eng = FtsEngine(idx)
+    res = eng.search("replaced", k=5)
+    hl = eng.highlight(res, "[", "]").collect()
+    assert len(hl) == 1 and hl[0]["highlighted"] == "[replaced] words"
+    texts = {r["doc_id"]: r["text"] for r in idx.docs.collect()}
+    assert texts == {0: "replaced words", 1: "other doc"}
+
+
 def test_compact_preserves_results(spark, saved):
     upsert_saved(
         spark,

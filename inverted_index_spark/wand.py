@@ -61,6 +61,19 @@ def _score_shard(
         columns=["term", "block_id", "n", "doc_ids", "tfs", "max_u"],
         filters=[("term", "in", terms + [DOCSTATS_TERM])],
     )
+    return _score_shard_table(table, weights, k, k1, b, avgdl)
+
+
+def _score_shard_table(
+    table,
+    weights: Dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Block-max scorer over an in-memory shard table (rows may cover a
+    superset of ``weights``'s terms — extra terms are ignored)."""
     if table.num_rows == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     tcol = table.column("term").to_pylist()
@@ -76,7 +89,7 @@ def _score_shard(
     for i, (t, blk) in enumerate(zip(tcol, bcol)):
         if t == DOCSTATS_TERM:
             dl_rows[int(blk)] = i
-        else:
+        elif t in weights:  # batch reads carry other queries' terms too
             blocks.setdefault(int(blk), []).append(i)
 
     heap: List[Tuple[float, int]] = []  # (score, -doc_id); heap[0] = worst
@@ -121,6 +134,98 @@ def _score_shard(
     )
 
 
+def _query_weights(
+    spark: SparkSession,
+    index_path: str,
+    texts: List[str],
+    manifest: dict,
+    termdict: Optional[DataFrame],
+) -> List[Dict[str, float]]:
+    """Per-query idf weights, one termdict lookup for the whole batch."""
+    n = float(manifest["n_docs"])
+    per_query_terms: List[List[str]] = []
+    for text in texts:
+        terms: List[str] = []
+        for tok in analyze_query(text):
+            if tok.term not in terms:
+                terms.append(tok.term)
+        per_query_terms.append(terms)
+    all_terms = sorted({t for ts in per_query_terms for t in ts})
+    if termdict is None:
+        termdict = spark.read.parquet(os.path.join(index_path, "termdict"))
+    dfs = {
+        r["term"]: r["df_full"]
+        for r in termdict.filter(F.col("term").isin(all_terms)).collect()
+    }
+    return [
+        {
+            t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            for t in terms
+            if dfs.get(t, 0) > 0
+        }
+        for terms in per_query_terms
+    ]
+
+
+def wand_topk_batch(
+    spark: SparkSession,
+    index_path: str,
+    texts: List[str],
+    k: int = 10,
+    termdict: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Block-max WAND for MANY queries in one pass over the segments.
+
+    Each shard task opens its file once with the union of every query's
+    terms (one parquet read + decode amortized across the batch), runs
+    the per-query block-max scorer, and emits k rows per (query, shard);
+    the driver merge is a per-query top-k window over
+    ``k * len(texts) * n_shards`` tiny rows. Returns
+    (query_id, doc_id, score, rank).
+    """
+    manifest = load_manifest(index_path)
+    seg_dir = os.path.join(index_path, "segments")
+    avgdl = float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    weights = _query_weights(spark, index_path, texts, manifest, termdict)
+    live = [(qid, w) for qid, w in enumerate(weights) if w]
+    out_schema = "query_id int, doc_id long, score double"
+    if not live:
+        return spark.createDataFrame([], out_schema + ", rank int")
+
+    files = [os.path.join(seg_dir, s["file"]) for s in manifest["shards"]]
+    shards_df = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        union_terms = sorted({t for _, w in live for t in w})
+        for pdf in batches:
+            for f in pdf["file"]:
+                table = pq.read_table(
+                    f,
+                    columns=["term", "block_id", "n", "doc_ids", "tfs", "max_u"],
+                    filters=[("term", "in", union_terms + [DOCSTATS_TERM])],
+                )
+                for qid, w in live:
+                    ids, scores = _score_shard_table(table, w, k, k1, b, avgdl)
+                    yield pd.DataFrame(
+                        {"query_id": qid, "doc_id": ids, "score": scores}
+                    )
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        shards_df.mapInPandas(run, schema=out_schema)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def wand_topk(
     spark: SparkSession,
     index_path: str,
@@ -133,24 +238,9 @@ def wand_topk(
     """
     manifest = load_manifest(index_path)
     seg_dir = os.path.join(index_path, "segments")
-    n, avgdl = float(manifest["n_docs"]), float(manifest["avgdl"])
+    avgdl = float(manifest["avgdl"])
     k1, b = float(manifest["k1"]), float(manifest["b"])
-
-    terms: List[str] = []
-    for tok in analyze_query(text):
-        if tok.term not in terms:
-            terms.append(tok.term)
-    if termdict is None:
-        termdict = spark.read.parquet(os.path.join(index_path, "termdict"))
-    dfs = {
-        r["term"]: r["df_full"]
-        for r in termdict.filter(F.col("term").isin(terms)).collect()
-    }
-    weights = {
-        t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
-        for t in terms
-        if t in dfs and dfs[t] > 0
-    }
+    weights = _query_weights(spark, index_path, [text], manifest, termdict)[0]
     if not weights:
         return spark.createDataFrame([], RESULT_SCHEMA)
 

@@ -43,6 +43,23 @@ def test_wand_matches_dataframe_bm25(spark, indexed, q):
         assert abs(a - b) <= 1e-9 * max(1.0, abs(b))
 
 
+def test_wand_batch_matches_single(spark, indexed):
+    from inverted_index_spark.wand import wand_topk_batch
+
+    path, idx, _ = indexed
+    texts = QUERIES[:4]
+    batch = wand_topk_batch(spark, path, texts, k=10).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, text in enumerate(texts):
+        single = wand_topk(spark, path, text, k=10).collect()
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single], text
+        for g, s in zip(got, single):
+            assert abs(g["score"] - s["score"]) < 1e-9
+
+
 def test_wand_empty_query(spark, indexed):
     path, _, _ = indexed
     assert wand_topk(spark, path, "zzzznotaterm", k=5).count() == 0

@@ -168,6 +168,8 @@ def upsert_saved(
         if docs is None:
             docs = spark.read.parquet(docs_dir)
 
+    _invalidate_segments(spark, path, changed_docs)
+
     docstats = spark.read.parquet(os.path.join(path, "docstats"))
     stats = docstats.agg(
         F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")
@@ -188,6 +190,49 @@ def upsert_saved(
         avgdl=meta["avgdl"],
         ngrams=ngrams,
     )
+
+
+def _invalidate_segments(
+    spark: SparkSession, path: str, changed_docs: DataFrame
+) -> None:
+    """Drop segment shards whose doc range intersects the upsert batch.
+
+    Compressed segments are snapshots of the postings; an upsert makes
+    the shards covering its doc ids stale. Removing exactly those
+    entries (and files) means the next ``build_segments(resume=True)``
+    rebuilds only the touched shards — without this, resume would see
+    matching fingerprints for the base build and happily serve
+    superseded postings to WAND.
+    """
+    from .segments import MANIFEST_NAME
+
+    manifest_path = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(manifest_path):
+        return
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    shard_docs = int(manifest["shard_docs"])
+    changed_shards = {
+        int(r["s"])
+        for r in changed_docs.select(
+            (F.col("doc_id") / shard_docs).cast("int").alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    kept = []
+    for s in manifest["shards"]:
+        if s["shard_id"] in changed_shards:
+            f = os.path.join(path, "segments", s["file"])
+            if os.path.exists(f):
+                os.remove(f)
+        else:
+            kept.append(s)
+    manifest["shards"] = kept
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, manifest_path)
 
 
 def compact_index(spark: SparkSession, path: str) -> None:

@@ -105,6 +105,46 @@ def test_doc_store_follows_upsert(spark, tmp_path):
     assert texts == {0: "replaced words", 1: "other doc"}
 
 
+def test_upsert_invalidates_stale_segments(spark, tmp_path):
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.segments import build_segments, load_manifest
+    from inverted_index_spark.wand import wand_topk
+
+    path = str(tmp_path / "segidx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(100)]
+        + [(100, "gamma delta target")],
+        ["doc_id", "text"],
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=32)
+    n_shards = len(load_manifest(path)["shards"])
+    assert [r["doc_id"] for r in wand_topk(spark, path, "gamma", k=5).collect()] == [
+        100
+    ]
+
+    upsert_saved(
+        spark,
+        path,
+        spark.createDataFrame([(100, "epsilon zeta replaced")], ["doc_id", "text"]),
+    )
+    # the shard covering doc 100 was dropped from the manifest
+    m = load_manifest(path)
+    assert len(m["shards"]) == n_shards - 1
+    assert all(s["shard_id"] != 100 // 32 for s in m["shards"])
+
+    # rebuilding with resume touches only the invalidated shard, and
+    # WAND now serves the new content
+    idx2 = load_index_merged(spark, path)
+    m2 = build_segments(spark, idx2, path, shard_docs=32)
+    assert m2["built_shards"] == 1
+    assert m2["resumed_shards"] == n_shards - 1
+    assert wand_topk(spark, path, "gamma", k=5).count() == 0
+    assert [
+        r["doc_id"] for r in wand_topk(spark, path, "epsilon", k=5).collect()
+    ] == [100]
+
+
 def test_compact_preserves_results(spark, saved):
     upsert_saved(
         spark,

@@ -68,3 +68,28 @@ def test_match_production_mode_pushes_range(engine):
 def test_bm25_topk_is_take_ordered(engine):
     plan = _formatted(engine.bm25("scan", k=10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_build_doc_layout_has_single_exchange(spark):
+    """The doc layout's whole build plan moves data once: the input
+    repartition before the assembly kernel. No exchange may follow
+    mapInArrow (the 30M-row postings shuffle this layout eliminates)."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.arrow_build import assemble_postings_arrow
+    from inverted_index_spark.udfs import POSTINGS_ROW_SCHEMA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assembled = (
+        docs.repartition(8, F.col("doc_id"))
+        .mapInArrow(assemble_postings_arrow, schema=POSTINGS_ROW_SCHEMA)
+        .sortWithinPartitions("term", "doc_id")
+    )
+    plan = _formatted(assembled)
+    # exactly one Exchange node => nothing after the kernel, and the
+    # sort is partition-local (formatted mode prints each node once in
+    # the tree and once in the detail section: ") Exchange")
+    assert plan.count(") Exchange") == 1
+    assert "MapInArrow" in plan

@@ -305,15 +305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": _q_hourly_events,
         "token_counts": _q_token_counts,
         "rolling_fp": _q_rolling_fp,
-        # rows-only contract entries (no SQL-expressible oracle): LSH /
-        # perceptual / minhash internals use md5-seeded numerics DuckDB
-        # can't reproduce cheaply; exactness is covered in tests/ against
-        # brute-force or pure-Python baselines instead
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "minhash_neardup": _q_minhash_neardup,
+        # rows-only contract entries (no SQL-expressible oracle):
+        # highlight is byte-slicing (tested against ported reference
+        # goldens); image_features decodes a synthetic binary format
         "highlight": _q_highlight,
         "neardup_cosine": _q_neardup_cosine,
-        "minhash_neardup": _q_minhash_neardup,
         "image_features": _q_image_features,
     }
 
@@ -491,6 +490,47 @@ def oracle_sql() -> dict[str, str]:
             join sz sa on sa.doc_id = doc_a
             join sz sb on sb.doc_id = doc_b
             where round(i / (sa.sz + sb.sz - i), 4) >= 0.05
+        """,
+        "minhash_neardup": f"""
+            with sh as ({shingle2}),
+            sig as (
+              select doc_id,
+                     min(md5('0|' || shingle)) as h0,
+                     min(md5('1|' || shingle)) as h1,
+                     min(md5('2|' || shingle)) as h2,
+                     min(md5('3|' || shingle)) as h3,
+                     min(md5('4|' || shingle)) as h4,
+                     min(md5('5|' || shingle)) as h5,
+                     min(md5('6|' || shingle)) as h6,
+                     min(md5('7|' || shingle)) as h7
+              from sh group by doc_id
+            ),
+            bands as (
+              select doc_id, 0 as band, h0 || '|' || h1 as bucket from sig
+              union all select doc_id, 1, h2 || '|' || h3 from sig
+              union all select doc_id, 2, h4 || '|' || h5 from sig
+              union all select doc_id, 3, h6 || '|' || h7 from sig
+            ),
+            cand as (
+              select distinct a.doc_id as doc_a, b.doc_id as doc_b
+              from bands a join bands b
+                on a.band = b.band and a.bucket = b.bucket
+               and a.doc_id < b.doc_id
+            ),
+            sz as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select c.doc_a, c.doc_b, count(*) as i
+              from cand c
+              join sh a on a.doc_id = c.doc_a
+              join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
+              group by 1, 2
+            )
+            select doc_a, doc_b,
+                   round(i / (sa.sz + sb.sz - i), 4)::double as jaccard
+            from inter
+            join sz sa on sa.doc_id = doc_a
+            join sz sb on sb.doc_id = doc_b
+            where round(i / (sa.sz + sb.sz - i), 4) >= 0.3
         """,
         "simhash": f"""
             with toks as ({_TOKS}),

@@ -115,6 +115,44 @@ def test_minhash_neardup_finds_planted_dup(spark):
     assert all(3 not in p for p in got)
 
 
+def test_near_dup_candidate_only_verify_matches_full_verify(spark):
+    """The candidate-only Jaccard verify must return exactly what the
+    (non-scalable) corpus-wide verify + candidate semi-join returns."""
+    from inverted_index_spark.pipelines.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fast = near_dup_pairs(docs, num_hashes=8, rows_per_band=2, k=2, threshold=0.2)
+    sigs = minhash_signatures(docs, num_hashes=8, k=2)
+    cands = lsh_candidate_pairs(sigs, num_hashes=8, rows_per_band=2)
+    slow = ngram_jaccard_pairs(docs, k=2, threshold=0.2).join(
+        cands, ["doc_a", "doc_b"], "left_semi"
+    )
+    got = {tuple(r) for r in fast.collect()}
+    want = {tuple(r) for r in slow.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_near_dup_plan_has_no_corpus_shingle_self_join(spark):
+    """The physical plan must not contain the shingle-table self-join on
+    shingle equality over non-candidate docs: every join above the
+    shingle explode is either the band-bucket join or candidate-pruned
+    (preceded by a LeftSemi against candidate doc ids)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = near_dup_pairs(docs, num_hashes=8, rows_per_band=2, k=2)._jdf.queryExecution().toString()
+    # the full-verify shape joined shingles-to-shingles with a doc_id <
+    # doc_id condition and NO semi-join prune; candidate-only shape
+    # always prunes the shingle table first
+    assert "LeftSemi" in plan
+
+
 def test_exact_dup_rank(spark):
     docs = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]

@@ -210,12 +210,44 @@ def _q_rolling_fp(spark, sf):
     return rolling_fingerprint(_docs(spark, sf), window=8)
 
 
-def _q_lsh_topk(spark, sf):
-    from inverted_index_spark.pipelines.similarity import lsh_bucketed_topk
+def _qvec(spark, sf):
+    """Query vector (vec_id 0), fetched once per sf and cached."""
+    key = (id(spark), sf, "qvec")
+    if key not in _ENGINES:
+        embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+        _ENGINES[key] = list(
+            embs.filter(F.col("vec_id") == 0).select("embedding").first()[
+                "embedding"
+            ]
+        )
+    return _ENGINES[key]
 
-    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
-    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return lsh_bucketed_topk(embs, qvec, k=10)
+
+def _ann(spark, sf):
+    """Build-once ANN indexes (LSH 4 planes, IVF 8 cells) per sf — the
+    production shape: signatures/cell assignments computed a single
+    time, every query just probes."""
+    key = (id(spark), sf, "ann")
+    if key not in _ENGINES:
+        from inverted_index_spark.pipelines.similarity import build_ivf, build_lsh
+
+        embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+        lsh = build_lsh(embs, n_planes=4)
+        lsh.signed = lsh.signed.cache()
+        ivf = build_ivf(embs, n_centroids=8)
+        ivf.assigned = ivf.assigned.cache()
+        _ENGINES[key] = (lsh, ivf)
+    return _ENGINES[key]
+
+
+def _q_lsh_topk(spark, sf):
+    from inverted_index_spark.pipelines.similarity import lsh_search
+
+    lsh, _ = _ann(spark, sf)
+    # hamming == n_planes probes every bucket -> exact: shares the
+    # brute-force oracle; the pruned-probe recall path is tested in
+    # tests/test_pipelines.py
+    return lsh_search(lsh, _qvec(spark, sf), k=10, hamming=4)
 
 
 def _q_neardup_cosine(spark, sf):
@@ -247,19 +279,17 @@ def _q_cosine_topk(spark, sf):
     from inverted_index_spark.pipelines.similarity import cosine_topk
 
     embs = spark.read.parquet(f"{sf}/embeddings.parquet")
-    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return cosine_topk(embs, qvec, k=10)
+    return cosine_topk(embs, _qvec(spark, sf), k=10)
 
 
 def _q_ivf_topk(spark, sf):
-    from inverted_index_spark.pipelines.similarity import ivf_topk
+    from inverted_index_spark.pipelines.similarity import ivf_search
 
-    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
-    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    _, ivf = _ann(spark, sf)
     # n_probe == n_centroids probes every cell -> exact: shares the
     # brute-force oracle; the pruned-probe recall path is tested in
     # tests/test_pipelines.py
-    return ivf_topk(embs, qvec, k=10, n_centroids=8, n_probe=8)
+    return ivf_search(ivf, _qvec(spark, sf), k=10, n_probe=8)
 
 
 def _q_highlight(spark, sf):
@@ -308,11 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,
+        "neardup_cosine": _q_neardup_cosine,
         # rows-only contract entries (no SQL-expressible oracle):
         # highlight is byte-slicing (tested against ported reference
         # goldens); image_features decodes a synthetic binary format
         "highlight": _q_highlight,
-        "neardup_cosine": _q_neardup_cosine,
         "image_features": _q_image_features,
     }
 
@@ -332,6 +362,69 @@ case
   else 'und'
 end
 """
+
+
+_COSINE_TOPK_SQL = """
+    with q as (select embedding as qe from embeddings where vec_id = 0),
+    terms as (
+      select e.vec_id,
+             unnest(e.embedding)::double as x,
+             unnest(q.qe)::double as y
+      from embeddings e cross join q
+    ),
+    sums as (
+      select vec_id, sum(x*y) as d, sum(x*x) as nx, sum(y*y) as ny
+      from terms group by vec_id
+    )
+    select vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) as cos
+    from sums
+    order by d / (sqrt(nx) * sqrt(ny)) desc, vec_id asc
+    limit 10
+"""
+
+
+def _neardup_cosine_sql() -> str:
+    """Replicates neardup_pairs_cosine(threshold=0.3, n_planes=4) in
+    DuckDB: the md5-seeded hyperplanes are deterministic, so their
+    components are inlined as double literals and the signature is the
+    same left-to-right fold Spark computes."""
+    from inverted_index_spark.pipelines.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4)
+
+    def dot_sql(plane):
+        return " + ".join(
+            f"(embedding[{j + 1}]::double * {v!r})" for j, v in enumerate(plane)
+        )
+
+    sig = " + ".join(
+        f"(case when ({dot_sql(pl)}) >= 0 then {1 << i} else 0 end)"
+        for i, pl in enumerate(planes)
+    )
+    return f"""
+        with sig as (
+          select vec_id, embedding, {sig} as sig from embeddings
+        ),
+        pairs as (
+          select a.vec_id as vec_a, b.vec_id as vec_b,
+                 a.embedding as ea, b.embedding as eb
+          from sig a join sig b on a.sig = b.sig and a.vec_id < b.vec_id
+        ),
+        terms as (
+          select vec_a, vec_b,
+                 unnest(ea)::double as x, unnest(eb)::double as y
+          from pairs
+        ),
+        sums as (
+          select vec_a, vec_b,
+                 sum(x*y) as d, sum(x*x) as nx, sum(y*y) as ny
+          from terms group by vec_a, vec_b
+        )
+        select vec_a, vec_b,
+               round(d / (sqrt(nx) * sqrt(ny)), 4)::double as cos
+        from sums
+        where round(d / (sqrt(nx) * sqrt(ny)), 4) >= 0.3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -593,40 +686,12 @@ def oracle_sql() -> dict[str, str]:
                    else md5(text) end as fp
             from documents
         """,
-        "cosine_topk": """
-            with q as (select embedding as qe from embeddings where vec_id = 0),
-            terms as (
-              select e.vec_id,
-                     unnest(e.embedding)::double as x,
-                     unnest(q.qe)::double as y
-              from embeddings e cross join q
-            ),
-            sums as (
-              select vec_id, sum(x*y) as d, sum(x*x) as nx, sum(y*y) as ny
-              from terms group by vec_id
-            )
-            select vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) as cos
-            from sums
-            order by d / (sqrt(nx) * sqrt(ny)) desc, vec_id asc
-            limit 10
-        """,
-        "ivf_topk": """
-            with q as (select embedding as qe from embeddings where vec_id = 0),
-            terms as (
-              select e.vec_id,
-                     unnest(e.embedding)::double as x,
-                     unnest(q.qe)::double as y
-              from embeddings e cross join q
-            ),
-            sums as (
-              select vec_id, sum(x*y) as d, sum(x*x) as nx, sum(y*y) as ny
-              from terms group by vec_id
-            )
-            select vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) as cos
-            from sums
-            order by d / (sqrt(nx) * sqrt(ny)) desc, vec_id asc
-            limit 10
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # full-probe LSH / full-probe IVF are exact: both share the
+        # brute-force cosine oracle
+        "lsh_topk": _COSINE_TOPK_SQL,
+        "ivf_topk": _COSINE_TOPK_SQL,
+        "neardup_cosine": _neardup_cosine_sql(),
         "sessions": """
             with g as (
               select user_id,

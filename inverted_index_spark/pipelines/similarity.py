@@ -82,6 +82,111 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "fts") -> List[List[float]
     return planes
 
 
+def _sig_col(planes, vec):
+    """Bit-packed hyperplane signature as a Column (JVM-side)."""
+    bits = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.shiftleft(F.lit(1), i)).otherwise(0)
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+def _sig_val(planes, query_vec) -> int:
+    v = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, plane)) >= 0:
+            v |= 1 << i
+    return v
+
+
+def _probe_sigs(q_sig: int, n_planes: int, hamming: int) -> List[int]:
+    """All signatures within the given hamming radius of the query's."""
+    from itertools import combinations
+
+    probe = []
+    for h in range(min(hamming, n_planes) + 1):
+        for flips in combinations(range(n_planes), h):
+            s = q_sig
+            for b in flips:
+                s ^= 1 << b
+            probe.append(s)
+    return probe
+
+
+class LshIndex:
+    """Build-once random-hyperplane LSH index.
+
+    ``signed`` is the signature-annotated vector table (vid, v, sig) —
+    computed ONCE at build time; every search only filters it by probe
+    signatures. When saved, the table is partitioned by ``sig`` so a
+    probe reads only its buckets' files (partition pruning)."""
+
+    def __init__(self, signed: DataFrame, planes: List[List[float]]):
+        self.signed = signed
+        self.planes = planes
+
+
+def build_lsh(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: str = "fts",
+) -> LshIndex:
+    """One distributed pass: signature every vector. No per-query work
+    remains except a bucket filter + exact re-score."""
+    if dim is None:
+        row = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = row["d"] if row else 0
+    planes = _hyperplanes(dim, n_planes, seed=seed)
+    signed = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _sig_col(planes, F.col(vec_col)).alias("sig"),
+    )
+    return LshIndex(signed, planes)
+
+
+def save_lsh(index: LshIndex, path: str) -> None:
+    """Persist: vectors partitioned by signature + planes sidecar."""
+    import json
+    import os
+
+    index.signed.write.mode("overwrite").partitionBy("sig").parquet(
+        f"{path}/vectors"
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/planes.json", "w") as f:
+        json.dump(index.planes, f)
+
+
+def load_lsh(spark, path: str) -> LshIndex:
+    import json
+
+    with open(f"{path}/planes.json") as f:
+        planes = json.load(f)
+    return LshIndex(spark.read.parquet(f"{path}/vectors"), planes)
+
+
+def lsh_search(
+    index: LshIndex,
+    query_vec: Sequence[float],
+    k: int = 10,
+    hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k against a prebuilt LshIndex: filter the signed table to
+    buckets within ``hamming`` bit flips of the query signature, then
+    exact cosine re-score. On a saved index the filter is a partition
+    predicate — only probe buckets are read. ``hamming == n_planes``
+    probes every bucket and is exact (== brute force)."""
+    n_planes = len(index.planes)
+    probe = _probe_sigs(_sig_val(index.planes, query_vec), n_planes, hamming)
+    cands = index.signed.filter(F.col("sig").isin(probe))
+    return cosine_topk(cands, query_vec, k=k, id_col="vid", vec_col="v")
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -89,35 +194,17 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: random-hyperplane signature bucket prune, then exact
-    cosine within the query's bucket (falls back to hamming<=1 buckets).
-
-    At cluster scale the signature is a partition key: only matching
-    buckets are scanned. Approximate — recall measured in tests against
-    the brute-force baseline.
-    """
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes)
-
-    def sig_col(vec):
-        bits = None
-        for i, plane in enumerate(planes):
-            p = F.array(*[F.lit(float(x)) for x in plane])
-            bit = F.when(_dot(vec, p) >= 0, F.shiftleft(F.lit(1), i)).otherwise(0)
-            bits = bit if bits is None else bits + bit
-        return bits
-
-    q_sig_val = 0
-    for i, plane in enumerate(planes):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
-        if d >= 0:
-            q_sig_val |= 1 << i
-    with_sig = embeddings.withColumn("sig", sig_col(F.col(vec_col)))
-    # hamming distance 0 or 1 buckets: query sig plus single-bit flips
-    probe = [q_sig_val] + [q_sig_val ^ (1 << i) for i in range(n_planes)]
-    candidates = with_sig.filter(F.col("sig").isin(probe))
-    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    """Convenience build+search in one call (test scale). Production
+    builds the index once (``build_lsh``/``save_lsh``) and issues
+    ``lsh_search`` against it; this wrapper re-signatures the corpus
+    per call and exists for small-data ergonomics only."""
+    idx = build_lsh(
+        embeddings, n_planes=n_planes, id_col=id_col, vec_col=vec_col,
+        dim=len(query_vec),
+    )
+    return lsh_search(idx, query_vec, k=k, hamming=hamming)
 
 
 def _kmeans_centroids(
@@ -188,6 +275,72 @@ def ivf_assign(
     )
 
 
+class IvfIndex:
+    """Build-once IVF index: centroids + nearest-cell vector table.
+
+    ``assigned`` (vid, v, cell) is computed ONCE at build; a query only
+    ranks centroids driver-side (tiny) and filters its probe cells. When
+    saved, the table is partitioned by ``cell`` so probes read only
+    their cells' files."""
+
+    def __init__(self, assigned: DataFrame, centroids):
+        self.assigned = assigned
+        self.centroids = centroids
+
+
+def build_ivf(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Fit centroids on a driver-side sample, assign every vector to its
+    nearest cell in one distributed pass. Per-query work afterwards is
+    O(n_centroids) driver-side + a cell-pruned scan."""
+    cent = _kmeans_centroids(embeddings, n_centroids, vec_col)
+    return IvfIndex(ivf_assign(embeddings, cent, id_col, vec_col), cent)
+
+
+def save_ivf(index: IvfIndex, path: str) -> None:
+    import json
+    import os
+
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/centroids.json", "w") as f:
+        json.dump([list(map(float, c)) for c in index.centroids], f)
+
+
+def load_ivf(spark, path: str) -> IvfIndex:
+    import json
+
+    import numpy as np
+
+    with open(f"{path}/centroids.json") as f:
+        cent = np.array(json.load(f), dtype=np.float64)
+    return IvfIndex(spark.read.parquet(f"{path}/vectors"), cent)
+
+
+def ivf_search(
+    index: IvfIndex,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest cells of a prebuilt IvfIndex and
+    exact-rescore. ``n_probe >= n_centroids`` is exact."""
+    import numpy as np
+
+    cent = np.asarray(index.centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cent @ q))[:n_probe].tolist()
+    cands = index.assigned.filter(F.col("cell").isin(probe))
+    return cosine_topk(cands, query_vec, k=k, id_col="vid", vec_col="v")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -197,24 +350,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: probe the ``n_probe`` nearest cells only.
-
-    Classic inverted-file ANN: vectors are bucketed by nearest centroid
-    (one distributed pass), the query scans just its probe cells' rows
-    and re-scores them exactly. Recall/probes trade measured against the
-    brute-force baseline in tests/test_pipelines.py.
-    """
-    import numpy as np
-
-    cent = _kmeans_centroids(embeddings, n_centroids, vec_col)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(cent @ q))[:n_probe].tolist()
-    assigned = ivf_assign(embeddings, cent, id_col, vec_col)
-    cands = assigned.filter(F.col("cell").isin(probe)).select(
-        F.col("vid").alias(id_col), F.col("v").alias(vec_col)
-    )
-    return cosine_topk(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    """Convenience build+search in one call (test scale). Production
+    builds once (``build_ivf``/``save_ivf``) and issues ``ivf_search``
+    against the cell-partitioned table; this wrapper refits and
+    reassigns per call and exists for small-data ergonomics only."""
+    idx = build_ivf(embeddings, n_centroids, id_col, vec_col)
+    return ivf_search(idx, query_vec, k=k, n_probe=n_probe)
 
 
 def neardup_pairs_cosine(
@@ -231,15 +372,10 @@ def neardup_pairs_cosine(
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
     planes = _hyperplanes(dim, n_planes)
-    bits = None
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), p) >= 0, F.shiftleft(F.lit(1), i)).otherwise(
-            0
-        )
-        bits = bit if bits is None else bits + bit
     with_sig = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), bits.alias("sig")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _sig_col(planes, F.col(vec_col)).alias("sig"),
     )
     l = with_sig.alias("l")
     r = with_sig.alias("r")

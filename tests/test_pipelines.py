@@ -87,6 +87,61 @@ def test_ivf_deterministic(spark, embeddings):
     assert a == b and a[0] == 3
 
 
+def test_lsh_saved_index_prunes_partitions(spark, embeddings, tmp_path):
+    """A saved LshIndex is partitioned by signature; a pruned probe must
+    read only the probe buckets' files, and full probe equals brute
+    force exactly."""
+    from inverted_index_spark.pipelines.similarity import (
+        build_lsh,
+        load_lsh,
+        lsh_search,
+        save_lsh,
+    )
+
+    path = str(tmp_path / "lsh")
+    save_lsh(build_lsh(embeddings, n_planes=4), path)
+    idx = load_lsh(spark, path)
+    qvec = list(
+        embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    pruned = lsh_search(idx, qvec, k=10, hamming=0)
+    # hamming=0 -> the sig predicate must be a PARTITION filter (bucket
+    # dirs skipped at planning time), not a post-scan row filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "sig" in pf[0]
+    exact = [tuple(r) for r in cosine_topk(embeddings, qvec, k=10).collect()]
+    full = [tuple(r) for r in lsh_search(idx, qvec, k=10, hamming=4).collect()]
+    assert full == exact
+
+
+def test_ivf_saved_index_prunes_partitions(spark, embeddings, tmp_path):
+    from inverted_index_spark.pipelines.similarity import (
+        build_ivf,
+        ivf_search,
+        load_ivf,
+        save_ivf,
+    )
+
+    path = str(tmp_path / "ivf")
+    save_ivf(build_ivf(embeddings, n_centroids=8), path)
+    idx = load_ivf(spark, path)
+    qvec = list(
+        embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    pruned = ivf_search(idx, qvec, k=10, n_probe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0]
+    exact = [tuple(r) for r in cosine_topk(embeddings, qvec, k=10).collect()]
+    full = [tuple(r) for r in ivf_search(idx, qvec, k=10, n_probe=8).collect()]
+    assert full == exact
+
+
 def test_neardup_cosine_finds_planted_dup(spark, embeddings):
     # plant an exact duplicate of vec 0 with a new id
     v0 = embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[

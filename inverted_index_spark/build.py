@@ -326,12 +326,17 @@ def load_index(
 def upsert_docs(spark: SparkSession, index: FtsIndex, new_docs: DataFrame) -> FtsIndex:
     """Re-index changed documents (reference upsert, index.rs:36-51).
 
-    Removes the previous versions' postings and inserts the new ones.
-    Locally: rebuild over the merged doc set restricted to affected
-    partitions; with an Iceberg catalog this maps to MERGE INTO on
-    (term, doc_id). The doc store keeps exactly one row per doc_id.
+    Removes the previous versions' postings and inserts the new ones;
+    the doc store keeps exactly one row per doc_id (previous versions
+    dropped via anti-join — no driver-side collect of changed ids, so
+    batch size is unbounded). This in-memory variant then rebuilds the
+    merged doc set, which is correct at any size but intended for
+    test/interactive scale; the incremental scale path is
+    ``upsert.upsert_saved`` (delta generations + tombstones, no
+    rebuild).
     """
-    changed = [r["doc_id"] for r in new_docs.select("doc_id").distinct().collect()]
-    kept_docs = index.docs.filter(~F.col("doc_id").isin(changed))
+    kept_docs = index.docs.join(
+        new_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
     merged = kept_docs.unionByName(new_docs, allowMissingColumns=True)
     return build_index(spark, merged, ngrams=index.ngrams)

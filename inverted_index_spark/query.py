@@ -304,8 +304,12 @@ class FtsEngine:
 
         Parity score: float32 sum(coalesced widths)/sqrt(doc bytes)
         (search_result.rs:19-28); order score desc, doc_id asc
-        (index.rs:148-156). Position arrays are assembled only for the
-        returned docs (post-limit) — cheap even at huge corpus scale.
+        (index.rs:148-156). With ``with_positions=True`` the position
+        arrays are built in the same single-exchange aggregation that
+        computes widths — for EVERY matching doc, pre-limit; on broad
+        queries where only a small top-k is needed, pass
+        ``with_positions=False`` (or use ``search``/``bm25``) and fetch
+        positions for the k winners afterwards.
         """
         plan = self.compile(query)
         coalesced = self.coalesce_rows(plan.rows)

@@ -70,7 +70,7 @@ MANIFEST_NAME = "manifest.json"
 DOCSTATS_TERM = ""  # sorts before every real term
 
 SEGMENT_SCHEMA = (
-    "shard_id int, file string, n_terms long, n_blocks long, n_postings long, "
+    "shard_id long, file string, n_terms long, n_blocks long, n_postings long, "
     "raw_bytes long, enc_bytes long, build_sec double, postings_per_sec double, "
     "skew_ratio double, fingerprint string"
 )
@@ -214,7 +214,10 @@ def build_segments(
             index.docstats.select("doc_id", F.col("doclen_tokens").alias("dl")),
             "doc_id",
         )
-        .withColumn("shard_id", (F.col("doc_id") / shard_docs).cast("int"))
+        # integer DIV on longs: exact for the full 63-bit doc-id space
+        # (streaming hash ids reach ~2^62; a double-division int cast
+        # would wrap/collide)
+        .withColumn("shard_id", F.expr(f"doc_id DIV {int(shard_docs)}"))
     )
     if done:
         src = src.filter(~F.col("shard_id").isin(list(done)))

@@ -139,12 +139,18 @@ def assign_doc_ids(
         df = df.repartitionByRange(*order_cols)
     else:
         df = df.repartitionByRange(num_partitions, *order_cols)
-    # Persist the partitioned data BEFORE observing partition sizes: the
-    # range partitioner's sampled boundaries can differ between
-    # evaluations, and the broadcast offsets below are only valid for
-    # the evaluation they were measured on. Pinning one materialization
-    # makes the assignment a stable function until unpersist/write.
-    part = df.withColumn("_pid", F.spark_partition_id()).persist()
+    # Materialize ONE evaluation of the range partitioning before
+    # observing partition sizes: the partitioner's sampled boundaries
+    # can differ between evaluations, and the broadcast offsets below
+    # are only valid for the evaluation they were measured on.
+    # localCheckpoint (not persist): it breaks lineage so every derived
+    # write sees the same ids, and its blocks are released by the
+    # ContextCleaner when the DataFrame is garbage-collected — repeated
+    # calls in one session don't accumulate pinned cache (a .persist()
+    # here would live in the CacheManager until explicit unpersist).
+    # On a multi-executor cluster prefer writing the assigned table to
+    # storage and re-reading it (executor loss drops local checkpoints).
+    part = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     sizes = {
         r["_pid"]: r["cnt"]
         for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

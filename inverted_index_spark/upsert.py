@@ -215,7 +215,9 @@ def _invalidate_segments(
     changed_shards = {
         int(r["s"])
         for r in changed_docs.select(
-            (F.col("doc_id") / shard_docs).cast("int").alias("s")
+            # long DIV: exact for hash-range doc ids (int32 cast of a
+            # double quotient would wrap and miss the real shards)
+            F.expr(f"doc_id DIV {int(shard_docs)}").alias("s")
         )
         .distinct()
         .collect()

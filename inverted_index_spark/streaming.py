@@ -7,24 +7,44 @@ engine supports appending to the index from a stream:
 
     readStream (new transcript turns)
       -> same tokenize pandas UDF as the batch path
-      -> foreachBatch: per micro-batch postings build, appended as new
-         parquet files to the postings table (doc-partitioned, so a new
-         batch never rewrites existing data), plus docstats append
+      -> foreachBatch: per micro-batch postings build, written into
+         batch-id-keyed delta directories next to the base index
 
-``foreachBatch`` (not a streaming agg) is the right shape here: the
-postings build is a batch transformation of each micro-batch, the sink
-is transactional per batch id (Spark tracks committed batch ids in the
-checkpoint), and term statistics are re-derived lazily at query time
-from the appended files. Watermarking / event-time windows are exposed
-for late-turn handling in the session-analytics pipeline
-(pipelines/events.py); the index append itself is order-independent
-because doc_ids are derived deterministically from (conv_id, turn_idx).
+Idempotency / exactly-once
+--------------------------
+``foreachBatch`` is at-least-once: after a crash Spark replays the whole
+micro-batch. Every write here therefore lands in a directory keyed by
+the batch id (``stream_delta/postings/batch=<id>/`` etc.) with
+``mode("overwrite")`` — a replayed batch overwrites its own partial
+output instead of appending a duplicate, which makes the sink
+effectively exactly-once (the classic idempotent-foreachBatch pattern).
+The base index directories are never touched by the stream;
+``refresh_index`` presents base + deltas as one view.
 
-doc_id assignment in a stream cannot use the batch zipWithIndex (a
-global sort over all history); instead streaming docs get
-``doc_id = xxhash64(conv_id) * 2^20 + turn_idx`` — stable, collision-
-checked in tests at corpus scale, order-independent, and monotone per
-conversation so per-conversation locality is preserved.
+doc_id assignment
+-----------------
+A stream cannot use the batch zipWithIndex (a global sort over all
+history). Two modes:
+
+* **hash** (default, stateless): ``doc_id = pmod(xxhash64(conv_id),
+  2^43) << 20 | turn_idx``. 43 conversation bits is every bit the
+  63-bit non-negative long leaves after the 20 turn bits. Collision
+  probability between conversations is the birthday bound
+  ``P ~= n^2 / 2^44``: negligible below ~10^5 conversations (P<1e-4 at
+  4e4), ~0.3% at 1e6, and certain at the 10^11-conversation design
+  point — at that scale use the registry mode.
+* **registry** (``id_mode="registry"``): a conversation registry table
+  (``conv_id -> conv_no``, dense longs) is maintained incrementally —
+  each batch anti-joins its conversations against the registry and
+  assigns new ones the next free ordinals (scalable prefix-sum
+  assignment, transcripts.assign_doc_ids). Collision-free by
+  construction for up to 2^43 conversations x 2^20 turns. Registry
+  appends are batch-id-keyed too, so replays re-use the already
+  registered ordinals instead of re-assigning.
+
+Ordering: the index append is order-independent in both modes — ids
+derive from (conv_id, turn_idx), not arrival order. Watermarking /
+event-time windows for late-turn analytics live in pipelines/events.py.
 """
 
 from __future__ import annotations
@@ -38,34 +58,71 @@ from pyspark.sql import functions as F
 from .build import FtsIndex, load_index
 from .udfs import make_tokenize_udf
 
-# streaming doc ids: high bits = conv hash, low 20 bits = turn ordinal
+# streaming doc ids: high bits = conversation key, low 20 bits = turn
 TURN_BITS = 20
+CONV_BITS = 43  # 63 non-negative long bits - TURN_BITS
+STREAM_DIR = "stream_delta"
 
 
 def streaming_doc_id():
-    """Deterministic, order-independent doc id for a transcript turn."""
+    """Deterministic, order-independent doc id for a transcript turn
+    (hash mode — see module docstring for the collision bound)."""
     return (
-        F.shiftleft(F.abs(F.xxhash64("conv_id")) % F.lit(1 << 42), TURN_BITS)
+        F.shiftleft(F.pmod(F.xxhash64("conv_id"), F.lit(1 << CONV_BITS)), TURN_BITS)
         + F.col("turn_idx")
     ).cast("long")
 
 
-def append_batch(index_path: str, ngrams: bool = False):
-    """Return a foreachBatch function that appends one micro-batch.
+def _registry_doc_ids(
+    spark: SparkSession, batch_df: DataFrame, index_path: str, batch_id: int
+) -> DataFrame:
+    """Collision-free ids via the conversation registry (see module
+    docstring). One anti-join + one tiny max() per batch; the registry
+    write is batch-id-keyed and therefore replay-idempotent."""
+    from .transcripts import assign_doc_ids
 
-    Each call tokenizes the batch's turns and appends postings +
-    docstats rows as new parquet files. Existing files are never
-    touched — the postings table is doc-partitioned, so a new doc's
-    rows are purely additive (the reference's upsert-remove branch,
-    index.rs:38-51, applies only to re-indexed doc ids; streaming
-    transcripts are append-only turns).
+    reg_dir = os.path.join(index_path, STREAM_DIR, "registry")
+    reg = None
+    base = 0
+    if os.path.isdir(reg_dir) and os.listdir(reg_dir):
+        reg = spark.read.parquet(reg_dir).select("conv_id", "conv_no")
+        base = (reg.agg(F.max("conv_no")).first()[0] or -1) + 1
+    new = batch_df.select("conv_id").distinct()
+    if reg is not None:
+        new = new.join(reg, "conv_id", "left_anti")
+    assigned = assign_doc_ids(new, order_cols=["conv_id"]).select(
+        "conv_id", (F.col("doc_id") + F.lit(base)).cast("long").alias("conv_no")
+    )
+    assigned.write.mode("overwrite").parquet(
+        os.path.join(reg_dir, f"batch={batch_id}")
+    )
+    full = spark.read.parquet(reg_dir).select("conv_id", "conv_no")
+    return batch_df.join(full, "conv_id").withColumn(
+        "doc_id",
+        (F.shiftleft(F.col("conv_no"), TURN_BITS) + F.col("turn_idx")).cast(
+            "long"
+        ),
+    )
+
+
+def append_batch(index_path: str, ngrams: bool = False, id_mode: str = "hash"):
+    """Return a foreachBatch function that applies one micro-batch.
+
+    Each call tokenizes the batch's turns and writes postings, docstats
+    and doc-store rows into ``stream_delta/<table>/batch=<id>/`` with
+    overwrite — idempotent under foreachBatch replay (see module
+    docstring). The doc-store delta carries only the base doc-store
+    columns (doc_id, text) so the docs directory keeps one schema.
     """
     tokenize = make_tokenize_udf(ngrams=ngrams)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.withColumn("doc_id", streaming_doc_id()).select(
-            "doc_id", "text"
-        )
+        spark = batch_df.sparkSession
+        if id_mode == "registry":
+            with_ids = _registry_doc_ids(spark, batch_df, index_path, batch_id)
+        else:
+            with_ids = batch_df.withColumn("doc_id", streaming_doc_id())
+        docs = with_ids.select("doc_id", "text")
         tokens = docs.select(
             "doc_id", F.explode(tokenize(F.col("text"))).alias("t")
         ).select(
@@ -76,6 +133,7 @@ def append_batch(index_path: str, ngrams: bool = False):
             F.col("t.pos").alias("pos"),
             F.col("t.full").alias("full"),
         )
+        delta = os.path.join(index_path, STREAM_DIR)
         (
             tokens.groupBy("term", "doc_id")
             .agg(
@@ -86,8 +144,8 @@ def append_batch(index_path: str, ngrams: bool = False):
                 .cast("int")
                 .alias("tf"),
             )
-            .write.mode("append")
-            .parquet(os.path.join(index_path, "postings"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(delta, "postings", f"batch={batch_id}"))
         )
         (
             docs.select("doc_id", F.octet_length("text").alias("doclen_bytes"))
@@ -99,12 +157,12 @@ def append_batch(index_path: str, ngrams: bool = False):
                 "left",
             )
             .fillna({"doclen_tokens": 0})
-            .write.mode("append")
-            .parquet(os.path.join(index_path, "docstats"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(delta, "docstats", f"batch={batch_id}"))
         )
-        batch_df.withColumn("doc_id", streaming_doc_id()).write.mode(
-            "append"
-        ).parquet(os.path.join(index_path, "docs"))
+        docs.write.mode("overwrite").parquet(
+            os.path.join(delta, "docs", f"batch={batch_id}")
+        )
 
     return fn
 
@@ -115,6 +173,7 @@ def stream_transcripts_to_index(
     checkpoint_dir: str,
     ngrams: bool = False,
     trigger_once: bool = True,
+    id_mode: str = "hash",
 ):
     """Wire a transcript readStream into the index (returns the query).
 
@@ -124,7 +183,7 @@ def stream_transcripts_to_index(
     """
     writer = (
         transcripts_stream.writeStream.foreachBatch(
-            append_batch(index_path, ngrams=ngrams)
+            append_batch(index_path, ngrams=ngrams, id_mode=id_mode)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
@@ -134,21 +193,45 @@ def stream_transcripts_to_index(
     return writer.start()
 
 
-def refresh_index(spark: SparkSession, index_path: str) -> FtsIndex:
-    """Reload the index after stream appends, re-deriving corpus stats.
+def _delta(spark: SparkSession, index_path: str, table: str) -> Optional[DataFrame]:
+    d = os.path.join(index_path, STREAM_DIR, table)
+    if os.path.isdir(d) and os.listdir(d):
+        return spark.read.parquet(d).drop("batch")
+    return None
 
-    meta.json's n_docs/avgdl go stale as batches append; recompute from
-    the docstats files (a cheap columnar aggregate) rather than trusting
-    the snapshot.
+
+def refresh_index(spark: SparkSession, index_path: str) -> FtsIndex:
+    """Base index + stream deltas as one queryable view.
+
+    meta.json's n_docs/avgdl and the termdict snapshot cover only the
+    base build; this re-derives them over base+delta (cheap columnar
+    aggregates). The base directories on disk are untouched.
     """
     idx = load_index(spark, index_path)
+    dp = _delta(spark, index_path, "postings")
+    if dp is not None:
+        idx.postings = idx.postings.unionByName(
+            dp.select(*idx.postings.columns)
+        )
+    ds = _delta(spark, index_path, "docstats")
+    if ds is not None:
+        idx.docstats = idx.docstats.unionByName(
+            ds.select(*idx.docstats.columns)
+        )
+    dd = _delta(spark, index_path, "docs")
+    if dd is not None and idx.docs is not None:
+        idx.docs = idx.docs.select("doc_id", "text").unionByName(
+            dd.select("doc_id", "text")
+        )
+    elif dd is not None:
+        idx.docs = dd.select("doc_id", "text")
     stats = idx.docstats.agg(
         F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")
     ).collect()[0]
     idx.n_docs = int(stats["n"])
     idx.avgdl = float(stats["avgdl"] or 0.0)
     # termdict parquet is a batch snapshot; appended postings change df,
-    # so re-derive it from the live postings table
+    # so re-derive it from the live postings view
     idx.termdict = idx.postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))

@@ -71,3 +71,72 @@ def test_stream_append_then_query(spark, tmp_path):
     q2.awaitTermination(60)
     idx2 = refresh_index(spark, idx_path)
     assert idx2.n_docs == 240
+
+
+def test_append_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME batch id must
+    overwrite, not duplicate, its postings/docstats/docs output."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.streaming import append_batch
+
+    idx_path = str(tmp_path / "idx")
+    tr = synthetic_transcripts(spark, n_conversations=10, turns_per_conv=3)
+    boot = tr.filter(F.col("conv_id") < "conv-00000005")
+    build_and_save(
+        spark,
+        boot.withColumn("doc_id", streaming_doc_id()).select("doc_id", "text"),
+        idx_path,
+        ngrams=False,
+    )
+    rest = tr.filter(F.col("conv_id") >= "conv-00000005")
+    fn = append_batch(idx_path, ngrams=False)
+    fn(rest, 0)
+    once = refresh_index(spark, idx_path)
+    n_docs, n_postings = once.n_docs, once.postings.count()
+    fn(rest, 0)  # crash-replay of the same micro-batch
+    twice = refresh_index(spark, idx_path)
+    assert twice.n_docs == n_docs == 30
+    assert twice.postings.count() == n_postings
+
+
+def test_stream_registry_mode_dense_stable_ids(spark, tmp_path):
+    """Registry id mode: collision-free dense conversation ordinals,
+    stable across batches (a conversation seen again reuses its
+    ordinal), doc store keeps the (doc_id, text) schema."""
+    from inverted_index_spark.streaming import TURN_BITS, append_batch
+
+    idx_path = str(tmp_path / "idx")
+    tr = synthetic_transcripts(spark, n_conversations=12, turns_per_conv=2)
+    build_and_save(
+        spark,
+        tr.filter(F.col("conv_id") < "conv-00000004")
+        .withColumn("doc_id", streaming_doc_id())
+        .select("doc_id", "text"),
+        idx_path,
+        ngrams=False,
+    )
+    fn = append_batch(idx_path, ngrams=False, id_mode="registry")
+    fn(tr.filter(
+        (F.col("conv_id") >= "conv-00000004")
+        & (F.col("conv_id") < "conv-00000008")
+    ), 0)
+    fn(tr.filter(F.col("conv_id") >= "conv-00000006"), 1)  # overlap: 6,7 again
+    import os
+
+    reg = spark.read.parquet(
+        os.path.join(idx_path, "stream_delta", "registry")
+    ).select("conv_id", "conv_no")
+    rows = {r["conv_id"]: r["conv_no"] for r in reg.collect()}
+    # 8 registered conversations, each exactly once, dense ordinals
+    assert len(rows) == 8 and sorted(rows.values()) == list(range(8))
+    docs_delta = spark.read.parquet(
+        os.path.join(idx_path, "stream_delta", "docs")
+    ).drop("batch")
+    assert set(docs_delta.columns) == {"doc_id", "text"}
+    # batch 1 re-streamed convs 6,7: their ids reuse registry ordinals,
+    # so the union view dedupes to one row per (conv, turn)
+    idx = refresh_index(spark, idx_path)
+    streamed = idx.docstats.filter(
+        F.col("doc_id") < (8 << TURN_BITS)
+    )
+    assert streamed.select("doc_id").distinct().count() == 8 * 2

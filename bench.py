@@ -121,7 +121,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     manifest = build_segments(
-        spark, idx, idx_path, shard_docs=max(n_docs // (4 * cores), 512)
+        spark,
+        idx,
+        idx_path,
+        shard_docs=max(n_docs // (4 * cores), 512),
+        positions=True,
     )
     seg_sec = time.perf_counter() - t0
     enc_bytes = sum(s["enc_bytes"] for s in manifest["shards"])
@@ -132,11 +136,14 @@ def main() -> None:
         fn()
         return round(time.perf_counter() - t, 4)
 
-    # warm both query paths once (python workers, OS page cache for the
+    from inverted_index_spark.segquery import segment_phrase, segment_search
+
+    # warm all query paths once (python workers, OS page cache for the
     # segment files, parquet footers) so per-query numbers measure the
     # engine, not JVM/worker spin-up
     eng.bm25("scan", k=1).collect()
     wand_topk(spark, idx_path, "scan", k=1).collect()
+    segment_search(spark, idx_path, "scan", k=1).collect()
 
     queries = {
         "bm25_topk": lambda: eng.bm25("scan merge join", k=10).collect(),
@@ -153,6 +160,14 @@ def main() -> None:
         ).collect(),
         "wand_bm25": lambda: wand_topk(
             spark, idx_path, "scan merge join", k=10
+        ).collect(),
+        # positional-segment-served parity/phrase (scale path: the raw
+        # postings parquet is not touched)
+        "match_seg": lambda: segment_search(
+            spark, idx_path, "merge", k=10
+        ).collect(),
+        "phrase_seg": lambda: segment_phrase(
+            spark, idx_path, "batch batch", k=10
         ).collect(),
         # amortized many-query path: 64 queries, one job
         "bm25_batch64": lambda: eng.bm25_batch(

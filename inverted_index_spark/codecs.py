@@ -140,3 +140,80 @@ def decode_positions(buf: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     widths = vals[1::3].astype(np.int64)
     poss = delta_decode(vals[2::3]).astype(np.int64)
     return begins, begins + widths, poss
+
+
+def _segmented_delta(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment delta encode a flat int64 array; ``starts`` marks the
+    first index of each segment (values non-decreasing within one)."""
+    v = np.asarray(values, dtype=np.int64)
+    out = np.empty_like(v)
+    if v.size == 0:
+        return out.astype(np.uint64)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    out[starts] = v[starts]  # reset at segment boundaries
+    return out.astype(np.uint64)
+
+
+def encode_pos_block(
+    counts: np.ndarray,
+    begins: np.ndarray,
+    ends: np.ndarray,
+    poss: np.ndarray,
+) -> bytes:
+    """Positions of one (term, block) segment row -> varint blob.
+
+    ``counts[i]`` = number of position triples of the row's i-th doc;
+    ``begins/ends/poss`` are the triples flattened doc-after-doc (begin
+    and pos non-decreasing within a doc). Planar layout, all varint:
+    [per-doc delta'd begins] ++ [widths] ++ [per-doc delta'd poss].
+    The doc boundaries come from ``counts`` (stored separately), so the
+    blob itself carries no headers.
+    """
+    c = np.asarray(counts, dtype=np.int64)
+    total = int(c.sum())
+    if total == 0:
+        return b""
+    starts = np.concatenate(([0], np.cumsum(c)[:-1]))[c > 0]
+    b = np.asarray(begins, dtype=np.int64)
+    e = np.asarray(ends, dtype=np.int64)
+    p = np.asarray(poss, dtype=np.int64)
+    payload = np.concatenate(
+        [
+            _segmented_delta(b, starts),
+            (e - b).astype(np.uint64),
+            _segmented_delta(p, starts),
+        ]
+    )
+    return varint_encode(payload)
+
+
+def decode_pos_block(
+    buf: bytes, counts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of ``encode_pos_block`` -> flat (begins, ends, poss)."""
+    c = np.asarray(counts, dtype=np.int64)
+    total = int(c.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    starts = np.concatenate(([0], np.cumsum(c)[:-1]))[c > 0]
+    vals = varint_decode(buf, 3 * total)
+    bd = vals[:total].astype(np.int64)
+    w = vals[total : 2 * total].astype(np.int64)
+    pdl = vals[2 * total :].astype(np.int64)
+    begins = _undelta(bd, starts)
+    poss = _undelta(pdl, starts)
+    return begins, begins + w, poss
+
+
+def _undelta(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment cumsum: plain cumsum, then subtract each segment's
+    incoming prefix so every segment restarts at its stored base."""
+    cs = np.cumsum(deltas, dtype=np.int64)
+    flags = np.zeros(deltas.size, dtype=bool)
+    flags[starts] = True
+    seg_of = np.cumsum(flags) - 1
+    prior = np.zeros(starts.size, dtype=np.int64)
+    prior[1:] = cs[starts[1:] - 1]
+    return cs - prior[seg_of]

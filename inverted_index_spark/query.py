@@ -213,8 +213,13 @@ class FtsEngine:
                 .distinct()
                 .join(right.select("doc_id").distinct(), "doc_id", "left_semi")
             )
-            l = left.alias("l")
-            r = right.alias("r")
+            # prune BOTH positional-join inputs to the doc intersection
+            # first: the (doc_id, pos+1) equi-join then shuffles only
+            # rows of docs that can possibly produce a phrase hit,
+            # instead of the full term scans (the dominant cost when
+            # one term is common and the other rare)
+            l = left.join(F.broadcast(docs), "doc_id", "left_semi").alias("l")
+            r = right.join(F.broadcast(docs), "doc_id", "left_semi").alias("r")
             adj = l.join(
                 r,
                 (F.col("l.doc_id") == F.col("r.doc_id"))

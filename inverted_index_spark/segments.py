@@ -76,20 +76,27 @@ SEGMENT_SCHEMA = (
 )
 
 
-def _write_shard(
-    pdf: pd.DataFrame, seg_dir: str, block_docs: int, avgdl: float
-) -> pd.DataFrame:
-    """Encode + write one shard (runs inside applyInPandas on executors)."""
+def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
+    """Encode + write one shard (runs inside applyInArrow on executors).
+
+    ``table`` is the shard's postings as a pyarrow Table (term, doc_id,
+    tf, dl, db, shard_id[, positions]); arrow-native so the optional
+    ``positions`` list<struct> column flattens to plain numpy arrays
+    without a per-row Python conversion. Returns a one-row manifest
+    Table (SEGMENT_SCHEMA)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t_start = time.perf_counter()
-    shard_id = int(pdf["shard_id"].iloc[0])
-    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    from .codecs import encode_pos_block
 
-    doc_ids_all = pdf["doc_id"].to_numpy(np.int64)
-    tf_all = pdf["tf"].to_numpy(np.int64)
-    dl_all = pdf["dl"].to_numpy(np.int64)
+    t_start = time.perf_counter()
+    shard_id = int(table.column("shard_id")[0].as_py())
+    table = table.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+    doc_ids_all = table.column("doc_id").to_numpy()
+    tf_all = table.column("tf").to_numpy().astype(np.int64)
+    dl_all = table.column("dl").to_numpy().astype(np.int64)
+    db_all = table.column("db").to_numpy().astype(np.int64)
     u_all = (
         tf_all
         * (K1 + 1.0)
@@ -97,9 +104,19 @@ def _write_shard(
     )
     block_all = doc_ids_all // block_docs
 
+    with_positions = "positions" in table.column_names
+    if with_positions:
+        posl = table.column("positions").combine_chunks()
+        pos_counts_all = posl.value_lengths().to_numpy().astype(np.int64)
+        flat = posl.flatten()  # StructArray (already a single chunk)
+        pb_all = flat.field("begin").to_numpy().astype(np.int64)
+        pe_all = flat.field("end").to_numpy().astype(np.int64)
+        pp_all = flat.field("pos").to_numpy().astype(np.int64)
+        pstarts = np.concatenate(([0], np.cumsum(pos_counts_all)))
+
     fingerprint = hashlib.sha1()
-    fingerprint.update(doc_ids_all.tobytes())
-    fingerprint.update(tf_all.tobytes())
+    fingerprint.update(np.ascontiguousarray(doc_ids_all).tobytes())
+    fingerprint.update(np.ascontiguousarray(tf_all).tobytes())
 
     terms: List[str] = []
     block_ids: List[int] = []
@@ -107,10 +124,15 @@ def _write_shard(
     id_blobs: List[bytes] = []
     tf_blobs: List[bytes] = []
     max_us: List[float] = []
+    pc_blobs: List[bytes] = []
+    pos_blobs: List[bytes] = []
 
-    # doc-stats rows (term=''): unique docs of the shard per block
+    # doc-stats rows (term=''): unique docs of the shard per block.
+    # tfs blob = doclen_tokens, pos_counts blob = doclen_bytes (parity
+    # scoring needs byte lengths; WAND needs token lengths)
     uids, first_idx = np.unique(doc_ids_all, return_index=True)
     udls = dl_all[first_idx]
+    udbs = db_all[first_idx]
     ublocks = uids // block_docs
     for b0 in np.unique(ublocks):
         sel = ublocks == b0
@@ -120,9 +142,11 @@ def _write_shard(
         id_blobs.append(encode_doc_ids(uids[sel]))
         tf_blobs.append(varint_encode(udls[sel].astype(np.uint64)))
         max_us.append(0.0)
+        pc_blobs.append(varint_encode(udbs[sel].astype(np.uint64)))
+        pos_blobs.append(b"")
 
     # posting rows, grouped by (term, block) over the term-sorted frame
-    term_arr = pdf["term"].to_numpy(object)
+    term_arr = np.asarray(table.column("term").to_pylist(), dtype=object)
     change = np.flatnonzero(
         (term_arr[1:] != term_arr[:-1]) | (block_all[1:] != block_all[:-1])
     )
@@ -137,9 +161,19 @@ def _write_shard(
         id_blobs.append(encode_doc_ids(doc_ids_all[s:e]))
         tf_blobs.append(encode_tfs(tf_all[s:e]))
         max_us.append(float(u_all[s:e].max()))
+        if with_positions:
+            c = pos_counts_all[s:e]
+            lo, hi = pstarts[s], pstarts[e]
+            pc_blobs.append(varint_encode(c.astype(np.uint64)))
+            pos_blobs.append(
+                encode_pos_block(c, pb_all[lo:hi], pe_all[lo:hi], pp_all[lo:hi])
+            )
+        else:
+            pc_blobs.append(b"")
+            pos_blobs.append(b"")
         per_term_counts[t] = per_term_counts.get(t, 0) + (e - s)
 
-    table = pa.table(
+    out = pa.table(
         {
             "term": pa.array(terms, pa.string()),
             "block_id": pa.array(block_ids, pa.int32()),
@@ -147,34 +181,42 @@ def _write_shard(
             "doc_ids": pa.array(id_blobs, pa.binary()),
             "tfs": pa.array(tf_blobs, pa.binary()),
             "max_u": pa.array(max_us, pa.float64()),
+            "pos_counts": pa.array(pc_blobs, pa.binary()),
+            "positions": pa.array(pos_blobs, pa.binary()),
         }
     )
     fname = f"shard-{shard_id:05d}.parquet"
     fpath = os.path.join(seg_dir, fname)
     tmp = fpath + ".tmp"
-    pq.write_table(table, tmp, row_group_size=4096, compression="zstd")
+    pq.write_table(out, tmp, row_group_size=4096, compression="zstd")
     os.replace(tmp, fpath)
 
     build_sec = time.perf_counter() - t_start
     counts = np.array(list(per_term_counts.values()) or [0])
-    enc_bytes = sum(len(x) for x in id_blobs) + sum(len(x) for x in tf_blobs)
+    enc_bytes = (
+        sum(len(x) for x in id_blobs)
+        + sum(len(x) for x in tf_blobs)
+        + sum(len(x) for x in pos_blobs)
+    )
     n_postings = int(len(doc_ids_all))
-    return pd.DataFrame(
-        [
-            {
-                "shard_id": shard_id,
-                "file": fname,
-                "n_terms": len(per_term_counts),
-                "n_blocks": int(len(set(block_ids))),
-                "n_postings": n_postings,
-                "raw_bytes": int(n_postings * 12),  # 8B doc_id + 4B tf
-                "enc_bytes": int(enc_bytes),
-                "build_sec": build_sec,
-                "postings_per_sec": n_postings / max(build_sec, 1e-9),
-                "skew_ratio": float(counts.max() / max(counts.mean(), 1e-9)),
-                "fingerprint": fingerprint.hexdigest(),
-            }
-        ]
+    return pa.table(
+        {
+            "shard_id": pa.array([shard_id], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "n_terms": pa.array([len(per_term_counts)], pa.int64()),
+            "n_blocks": pa.array([int(len(set(block_ids)))], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "raw_bytes": pa.array([int(n_postings * 12)], pa.int64()),
+            "enc_bytes": pa.array([int(enc_bytes)], pa.int64()),
+            "build_sec": pa.array([build_sec], pa.float64()),
+            "postings_per_sec": pa.array(
+                [n_postings / max(build_sec, 1e-9)], pa.float64()
+            ),
+            "skew_ratio": pa.array(
+                [float(counts.max() / max(counts.mean(), 1e-9))], pa.float64()
+            ),
+            "fingerprint": pa.array([fingerprint.hexdigest()], pa.string()),
+        }
     )
 
 
@@ -185,6 +227,7 @@ def build_segments(
     shard_docs: int = 4096,
     block_docs: int = 128,
     resume: bool = True,
+    positions: bool = False,
 ) -> dict:
     """Build compressed segments from an index's postings table.
 
@@ -192,6 +235,17 @@ def build_segments(
     and reports a manifest row. With ``resume=True``, shards already
     recorded in the manifest (file present) are filtered out *before*
     the shuffle — a re-run after failure only pays for missing shards.
+
+    ``positions=True`` additionally encodes every posting's byte-offset
+    position triples (codecs.encode_pos_block) so phrase / parity
+    queries are served from the segments too (segquery.py) — the
+    reference's positional postings (/root/reference/src/postings.rs:19)
+    on the compressed scale path.
+
+    Also writes ``<path>/term_shards`` — the exact term -> shard-id map
+    (a second-level inverted index, tiny relative to postings): query
+    paths prune to the shards that actually contain their terms, so a
+    rare-term query opens O(df / shard_docs) files, not O(shards).
     """
     seg_dir = os.path.join(path, "segments")
     os.makedirs(seg_dir, exist_ok=True)
@@ -201,17 +255,23 @@ def build_segments(
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             old = json.load(fh)
-        for row in old.get("shards", []):
-            if os.path.exists(os.path.join(seg_dir, row["file"])):
-                done[row["shard_id"]] = row
+        if bool(old.get("positional", False)) == positions:
+            for row in old.get("shards", []):
+                if os.path.exists(os.path.join(seg_dir, row["file"])):
+                    done[row["shard_id"]] = row
 
+    cols = ["term", "doc_id", "tf"] + (["positions"] if positions else [])
     src = (
         # term='' guards against a caller passing the raw postings files
         # (build_and_save's per-doc stat rows carry tf=doclen_bytes)
         index.postings.filter((F.col("tf") > 0) & (F.col("term") != ""))
-        .select("term", "doc_id", "tf")
+        .select(*cols)
         .join(
-            index.docstats.select("doc_id", F.col("doclen_tokens").alias("dl")),
+            index.docstats.select(
+                "doc_id",
+                F.col("doclen_tokens").alias("dl"),
+                F.col("doclen_bytes").alias("db"),
+            ),
             "doc_id",
         )
         # integer DIV on longs: exact for the full 63-bit doc-id space
@@ -219,31 +279,45 @@ def build_segments(
         # would wrap/collide)
         .withColumn("shard_id", F.expr(f"doc_id DIV {int(shard_docs)}"))
     )
+    todo = src
     if done:
-        src = src.filter(~F.col("shard_id").isin(list(done)))
+        todo = src.filter(~F.col("shard_id").isin(list(done)))
 
     avgdl = index.avgdl
 
-    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _write_shard(pdf, seg_dir, block_docs, avgdl)
+    def write_group(table):
+        return _write_shard(table, seg_dir, block_docs, avgdl)
 
     new_rows = [
         r.asDict()
-        for r in src.groupBy("shard_id")
-        .applyInPandas(write_group, schema=SEGMENT_SCHEMA)
+        for r in todo.groupBy("shard_id")
+        .applyInArrow(write_group, schema=SEGMENT_SCHEMA)
         .collect()
     ]
+
+    # exact term->shard map; sorted by term so a term-predicate read
+    # prunes row groups (min/max fences) on top of column pruning
+    (
+        src.select("term", "shard_id")
+        .distinct()
+        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "term_shards"))
+    )
+
     shards = sorted(
         list(done.values()) + new_rows, key=lambda r: r["shard_id"]
     )
     manifest = {
-        "version": 1,
+        "version": 2,
         "shard_docs": shard_docs,
         "block_docs": block_docs,
         "k1": K1,
         "b": B,
         "n_docs": index.n_docs,
         "avgdl": index.avgdl,
+        "positional": positions,
         "built_shards": len(new_rows),
         "resumed_shards": len(done),
         "shards": shards,

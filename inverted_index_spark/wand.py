@@ -167,6 +167,33 @@ def _query_weights(
     ]
 
 
+def shards_for_terms(
+    spark: SparkSession, index_path: str, manifest: dict, terms
+) -> List[dict]:
+    """Manifest shard rows pruned to those containing >= 1 query term.
+
+    Uses the exact ``term_shards`` map written by build_segments (term
+    predicate pushed to the parquet scan). A rare term therefore costs
+    O(df / shard_docs) shard opens instead of O(shards) — the
+    distributed analogue of the reference's O(log n) sorted-dictionary
+    term lookup (/root/reference/src/index.rs:122-127). Falls back to
+    every shard when the map is absent (pre-v2 layouts).
+    """
+    ts_dir = os.path.join(index_path, "term_shards")
+    terms = list(terms)
+    if not terms or not os.path.isdir(ts_dir):
+        return manifest["shards"]
+    hit = {
+        r["shard_id"]
+        for r in spark.read.parquet(ts_dir)
+        .filter(F.col("term").isin(terms))
+        .select("shard_id")
+        .distinct()
+        .collect()
+    }
+    return [s for s in manifest["shards"] if s["shard_id"] in hit]
+
+
 def wand_topk_batch(
     spark: SparkSession,
     index_path: str,
@@ -193,7 +220,9 @@ def wand_topk_batch(
     if not live:
         return spark.createDataFrame([], out_schema + ", rank int")
 
-    files = [os.path.join(seg_dir, s["file"]) for s in manifest["shards"]]
+    union_query_terms = {t for _, w in live for t in w}
+    shards = shards_for_terms(spark, index_path, manifest, union_query_terms)
+    files = [os.path.join(seg_dir, s["file"]) for s in shards]
     shards_df = spark.createDataFrame([(f,) for f in files], "file string")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,7 +277,8 @@ def wand_topk(
     # parallelism already; an explicit repartition would add a shuffle
     # stage for no balance gain (a task scores files sequentially, and
     # shard files are uniform by construction)
-    files = [os.path.join(seg_dir, s["file"]) for s in manifest["shards"]]
+    shards = shards_for_terms(spark, index_path, manifest, weights)
+    files = [os.path.join(seg_dir, s["file"]) for s in shards]
     shards_df = spark.createDataFrame([(f,) for f in files], "file string")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -80,3 +80,28 @@ def test_compression_actually_compresses():
     ids = np.arange(0, 2_000_000, 2, dtype=np.int64)
     blob = encode_doc_ids(ids)
     assert len(blob) < ids.nbytes / 6
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=16), st.integers(min_value=0, max_value=9))
+def test_pos_block_roundtrip(ndocs, seed):
+    from inverted_index_spark.codecs import decode_pos_block, encode_pos_block
+
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, 8, size=ndocs).astype(np.int64)
+    bs, es, ps = [], [], []
+    for c in counts:
+        b = np.sort(rng.integers(0, 1000, size=c).astype(np.int64))
+        w = rng.integers(1, 15, size=c).astype(np.int64)
+        p = np.sort(rng.integers(0, 200, size=c).astype(np.int64))
+        bs.append(b)
+        es.append(b + w)
+        ps.append(p)
+    B = np.concatenate(bs)
+    E = np.concatenate(es)
+    P = np.concatenate(ps)
+    blob = encode_pos_block(counts, B, E, P)
+    b2, e2, p2 = decode_pos_block(blob, counts)
+    np.testing.assert_array_equal(B, b2)
+    np.testing.assert_array_equal(E, e2)
+    np.testing.assert_array_equal(P, p2)

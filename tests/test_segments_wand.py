@@ -99,3 +99,81 @@ def test_wand_after_resume_still_correct(spark, indexed):
     expect = [r["doc_id"] for r in eng.bm25(q, k=10).collect()]
     got = [r["doc_id"] for r in wand_topk(spark, path, q, k=10).collect()]
     assert got == expect
+
+
+@pytest.fixture(scope="module")
+def pos_indexed(spark, tmp_path_factory):
+    """Full-token index + POSITIONAL segments over the same docs."""
+    path = str(tmp_path_factory.mktemp("posidx"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    manifest = build_segments(
+        spark, idx, path, shard_docs=64, block_docs=16, positions=True
+    )
+    return path, idx, manifest
+
+
+def _results_key(rows):
+    return {
+        r["doc_id"]: (
+            round(float(r["score"]), 6),
+            [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+        )
+        for r in rows
+    }
+
+
+@pytest.mark.parametrize("q", ["merge", "scan merge join", "nonexistentterm"])
+def test_segment_search_matches_engine(spark, pos_indexed, q):
+    from inverted_index_spark.qast import Match
+    from inverted_index_spark.segquery import segment_search
+
+    path, idx, _ = pos_indexed
+    eng = FtsEngine(idx)
+    expect = _results_key(eng.results(Match(q)).collect())
+    got = _results_key(
+        segment_search(spark, path, q, with_positions=True).collect()
+    )
+    assert got == expect
+
+
+@pytest.mark.parametrize("q", ["batch batch", "merge scan", "the the"])
+def test_segment_phrase_matches_engine(spark, pos_indexed, q):
+    from inverted_index_spark.qast import Phrase
+    from inverted_index_spark.segquery import segment_phrase
+
+    path, idx, _ = pos_indexed
+    eng = FtsEngine(idx)
+    expect = _results_key(eng.results(Phrase(q)).collect())
+    got = _results_key(segment_phrase(spark, path, q).collect())
+    assert got == expect
+
+
+def test_rare_term_opens_few_shards(spark, tmp_path):
+    """Term->shard pruning: a df=1 term opens 1 shard, not all.
+
+    Rare-term query cost must be O(df / shard_docs), not O(shards) —
+    the distributed analogue of the reference's O(log n) dictionary
+    lookup (src/index.rs:122-127)."""
+    from inverted_index_spark.segquery import _shards_for_ranges, _term_ranges
+    from inverted_index_spark.wand import shards_for_terms, wand_topk
+
+    path = str(tmp_path / "rareidx")
+    rows = [(i, f"common words w{i % 7} everywhere") for i in range(300)]
+    rows.append((300, "common words zzzuniqueterm here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    manifest = build_segments(spark, idx, path, shard_docs=16, block_docs=8)
+    total = len(manifest["shards"])
+    assert total >= 15
+    pruned = shards_for_terms(spark, path, manifest, ["zzzuniqueterm"])
+    assert len(pruned) == 1
+    pruned2 = _shards_for_ranges(
+        spark, path, manifest, _term_ranges(path, ["zzzuniqueterm"])
+    )
+    assert len(pruned2) == 1
+    # the pruned query still finds the one matching doc
+    got = wand_topk(spark, path, "zzzuniqueterm", k=5).collect()
+    assert [r["doc_id"] for r in got] == [300]

@@ -85,8 +85,17 @@ def _stat_batch(doc_ids, byte_lens) -> pa.RecordBatch:
     )
 
 
-def _assemble_ascii(texts: List[str], doc_ids: np.ndarray) -> pa.RecordBatch:
-    """Vectorized assembly of one batch of ASCII docs."""
+def _assemble_ascii(
+    texts: List[str], doc_ids: np.ndarray, ngrams: bool = False
+) -> pa.RecordBatch:
+    """Vectorized assembly of one batch of ASCII docs.
+
+    With ``ngrams=True`` every token additionally expands into all of
+    its character prefixes (the reference's index-time
+    ``lowercase_ngrams`` chain, tokenizers.rs:222-239,288-293) — still
+    no per-token Python: the prefix expansion is np.repeat/arange
+    arithmetic and one gather that builds the prefix string buffer.
+    """
     joined = "\n".join(texts)
     arr = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
@@ -121,32 +130,79 @@ def _assemble_ascii(texts: List[str], doc_ids: np.ndarray) -> pa.RecordBatch:
         np.int32
     )
 
-    # term strings: tokens are contiguous spans of the cleaned buffer
-    clean = _LOWER[arr[ai]]
-    term_offsets = bounds.astype(np.int32)
-    terms = pa.Array.from_buffers(
-        pa.utf8(),
-        tok_doc.size,
-        [None, pa.py_buffer(term_offsets.tobytes()), pa.py_buffer(clean.tobytes())],
-    )
+    clean = _LOWER[arr[ai]]  # lowercased alnum bytes, token-contiguous
+
+    if not ngrams:
+        # term strings: tokens are contiguous spans of the cleaned buffer
+        term_offsets = bounds.astype(np.int32)
+        terms = pa.Array.from_buffers(
+            pa.utf8(),
+            tok_doc.size,
+            [
+                None,
+                pa.py_buffer(term_offsets.tobytes()),
+                pa.py_buffer(clean.tobytes()),
+            ],
+        )
+        occ_doc, occ_begin, occ_end, occ_pos = tok_doc, rel_begin, rel_end, pos
+        occ_full = None  # every occurrence is a full token
+    else:
+        tok_len = np.diff(bounds)  # chars per token
+        n_out = int(tok_len.sum())
+        occ_tok = np.repeat(np.arange(tok_len.size), tok_len)
+        tok_off = np.concatenate(([0], np.cumsum(tok_len)))[:-1]
+        # prefix length of each expanded occurrence: 1..tok_len
+        plen = (np.arange(n_out) - tok_off[occ_tok] + 1).astype(np.int64)
+        occ_doc = tok_doc[occ_tok]
+        occ_begin = rel_begin[occ_tok]
+        # ngram end counts ONLY kept term chars from begin (the
+        # reference's finish accumulator — interior punctuation is not
+        # part of the span, tokenizers.rs:222-239)
+        occ_end = (occ_begin + plen).astype(np.int32)
+        occ_pos = pos[occ_tok]
+        occ_full = plen == tok_len[occ_tok]
+        # prefix string buffer: for occurrence j, bytes are
+        # clean[bounds[tok] : bounds[tok] + plen[j]]
+        out_off = np.concatenate(([0], np.cumsum(plen)))
+        byte_src = (
+            np.repeat(bounds[occ_tok], plen)
+            + (np.arange(out_off[-1]) - np.repeat(out_off[:-1], plen))
+        )
+        terms = pa.Array.from_buffers(
+            pa.utf8(),
+            n_out,
+            [
+                None,
+                pa.py_buffer(out_off.astype(np.int32).tobytes()),
+                pa.py_buffer(clean[byte_src].tobytes()),
+            ],
+        )
+
     dict_arr = pc.dictionary_encode(terms)
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = dict_arr.dictionary
 
-    keys = tok_doc.astype(np.int64) * len(vocab) + codes
+    keys = occ_doc.astype(np.int64) * len(vocab) + codes
     order = np.argsort(keys, kind="stable")
     sk = keys[order]
     grp_start = np.concatenate(([0], np.flatnonzero(sk[1:] != sk[:-1]) + 1))
     grp_bounds = np.append(grp_start, sk.size)
     ukeys = sk[grp_start]
 
+    if occ_full is None:
+        tfs = np.diff(grp_bounds).astype(np.int32)
+    else:
+        tfs = np.add.reduceat(
+            occ_full[order].astype(np.int32), grp_bounds[:-1]
+        ).astype(np.int32)
+
     positions = pa.ListArray.from_arrays(
         pa.array(grp_bounds, type=pa.int32()),
         pa.StructArray.from_arrays(
             [
-                pa.array(rel_begin[order], type=pa.int32()),
-                pa.array(rel_end[order], type=pa.int32()),
-                pa.array(pos[order], type=pa.int32()),
+                pa.array(occ_begin[order], type=pa.int32()),
+                pa.array(occ_end[order], type=pa.int32()),
+                pa.array(occ_pos[order], type=pa.int32()),
             ],
             names=["begin", "end", "pos"],
         ),
@@ -156,13 +212,15 @@ def _assemble_ascii(texts: List[str], doc_ids: np.ndarray) -> pa.RecordBatch:
             pc.take(vocab, pa.array(ukeys % len(vocab))),
             pa.array(doc_ids[(ukeys // len(vocab))], type=pa.int64()),
             positions,
-            pa.array(np.diff(grp_bounds).astype(np.int32), type=pa.int32()),
+            pa.array(tfs, type=pa.int32()),
         ],
         schema=POSTINGS_ARROW_SCHEMA,
     )
 
 
-def _assemble_fallback(texts: List[str], doc_ids: List[int]) -> pa.RecordBatch:
+def _assemble_fallback(
+    texts: List[str], doc_ids: List[int], ngrams: bool = False
+) -> pa.RecordBatch:
     """Exact Python path for non-ASCII docs (byte-offset semantics)."""
     from .udfs import _analyze_one
 
@@ -172,7 +230,7 @@ def _assemble_fallback(texts: List[str], doc_ids: List[int]) -> pa.RecordBatch:
     tf_col: List[int] = []
     for doc_id, text in zip(doc_ids, texts):
         per: dict = {}
-        for term, b, e, p, full in _analyze_one(text, False):
+        for term, b, e, p, full in _analyze_one(text, ngrams):
             ent = per.get(term)
             if ent is None:
                 per[term] = ent = ([], [0])
@@ -182,6 +240,7 @@ def _assemble_fallback(texts: List[str], doc_ids: List[int]) -> pa.RecordBatch:
         for term, (plist, tf) in per.items():
             t_col.append(term)
             d_col.append(doc_id)
+            plist.sort(key=lambda q: (q["begin"], q["end"], q["pos"]))
             p_col.append(plist)
             tf_col.append(tf[0])
     return pa.RecordBatch.from_pydict(
@@ -190,31 +249,45 @@ def _assemble_fallback(texts: List[str], doc_ids: List[int]) -> pa.RecordBatch:
     )
 
 
-def assemble_postings_arrow(
-    batches: Iterator[pa.RecordBatch],
-) -> Iterator[pa.RecordBatch]:
-    """mapInArrow kernel: (doc_id, text) batches -> posting batches."""
-    for batch in batches:
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        ascii_texts: List[str] = []
-        ascii_ids: List[int] = []
-        other_texts: List[str] = []
-        other_ids: List[int] = []
-        for d, t in zip(doc_ids, texts):
-            if t is None:
-                continue
-            if t.isascii():
-                ascii_texts.append(t)
-                ascii_ids.append(d)
-            else:
-                other_texts.append(t)
-                other_ids.append(d)
-        if ascii_texts:
-            yield _assemble_ascii(ascii_texts, np.asarray(ascii_ids, np.int64))
-            yield _stat_batch(ascii_ids, [len(t) for t in ascii_texts])
-        if other_texts:
-            yield _assemble_fallback(other_texts, other_ids)
-            yield _stat_batch(
-                other_ids, [len(t.encode("utf-8")) for t in other_texts]
-            )
+def make_assemble_postings_arrow(ngrams: bool = False):
+    """mapInArrow kernel factory: (doc_id, text) batches -> postings.
+
+    ``ngrams=False`` -> production full-token index; ``ngrams=True`` ->
+    the reference's parity ``lowercase_ngrams`` index, vectorized (the
+    prefix expansion runs as numpy arithmetic, not per-token Python).
+    """
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text").to_pylist()
+            ascii_texts: List[str] = []
+            ascii_ids: List[int] = []
+            other_texts: List[str] = []
+            other_ids: List[int] = []
+            for d, t in zip(doc_ids, texts):
+                if t is None:
+                    continue
+                if t.isascii():
+                    ascii_texts.append(t)
+                    ascii_ids.append(d)
+                else:
+                    other_texts.append(t)
+                    other_ids.append(d)
+            if ascii_texts:
+                yield _assemble_ascii(
+                    ascii_texts, np.asarray(ascii_ids, np.int64), ngrams
+                )
+                yield _stat_batch(ascii_ids, [len(t) for t in ascii_texts])
+            if other_texts:
+                yield _assemble_fallback(other_texts, other_ids, ngrams)
+                yield _stat_batch(
+                    other_ids, [len(t.encode("utf-8")) for t in other_texts]
+                )
+
+    return kernel
+
+
+# production (full-token) kernel — kept as a module-level function for
+# existing call sites
+assemble_postings_arrow = make_assemble_postings_arrow(False)

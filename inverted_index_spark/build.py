@@ -208,25 +208,20 @@ def build_and_save(
     # exploded-token shuffle + collect_list of the naive plan
     # (build_index) is pure overhead at scale. The only shuffle left is
     # the (term, salt) layout repartition of the assembled rows.
-    # Production (full-token) indexes use the batch-vectorized
-    # mapInArrow kernel (arrow_build.py, no per-token Python); the
-    # parity ngram path keeps the per-doc Python assembler. The
-    # explicit repartition before the UDF pins the tokenizer stage's
+    # Both index flavors use the batch-vectorized mapInArrow kernel
+    # (arrow_build.py, no per-token Python): ngrams=True expands edge
+    # n-grams with numpy arithmetic (the reference's index-time
+    # lowercase_ngrams chain, tokenizers.rs:288-293). The explicit
+    # repartition before the UDF pins the tokenizer stage's
     # parallelism (file-split coalescing of a small-but-dense text
     # table must not serialize it).
-    from .udfs import POSTINGS_ROW_SCHEMA, assemble_postings_batches
+    from .arrow_build import make_assemble_postings_arrow
+    from .udfs import POSTINGS_ROW_SCHEMA
 
     src = docs.select("doc_id", "text").repartition(term_buckets, F.col("doc_id"))
-    if ngrams:
-        assembled = src.mapInPandas(
-            assemble_postings_batches(True), schema=POSTINGS_ROW_SCHEMA
-        )
-    else:
-        from .arrow_build import assemble_postings_arrow
-
-        assembled = src.mapInArrow(
-            assemble_postings_arrow, schema=POSTINGS_ROW_SCHEMA
-        )
+    assembled = src.mapInArrow(
+        make_assemble_postings_arrow(ngrams), schema=POSTINGS_ROW_SCHEMA
+    )
     if layout == "term":
         assembled = assembled.repartition(
             term_buckets,

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .build import FtsIndex, load_index
-from .udfs import POSTINGS_ROW_SCHEMA, assemble_postings_batches
+from .udfs import POSTINGS_ROW_SCHEMA
 
 DELTA_DIR = "postings_delta"
 TOMB_DIR = "tombstones"
@@ -83,14 +83,10 @@ def merged_postings(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _assemble(docs: DataFrame, ngrams: bool) -> DataFrame:
-    if ngrams:
-        return docs.select("doc_id", "text").mapInPandas(
-            assemble_postings_batches(True), schema=POSTINGS_ROW_SCHEMA
-        )
-    from .arrow_build import assemble_postings_arrow
+    from .arrow_build import make_assemble_postings_arrow
 
     return docs.select("doc_id", "text").mapInArrow(
-        assemble_postings_arrow, schema=POSTINGS_ROW_SCHEMA
+        make_assemble_postings_arrow(ngrams), schema=POSTINGS_ROW_SCHEMA
     )
 
 

@@ -113,3 +113,53 @@ def test_mixed_ascii_and_unicode_batch():
     for i, t in enumerate(texts):
         expect.update(_python_assemble(i, t))
     assert _arrow_assemble(texts) == expect
+
+
+def _python_assemble_ngrams(doc_id, text):
+    per = {}
+    for term, b, e, p, full in _analyze_one(text, True):
+        ent = per.setdefault(term, [[], 0])
+        ent[0].append((b, e, p))
+        if full:
+            ent[1] += 1
+    return {
+        (term, doc_id): (sorted(pl), tf) for term, (pl, tf) in per.items()
+    }
+
+
+def _arrow_assemble_ngrams(texts):
+    from inverted_index_spark.arrow_build import make_assemble_postings_arrow
+
+    batch = pa.RecordBatch.from_pydict(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    got = {}
+    for out in make_assemble_postings_arrow(True)(iter([batch])):
+        d = out.to_pydict()
+        for term, doc, pl, tf in zip(
+            d["term"], d["doc_id"], d["positions"], d["tf"]
+        ):
+            if term == "":
+                continue
+            got[(term, doc)] = (
+                [(q["begin"], q["end"], q["pos"]) for q in pl],
+                tf,
+            )
+    return got
+
+
+def test_arrow_ngram_assembly_matches_python():
+    texts = CASES + ["batch batch batch", "a,b interior", "aaa aa a"]
+    expect = {}
+    for i, t in enumerate(texts):
+        expect.update(_python_assemble_ngrams(i, t))
+    assert _arrow_assemble_ngrams(texts) == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=8))
+def test_arrow_ngram_assembly_property(texts):
+    expect = {}
+    for i, t in enumerate(texts):
+        expect.update(_python_assemble_ngrams(i, t))
+    assert _arrow_assemble_ngrams(texts) == expect

@@ -299,18 +299,21 @@ def load_index(
     """Load a persisted index. ``docs`` supplies the document table when
     the index was built with ``store_docs=False`` (the doc store then
     lives in the caller's lakehouse, not the index directory)."""
+    from . import commitio
+
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
-    if docs is None and os.path.exists(os.path.join(path, "docs")):
-        docs = spark.read.parquet(os.path.join(path, "docs"))
+    docs_dir = commitio.table_path(path, "docs")
+    if docs is None and os.path.exists(docs_dir):
+        docs = spark.read.parquet(docs_dir)
     return FtsIndex(
         # stat rows (term='', build_and_save) never match a real term
         # but must not surface as postings
-        postings=spark.read.parquet(os.path.join(path, "postings")).filter(
-            F.col("term") != ""
-        ),
-        docstats=spark.read.parquet(os.path.join(path, "docstats")),
-        termdict=spark.read.parquet(os.path.join(path, "termdict")),
+        postings=spark.read.parquet(
+            commitio.table_path(path, "postings")
+        ).filter(F.col("term") != ""),
+        docstats=spark.read.parquet(commitio.table_path(path, "docstats")),
+        termdict=spark.read.parquet(commitio.table_path(path, "termdict")),
         docs=docs,
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],

@@ -1,0 +1,84 @@
+"""Object-store-safe table commits: versioned dirs + one pointer swap.
+
+The reference mutates its in-memory maps in place
+(/root/reference/src/index.rs:36-51); a distributed index on immutable
+storage needs a commit protocol instead. The earlier layout swapped
+directories with ``shutil.rmtree`` + ``os.replace`` — fine on a local
+POSIX filesystem, broken on object stores (rename is copy+delete, and a
+reader between the two calls sees a missing table).
+
+Protocol here (the Iceberg/Delta pattern, hand-rolled over parquet):
+
+* every rewrite of a derived table lands in a NEW versioned directory
+  ``<name>.v<gen>`` — existing directories are never modified;
+* readers resolve a logical table name through ``catalog.json``
+  (``table_path``), falling back to the bare ``<name>`` directory for
+  gen-0 layouts written by build_and_save;
+* a batch commits by swapping the single small pointer file once
+  (``publish`` — write-temp + atomic rename locally; on a real object
+  store this maps to one conditional PUT / CAS of the catalog object);
+* a crash before ``publish`` leaves the old catalog pointing at intact
+  old directories — half-written versions are invisible garbage;
+* superseded version directories are removed only AFTER the pointer
+  swap (``gc_superseded``) — production deployments would defer this by
+  a grace period so in-flight readers finish.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, Optional
+
+CATALOG = "catalog.json"
+
+
+def _catalog(path: str) -> Dict[str, str]:
+    cat = os.path.join(path, CATALOG)
+    if os.path.exists(cat):
+        with open(cat) as fh:
+            return json.load(fh)
+    return {}
+
+
+def table_path(path: str, name: str) -> str:
+    """Resolve a logical table name to its current directory."""
+    return os.path.join(path, _catalog(path).get(name, name))
+
+
+def version_dir(path: str, name: str, gen: int) -> str:
+    """Directory a new version of ``name`` should be written to."""
+    return os.path.join(path, f"{name}.v{gen}")
+
+
+def publish(path: str, updates: Dict[str, int]) -> Dict[str, Optional[str]]:
+    """Atomically point each table at its new generation directory.
+
+    ``updates`` maps table name -> generation written via
+    ``version_dir``. Returns the superseded directory per table (None
+    when there was none) for ``gc_superseded``.
+    """
+    entries = _catalog(path)
+    old: Dict[str, Optional[str]] = {}
+    for name, gen in updates.items():
+        prev = entries.get(name)
+        # bare <name> dirs (gen-0 base) are also superseded targets
+        if prev is None and os.path.isdir(os.path.join(path, name)):
+            prev = name
+        old[name] = prev
+        entries[name] = f"{name}.v{gen}"
+    cat = os.path.join(path, CATALOG)
+    tmp = cat + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh, indent=1)
+    os.replace(tmp, cat)
+    return old
+
+
+def gc_superseded(path: str, old: Dict[str, Optional[str]]) -> None:
+    """Best-effort removal of superseded version directories (call only
+    after ``publish`` returned them)."""
+    for prev in old.values():
+        if prev:
+            shutil.rmtree(os.path.join(path, prev), ignore_errors=True)

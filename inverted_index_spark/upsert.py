@@ -35,6 +35,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import commitio
 from .build import FtsIndex, load_index
 from .udfs import POSTINGS_ROW_SCHEMA
 
@@ -61,7 +62,7 @@ def merged_postings(spark: SparkSession, path: str) -> DataFrame:
     ``gen``. A per-doc max-tombstone-generation table (one small agg)
     joins against every row: keep iff ``row.gen >= max_tomb_gen(doc)``.
     """
-    base = spark.read.parquet(os.path.join(path, "postings")).withColumn(
+    base = spark.read.parquet(commitio.table_path(path, "postings")).withColumn(
         "gen", F.lit(0)
     )
     delta_path = os.path.join(path, DELTA_DIR)
@@ -121,13 +122,16 @@ def upsert_saved(
         .parquet(os.path.join(path, TOMB_DIR, f"gen={gen}"))
     )
 
+    # derived tables are rewritten into NEW versioned directories and
+    # committed with a single catalog-pointer swap (commitio.py) —
+    # object-store-safe: no in-place rename/delete of live data
     merged = merged_postings(spark, path)
     postings = merged.filter(F.col("term") != "")
     postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df_full"),
         F.sum("tf").cast("long").alias("cf"),
-    ).write.mode("overwrite").parquet(os.path.join(path, "termdict.new"))
+    ).write.mode("overwrite").parquet(commitio.version_dir(path, "termdict", gen))
     (
         merged.filter(F.col("term") == "")
         .select("doc_id", F.col("tf").cast("int").alias("doclen_bytes"))
@@ -140,15 +144,13 @@ def upsert_saved(
         )
         .fillna({"doclen_tokens": 0})
         .write.mode("overwrite")
-        .parquet(os.path.join(path, "docstats.new"))
+        .parquet(commitio.version_dir(path, "docstats", gen))
     )
-    for name in ("termdict", "docstats"):
-        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-        os.replace(os.path.join(path, f"{name}.new"), os.path.join(path, name))
+    updates = {"termdict": gen, "docstats": gen}
 
     # keep the doc store (if this index carries one) in sync, or
     # highlight/doc lookups would serve superseded text
-    docs_dir = os.path.join(path, "docs")
+    docs_dir = commitio.table_path(path, "docs")
     if os.path.isdir(docs_dir):
         base_docs = spark.read.parquet(docs_dir)
         (
@@ -157,16 +159,18 @@ def upsert_saved(
             )
             .unionByName(changed_docs, allowMissingColumns=True)
             .write.mode("overwrite")
-            .parquet(os.path.join(path, "docs.new"))
+            .parquet(commitio.version_dir(path, "docs", gen))
         )
-        shutil.rmtree(docs_dir)
-        os.replace(os.path.join(path, "docs.new"), docs_dir)
-        if docs is None:
-            docs = spark.read.parquet(docs_dir)
+        updates["docs"] = gen
+
+    superseded = commitio.publish(path, updates)
+    commitio.gc_superseded(path, superseded)
+    if "docs" in updates and docs is None:
+        docs = spark.read.parquet(commitio.table_path(path, "docs"))
 
     _invalidate_segments(spark, path, changed_docs)
 
-    docstats = spark.read.parquet(os.path.join(path, "docstats"))
+    docstats = spark.read.parquet(commitio.table_path(path, "docstats"))
     stats = docstats.agg(
         F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")
     ).collect()[0]
@@ -180,7 +184,7 @@ def upsert_saved(
     return FtsIndex(
         postings=postings,
         docstats=docstats,
-        termdict=spark.read.parquet(os.path.join(path, "termdict")),
+        termdict=spark.read.parquet(commitio.table_path(path, "termdict")),
         docs=docs,
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
@@ -237,13 +241,16 @@ def compact_index(spark: SparkSession, path: str) -> None:
     """Fold delta generations back into a generation-0 base (the
     maintenance job a real deployment schedules off-peak)."""
     meta = _meta(path)
-    if int(meta.get("generation", 0)) == 0:
+    gen = int(meta.get("generation", 0))
+    if gen == 0:
         return
     merged_postings(spark, path).sortWithinPartitions(
         "term", "doc_id"
-    ).write.mode("overwrite").parquet(os.path.join(path, "postings.new"))
-    shutil.rmtree(os.path.join(path, "postings"))
-    os.replace(os.path.join(path, "postings.new"), os.path.join(path, "postings"))
+    ).write.mode("overwrite").parquet(
+        commitio.version_dir(path, "postings", gen)
+    )
+    superseded = commitio.publish(path, {"postings": gen})
+    commitio.gc_superseded(path, superseded)
     shutil.rmtree(os.path.join(path, DELTA_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(path, TOMB_DIR), ignore_errors=True)
     meta["generation"] = 0

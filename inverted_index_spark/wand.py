@@ -152,7 +152,9 @@ def _query_weights(
         per_query_terms.append(terms)
     all_terms = sorted({t for ts in per_query_terms for t in ts})
     if termdict is None:
-        termdict = spark.read.parquet(os.path.join(index_path, "termdict"))
+        from .commitio import table_path
+
+        termdict = spark.read.parquet(table_path(index_path, "termdict"))
     dfs = {
         r["term"]: r["df_full"]
         for r in termdict.filter(F.col("term").isin(all_terms)).collect()

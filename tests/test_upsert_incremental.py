@@ -159,3 +159,38 @@ def test_compact_preserves_results(spark, saved):
     import json
 
     assert json.load(open(os.path.join(saved, "meta.json")))["generation"] == 0
+
+
+def test_commit_protocol_versioned_dirs_and_crash_safety(spark, tmp_path):
+    """Upserts commit derived tables via versioned dirs + one catalog
+    pointer swap; a half-written version without a publish is invisible
+    to readers (object-store-safe, no in-place dir replacement)."""
+    import json
+    import os
+
+    from inverted_index_spark.build import build_and_save, load_index
+    from inverted_index_spark.commitio import table_path, version_dir
+    from inverted_index_spark.upsert import upsert_saved
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"doc number w{i % 5} text") for i in range(30)],
+        "doc_id long, text string",
+    )
+    build_and_save(spark, docs, path, ngrams=False)
+    upsert_saved(
+        spark,
+        path,
+        spark.createDataFrame([(3, "changed entirely now")], "doc_id long, text string"),
+    )
+    cat = json.load(open(os.path.join(path, "catalog.json")))
+    assert cat["termdict"] == "termdict.v1"
+    assert os.path.isdir(os.path.join(path, "termdict.v1"))
+    assert not os.path.isdir(os.path.join(path, "termdict"))  # superseded, gc'd
+    assert table_path(path, "termdict").endswith("termdict.v1")
+
+    # simulate a crash: a half-written v2 exists but was never published
+    os.makedirs(version_dir(path, "termdict", 2))
+    idx = load_index(spark, path)
+    assert idx.termdict.count() > 0  # still served from v1
+    assert table_path(path, "termdict").endswith("termdict.v1")

@@ -291,3 +291,28 @@ def make_assemble_postings_arrow(ngrams: bool = False):
 # production (full-token) kernel — kept as a module-level function for
 # existing call sites
 assemble_postings_arrow = make_assemble_postings_arrow(False)
+
+
+def make_assemble_sorted_arrow(ngrams: bool = False):
+    """Partition-sorting kernel: assemble every batch, then emit the
+    whole partition (term, doc_id)-sorted in one columnar arrow sort.
+
+    Replaces the downstream ``sortWithinPartitions`` row sort: the sort
+    happens on columnar buffers (one sort_indices + gathers) before the
+    rows ever cross into the JVM, so the JVM side is a straight
+    arrow -> row -> parquet pipeline.
+    """
+    inner = make_assemble_postings_arrow(ngrams)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pa.set_cpu_count(1)  # never oversubscribe a task slot
+        out = list(inner(batches))
+        if not out:
+            return
+        table = pa.Table.from_batches(out).sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")]
+        )
+        for b in table.to_batches(max_chunksize=65536):
+            yield b
+
+    return kernel

@@ -219,20 +219,32 @@ def build_and_save(
     from .udfs import POSTINGS_ROW_SCHEMA
 
     src = docs.select("doc_id", "text").repartition(term_buckets, F.col("doc_id"))
-    assembled = src.mapInArrow(
-        make_assemble_postings_arrow(ngrams), schema=POSTINGS_ROW_SCHEMA
-    )
-    if layout == "term":
-        assembled = assembled.repartition(
-            term_buckets,
-            F.col("term"),
-            F.pmod(F.xxhash64("doc_id"), F.lit(max(salt, 1))),
+    kernel_sort = layout == "doc" and os.environ.get(
+        "SPARK_GRAFT_KERNEL_SORT", "1"
+    ) not in ("0", "false")
+    if kernel_sort:
+        # doc layout keeps assembly output in its final partition, so
+        # the (term, doc_id) sort can happen inside the kernel on
+        # columnar arrow buffers (make_assemble_sorted_arrow) — the JVM
+        # side becomes a straight arrow -> parquet pipeline with no row
+        # sort at all
+        from .arrow_build import make_assemble_sorted_arrow
+
+        assembled = src.mapInArrow(
+            make_assemble_sorted_arrow(ngrams), schema=POSTINGS_ROW_SCHEMA
         )
-    (
-        assembled.sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "postings"))
-    )
+    else:
+        assembled = src.mapInArrow(
+            make_assemble_postings_arrow(ngrams), schema=POSTINGS_ROW_SCHEMA
+        )
+        if layout == "term":
+            assembled = assembled.repartition(
+                term_buckets,
+                F.col("term"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(max(salt, 1))),
+            )
+        assembled = assembled.sortWithinPartitions("term", "doc_id")
+    assembled.write.mode("overwrite").parquet(os.path.join(path, "postings"))
     raw = spark.read.parquet(os.path.join(path, "postings"))
     postings = raw.filter(F.col("term") != "")
 

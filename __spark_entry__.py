@@ -174,6 +174,16 @@ def _q_jaccard_pairs(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), k=2, threshold=0.05)
 
 
+def _q_jaccard_capped(spark, sf):
+    from inverted_index_spark.pipelines.dedup import ngram_jaccard_pairs
+
+    # df cap binds at sf0.01 (common 2-shingles reach df in the hundreds):
+    # candidate generation skips hot shingles, verification stays exact
+    return ngram_jaccard_pairs(
+        _docs(spark, sf), k=2, threshold=0.05, max_shingle_df=50
+    )
+
+
 def _q_simhash(spark, sf):
     from inverted_index_spark.pipelines.dedup import simhash
 
@@ -326,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_capped": _q_jaccard_capped,
         "simhash": _q_simhash,
         "langid": _q_langid,
         "quality": _q_quality,
@@ -575,6 +586,32 @@ def oracle_sql() -> dict[str, str]:
               select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
               from sh a join sh b
                 on a.shingle = b.shingle and a.doc_id < b.doc_id
+              group by 1, 2
+            )
+            select doc_a, doc_b,
+                   round(i / (sa.sz + sb.sz - i), 4)::double as jaccard
+            from inter
+            join sz sa on sa.doc_id = doc_a
+            join sz sb on sb.doc_id = doc_b
+            where round(i / (sa.sz + sb.sz - i), 4) >= 0.05
+        """,
+        "jaccard_capped": f"""
+            with sh as ({shingle2}),
+            sz as (select doc_id, count(*) as sz from sh group by doc_id),
+            rare as (
+              select shingle from sh group by shingle having count(*) <= 50
+            ),
+            csh as (select sh.* from sh join rare using (shingle)),
+            cand as (
+              select distinct a.doc_id as doc_a, b.doc_id as doc_b
+              from csh a join csh b
+                on a.shingle = b.shingle and a.doc_id < b.doc_id
+            ),
+            inter as (
+              select c.doc_a, c.doc_b, count(*) as i
+              from cand c
+              join sh a on a.doc_id = c.doc_a
+              join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
               group by 1, 2
             )
             select doc_a, doc_b,

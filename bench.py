@@ -81,6 +81,7 @@ def main() -> None:
     # table — the index references it rather than duplicating it
     build_and_save(spark, docs, idx_path, ngrams=False, store_docs=False)
     build_sec = time.perf_counter() - t0
+    t_wall1 = time.time()  # end of the build window (event-log basis)
 
     from inverted_index_spark.segments import build_segments
     from inverted_index_spark.wand import wand_topk
@@ -113,6 +114,7 @@ def main() -> None:
                     "postings_built_per_sec": round(n_postings / build_sec, 1),
                     "tokens_indexed_per_sec": round(n_tokens / build_sec, 1),
                     "build_started_epoch_ms": int(t_wall0 * 1000),
+                    "build_ended_epoch_ms": int(t_wall1 * 1000),
                 }
             )
         )

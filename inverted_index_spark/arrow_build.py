@@ -29,7 +29,7 @@ prefix expansion is test-scale only.
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -85,6 +85,92 @@ def _stat_batch(doc_ids, byte_lens) -> pa.RecordBatch:
     )
 
 
+def _tokenize_ascii(texts: List[str], doc_ids: np.ndarray, ngrams: bool):
+    """Vectorized tokenization of one ASCII batch -> flat occurrence
+    arrays (terms: pa.StringArray, doc (actual ids), begin, end, pos,
+    full-or-None). Shared by the per-batch grouper and the
+    partition-sorting kernel."""
+    joined = "\n".join(texts)
+    arr = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    doc_starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+
+    al = _ASCII_AL_TAB[arr]
+    ai = np.flatnonzero(al)
+    if ai.size == 0:
+        z = np.empty(0, np.int64)
+        return pa.array([], pa.utf8()), z, z, z, z, None
+    ws = _ASCII_WS_TAB[arr]
+    nonws = ~ws
+    run_start = nonws.copy()
+    run_start[1:] &= ws[:-1]
+    rid = np.cumsum(run_start)
+    r = rid[ai]
+    newtok = np.empty(ai.size, dtype=bool)
+    newtok[0] = True
+    np.not_equal(r[1:], r[:-1], out=newtok[1:])
+    tok_start = np.flatnonzero(newtok)
+    bounds = np.append(tok_start, ai.size)
+    abs_begin = ai[tok_start]
+    abs_end = ai[bounds[1:] - 1] + 1
+
+    tok_doc = np.searchsorted(doc_starts, abs_begin, side="right") - 1
+    rel_begin = (abs_begin - doc_starts[tok_doc]).astype(np.int64)
+    rel_end = (abs_end - doc_starts[tok_doc]).astype(np.int64)
+    # ordinal within doc, O(n): tok_doc is non-decreasing
+    dstart = np.flatnonzero(
+        np.concatenate(([True], tok_doc[1:] != tok_doc[:-1]))
+    )
+    first = np.repeat(dstart, np.diff(np.append(dstart, tok_doc.size)))
+    pos = np.arange(tok_doc.size) - first
+
+    clean = _LOWER[arr[ai]]
+
+    if not ngrams:
+        terms = pa.Array.from_buffers(
+            pa.utf8(),
+            tok_doc.size,
+            [
+                None,
+                pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                pa.py_buffer(clean.tobytes()),
+            ],
+        )
+        return terms, doc_ids[tok_doc], rel_begin, rel_end, pos, None
+
+    tok_len = np.diff(bounds)
+    n_out = int(tok_len.sum())
+    occ_tok = np.repeat(np.arange(tok_len.size), tok_len)
+    tok_off = np.concatenate(([0], np.cumsum(tok_len)))[:-1]
+    plen = np.arange(n_out) - tok_off[occ_tok] + 1
+    occ_begin = rel_begin[occ_tok]
+    # ngram end counts ONLY kept term chars from begin (the reference's
+    # finish accumulator, tokenizers.rs:222-239)
+    occ_end = occ_begin + plen
+    occ_full = plen == tok_len[occ_tok]
+    out_off = np.concatenate(([0], np.cumsum(plen)))
+    byte_src = np.repeat(bounds[occ_tok], plen) + (
+        np.arange(out_off[-1]) - np.repeat(out_off[:-1], plen)
+    )
+    terms = pa.Array.from_buffers(
+        pa.utf8(),
+        n_out,
+        [
+            None,
+            pa.py_buffer(out_off.astype(np.int32).tobytes()),
+            pa.py_buffer(clean[byte_src].tobytes()),
+        ],
+    )
+    return (
+        terms,
+        doc_ids[tok_doc][occ_tok],
+        occ_begin,
+        occ_end,
+        pos[occ_tok],
+        occ_full,
+    )
+
+
 def _assemble_ascii(
     texts: List[str], doc_ids: np.ndarray, ngrams: bool = False
 ) -> pa.RecordBatch:
@@ -96,113 +182,40 @@ def _assemble_ascii(
     no per-token Python: the prefix expansion is np.repeat/arange
     arithmetic and one gather that builds the prefix string buffer.
     """
-    joined = "\n".join(texts)
-    arr = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
-    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
-    doc_starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
-
-    al = _ASCII_AL_TAB[arr]
-    ai = np.flatnonzero(al)
-    if ai.size == 0:
+    terms, d, b, e, ppos, full = _tokenize_ascii(
+        texts, np.asarray(doc_ids, np.int64), ngrams
+    )
+    if len(terms) == 0:
         return pa.RecordBatch.from_pydict(
             {c: [] for c in POSTINGS_ARROW_SCHEMA.names},
             schema=POSTINGS_ARROW_SCHEMA,
         )
-    ws = _ASCII_WS_TAB[arr]
-    nonws = ~ws
-    run_start = nonws.copy()
-    run_start[1:] &= ws[:-1]
-    rid = np.cumsum(run_start)
-    r = rid[ai]
-    newtok = np.empty(ai.size, dtype=bool)
-    newtok[0] = True
-    np.not_equal(r[1:], r[:-1], out=newtok[1:])
-    tok_start = np.flatnonzero(newtok)  # first alnum (ai-index) per token
-    bounds = np.append(tok_start, ai.size)
-    abs_begin = ai[tok_start]
-    abs_end = ai[bounds[1:] - 1] + 1
-
-    tok_doc = np.searchsorted(doc_starts, abs_begin, side="right") - 1
-    rel_begin = (abs_begin - doc_starts[tok_doc]).astype(np.int32)
-    rel_end = (abs_end - doc_starts[tok_doc]).astype(np.int32)
-    # ordinal within doc: tok_doc is non-decreasing
-    pos = (np.arange(tok_doc.size) - np.searchsorted(tok_doc, tok_doc)).astype(
-        np.int32
-    )
-
-    clean = _LOWER[arr[ai]]  # lowercased alnum bytes, token-contiguous
-
-    if not ngrams:
-        # term strings: tokens are contiguous spans of the cleaned buffer
-        term_offsets = bounds.astype(np.int32)
-        terms = pa.Array.from_buffers(
-            pa.utf8(),
-            tok_doc.size,
-            [
-                None,
-                pa.py_buffer(term_offsets.tobytes()),
-                pa.py_buffer(clean.tobytes()),
-            ],
-        )
-        occ_doc, occ_begin, occ_end, occ_pos = tok_doc, rel_begin, rel_end, pos
-        occ_full = None  # every occurrence is a full token
-    else:
-        tok_len = np.diff(bounds)  # chars per token
-        n_out = int(tok_len.sum())
-        occ_tok = np.repeat(np.arange(tok_len.size), tok_len)
-        tok_off = np.concatenate(([0], np.cumsum(tok_len)))[:-1]
-        # prefix length of each expanded occurrence: 1..tok_len
-        plen = (np.arange(n_out) - tok_off[occ_tok] + 1).astype(np.int64)
-        occ_doc = tok_doc[occ_tok]
-        occ_begin = rel_begin[occ_tok]
-        # ngram end counts ONLY kept term chars from begin (the
-        # reference's finish accumulator — interior punctuation is not
-        # part of the span, tokenizers.rs:222-239)
-        occ_end = (occ_begin + plen).astype(np.int32)
-        occ_pos = pos[occ_tok]
-        occ_full = plen == tok_len[occ_tok]
-        # prefix string buffer: for occurrence j, bytes are
-        # clean[bounds[tok] : bounds[tok] + plen[j]]
-        out_off = np.concatenate(([0], np.cumsum(plen)))
-        byte_src = (
-            np.repeat(bounds[occ_tok], plen)
-            + (np.arange(out_off[-1]) - np.repeat(out_off[:-1], plen))
-        )
-        terms = pa.Array.from_buffers(
-            pa.utf8(),
-            n_out,
-            [
-                None,
-                pa.py_buffer(out_off.astype(np.int32).tobytes()),
-                pa.py_buffer(clean[byte_src].tobytes()),
-            ],
-        )
-
     dict_arr = pc.dictionary_encode(terms)
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = dict_arr.dictionary
 
-    keys = occ_doc.astype(np.int64) * len(vocab) + codes
+    udocs = np.unique(d)
+    keys = np.searchsorted(udocs, d) * len(vocab) + codes
     order = np.argsort(keys, kind="stable")
     sk = keys[order]
     grp_start = np.concatenate(([0], np.flatnonzero(sk[1:] != sk[:-1]) + 1))
     grp_bounds = np.append(grp_start, sk.size)
     ukeys = sk[grp_start]
 
-    if occ_full is None:
+    if full is None:
         tfs = np.diff(grp_bounds).astype(np.int32)
     else:
         tfs = np.add.reduceat(
-            occ_full[order].astype(np.int32), grp_bounds[:-1]
+            full[order].astype(np.int32), grp_bounds[:-1]
         ).astype(np.int32)
 
     positions = pa.ListArray.from_arrays(
         pa.array(grp_bounds, type=pa.int32()),
         pa.StructArray.from_arrays(
             [
-                pa.array(occ_begin[order], type=pa.int32()),
-                pa.array(occ_end[order], type=pa.int32()),
-                pa.array(occ_pos[order], type=pa.int32()),
+                pa.array(b[order].astype(np.int32), type=pa.int32()),
+                pa.array(e[order].astype(np.int32), type=pa.int32()),
+                pa.array(ppos[order].astype(np.int32), type=pa.int32()),
             ],
             names=["begin", "end", "pos"],
         ),
@@ -210,7 +223,7 @@ def _assemble_ascii(
     return pa.RecordBatch.from_arrays(
         [
             pc.take(vocab, pa.array(ukeys % len(vocab))),
-            pa.array(doc_ids[(ukeys // len(vocab))], type=pa.int64()),
+            pa.array(udocs[(ukeys // len(vocab))], type=pa.int64()),
             positions,
             pa.array(tfs, type=pa.int32()),
         ],
@@ -294,25 +307,257 @@ assemble_postings_arrow = make_assemble_postings_arrow(False)
 
 
 def make_assemble_sorted_arrow(ngrams: bool = False):
-    """Partition-sorting kernel: assemble every batch, then emit the
-    whole partition (term, doc_id)-sorted in one columnar arrow sort.
+    """Partition-sorting kernel: tokenize per batch, then group AND
+    (term, doc_id)-sort the whole partition in one integer-key pass.
 
-    Replaces the downstream ``sortWithinPartitions`` row sort: the sort
-    happens on columnar buffers (one sort_indices + gathers) before the
-    rows ever cross into the JVM, so the JVM side is a straight
-    arrow -> row -> parquet pipeline.
+    Replaces the downstream ``sortWithinPartitions`` row sort. Tokens
+    accumulate as flat columnar arrays; ONE dictionary encode over the
+    partition maps terms to codes, vocab ranks give the term sort
+    order, and a single stable argsort of ``rank * n_docs + doc``
+    composite int64 keys produces the grouped rows directly in final
+    file order — terms are compared as strings only once (inside the
+    small vocab sort), never per row, and the positions lists are built
+    already ordered so nothing is re-gathered afterwards. The JVM side
+    is a straight arrow -> row -> parquet pipeline with no sort at all.
+
+    Per-doc stat rows (term='') are emitted first — exactly where the
+    (term, doc_id) sort would place them.
     """
-    inner = make_assemble_postings_arrow(ngrams)
-
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pa.set_cpu_count(1)  # never oversubscribe a task slot
-        out = list(inner(batches))
-        if not out:
+        term_chunks: List[pa.Array] = []
+        d_chunks: List[np.ndarray] = []
+        b_chunks: List[np.ndarray] = []
+        e_chunks: List[np.ndarray] = []
+        p_chunks: List[np.ndarray] = []
+        f_chunks: List[np.ndarray] = []
+        stat_ids: List[int] = []
+        stat_lens: List[int] = []
+        fallback: List[pa.RecordBatch] = []
+
+        for batch in batches:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text").to_pylist()
+            ascii_texts: List[str] = []
+            ascii_ids: List[int] = []
+            other_texts: List[str] = []
+            other_ids: List[int] = []
+            for did, t in zip(ids, texts):
+                if t is None:
+                    continue
+                if t.isascii():
+                    ascii_texts.append(t)
+                    ascii_ids.append(did)
+                else:
+                    other_texts.append(t)
+                    other_ids.append(did)
+            if ascii_texts:
+                terms, d, b, e, p, full = _tokenize_ascii(
+                    ascii_texts, np.asarray(ascii_ids, np.int64), ngrams
+                )
+                if len(terms):
+                    term_chunks.append(terms)
+                    d_chunks.append(d)
+                    b_chunks.append(b)
+                    e_chunks.append(e)
+                    p_chunks.append(p)
+                    if full is not None:
+                        f_chunks.append(full)
+                stat_ids += ascii_ids
+                stat_lens += [len(t) for t in ascii_texts]
+            if other_texts:
+                fallback.append(
+                    _assemble_fallback(other_texts, other_ids, ngrams)
+                )
+                stat_ids += other_ids
+                stat_lens += [len(t.encode("utf-8")) for t in other_texts]
+
+        if stat_ids:
+            sid = np.asarray(stat_ids, np.int64)
+            slen = np.asarray(stat_lens, np.int64)
+            so = np.argsort(sid, kind="stable")
+            yield _stat_batch(sid[so], slen[so])
+        if not term_chunks and not fallback:
             return
-        table = pa.Table.from_batches(out).sort_by(
-            [("term", "ascending"), ("doc_id", "ascending")]
+
+        rows: Optional[pa.Table] = None
+        if term_chunks:
+            terms_all = pa.concat_arrays(term_chunks)
+            dict_arr = pc.dictionary_encode(terms_all)
+            codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vocab = dict_arr.dictionary
+            # term sort order via the (small) vocab, not per-row strings
+            vorder = pc.sort_indices(vocab).to_numpy().astype(np.int64)
+            rank = np.empty(len(vocab), np.int64)
+            rank[vorder] = np.arange(len(vocab))
+            d = np.concatenate(d_chunks)
+            udocs = np.unique(d)
+            keys = rank[codes] * udocs.size + np.searchsorted(udocs, d)
+            order = np.argsort(keys, kind="stable")
+            sk = keys[order]
+            grp_start = np.concatenate(
+                ([0], np.flatnonzero(sk[1:] != sk[:-1]) + 1)
+            )
+            grp_bounds = np.append(grp_start, sk.size)
+            ukeys = sk[grp_start]
+            if f_chunks:
+                full = np.concatenate(f_chunks)
+                tfs = np.add.reduceat(
+                    full[order].astype(np.int32), grp_bounds[:-1]
+                ).astype(np.int32)
+            else:
+                tfs = np.diff(grp_bounds).astype(np.int32)
+            b = np.concatenate(b_chunks)[order].astype(np.int32)
+            e = np.concatenate(e_chunks)[order].astype(np.int32)
+            p = np.concatenate(p_chunks)[order].astype(np.int32)
+            positions = pa.ListArray.from_arrays(
+                pa.array(grp_bounds, type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(b, type=pa.int32()),
+                        pa.array(e, type=pa.int32()),
+                        pa.array(p, type=pa.int32()),
+                    ],
+                    names=["begin", "end", "pos"],
+                ),
+            )
+            rows = pa.Table.from_arrays(
+                [
+                    pc.take(vocab, pa.array(vorder[ukeys // udocs.size])),
+                    pa.array(udocs[ukeys % udocs.size], type=pa.int64()),
+                    positions,
+                    pa.array(tfs, type=pa.int32()),
+                ],
+                schema=POSTINGS_ARROW_SCHEMA,
+            )
+
+        if fallback:
+            # rare path: merge non-ASCII docs' grouped rows, then one
+            # string sort over the combined (small relative to ascii)
+            fb = pa.Table.from_batches(fallback, schema=POSTINGS_ARROW_SCHEMA)
+            rows = pa.concat_tables([rows, fb]) if rows is not None else fb
+            rows = rows.sort_by(
+                [("term", "ascending"), ("doc_id", "ascending")]
+            )
+
+        for out in rows.to_batches(max_chunksize=65536):
+            yield out
+
+    return kernel
+
+
+def make_write_index_arrow(ngrams: bool, path: str):
+    """Kernel-direct index writer: the sorted-assembly kernel writes its
+    partition's postings parquet, final docstats rows, AND per-partition
+    termdict partial aggregates itself, returning one stats row.
+
+    Skips the arrow->JVM IPC, the arrow->InternalRow conversion and the
+    JVM parquet encoder entirely — the data is already columnar arrow in
+    the worker, so pyarrow writes it straight out (same pattern as
+    segments._write_shard). Because the doc layout keeps every doc's
+    rows partition-local, docstats are FINAL per partition; only the
+    tiny termdict partials (one row per distinct term per partition)
+    need a downstream merge. Each file is written atomically via
+    tmp+rename; retries/speculative duplicates produce identical bytes
+    and the rename is idempotent.
+    """
+    import os
+
+    sorted_kernel = make_assemble_sorted_arrow(ngrams)
+    post_dir = os.path.join(path, "postings")
+    ds_dir = os.path.join(path, "docstats")
+    tp_dir = os.path.join(path, "_termdict_partials")
+
+    def _write(table: pa.Table, dirname: str, pid: int, **kw) -> None:
+        import pyarrow.parquet as pq
+
+        fname = os.path.join(dirname, f"part-{pid:05d}.parquet")
+        tmp = fname + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp, **kw)
+        os.replace(tmp, fname)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = list(sorted_kernel(batches))
+        n = 0
+        if out:
+            table = pa.Table.from_batches(out, schema=POSTINGS_ARROW_SCHEMA)
+            n = table.num_rows
+            _write(table, post_dir, pid, row_group_size=1 << 20,
+                   compression="snappy")
+
+            term = table.column("term").combine_chunks()
+            tf = table.column("tf").combine_chunks().to_numpy().astype(np.int64)
+            doc = table.column("doc_id").combine_chunks().to_numpy()
+            is_stat = pc.equal(term, "").to_numpy(zero_copy_only=False)
+            k = int(is_stat.sum())
+            # stat rows sort first (term '' < any real term) and the
+            # kernel emits them first — the posting rows are the suffix
+            assert k == 0 or bool(is_stat[:k].all())
+
+            sdoc = doc[:k]
+            sbytes = tf[:k]
+            pdoc = doc[k:]
+            ptf = tf[k:]
+            ud = np.unique(pdoc)
+            cnt = np.zeros(ud.size, dtype=np.int64)
+            if pdoc.size:
+                cnt = np.bincount(
+                    np.searchsorted(ud, pdoc), weights=ptf, minlength=ud.size
+                ).astype(np.int64)
+            where = np.searchsorted(ud, sdoc)
+            tok = np.zeros(sdoc.size, dtype=np.int64)
+            hit = (where < ud.size)
+            hit[hit] &= ud[where[hit]] == sdoc[hit]
+            tok[hit] = cnt[where[hit]]
+            _write(
+                pa.table(
+                    {
+                        "doc_id": pa.array(sdoc, pa.int64()),
+                        "doclen_bytes": pa.array(
+                            sbytes.astype(np.int32), pa.int32()
+                        ),
+                        "doclen_tokens": pa.array(
+                            tok.astype(np.int32), pa.int32()
+                        ),
+                    }
+                ),
+                ds_dir,
+                pid,
+            )
+
+            if pdoc.size:
+                d2 = pc.dictionary_encode(term.slice(k))
+                codes = d2.indices.to_numpy(zero_copy_only=False)
+                tstart = np.concatenate(
+                    ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1)
+                )
+                df = np.diff(np.append(tstart, codes.size))
+                cf = np.add.reduceat(ptf, tstart)
+                df_full = np.add.reduceat((ptf > 0).astype(np.int64), tstart)
+                _write(
+                    pa.table(
+                        {
+                            "term": pc.take(
+                                d2.dictionary, pa.array(codes[tstart])
+                            ),
+                            "df": pa.array(df.astype(np.int64), pa.int64()),
+                            "df_full": pa.array(df_full, pa.int64()),
+                            "cf": pa.array(cf, pa.int64()),
+                        }
+                    ),
+                    tp_dir,
+                    pid,
+                )
+        yield pa.RecordBatch.from_pydict(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "rows": pa.array([n], pa.int64()),
+            }
         )
-        for b in table.to_batches(max_chunksize=65536):
-            yield b
 
     return kernel

@@ -222,7 +222,29 @@ def build_and_save(
     kernel_sort = layout == "doc" and os.environ.get(
         "SPARK_GRAFT_KERNEL_SORT", "1"
     ) not in ("0", "false")
-    if kernel_sort:
+    direct_write = kernel_sort and os.environ.get(
+        "SPARK_GRAFT_DIRECT_WRITE", "1"
+    ) not in ("0", "false")
+    if direct_write:
+        # kernel-direct sink: the sorted-assembly kernel writes its
+        # partition's postings parquet, final docstats and termdict
+        # partials itself (columnar arrow -> pyarrow writer), skipping
+        # arrow->JVM IPC, InternalRow conversion and the JVM parquet
+        # encoder (cf. segments._write_shard); only the tiny termdict
+        # partial merge remains a Spark job
+        import shutil as _shutil
+
+        from .arrow_build import make_write_index_arrow
+
+        for name in ("postings", "docstats", "_termdict_partials"):
+            d = os.path.join(path, name)
+            _shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+        src.mapInArrow(
+            make_write_index_arrow(ngrams, path),
+            schema="pid int, rows long",
+        ).collect()
+    elif kernel_sort:
         # doc layout keeps assembly output in its final partition, so
         # the (term, doc_id) sort can happen inside the kernel on
         # columnar arrow buffers (make_assemble_sorted_arrow) — the JVM
@@ -244,30 +266,56 @@ def build_and_save(
                 F.pmod(F.xxhash64("doc_id"), F.lit(max(salt, 1))),
             )
         assembled = assembled.sortWithinPartitions("term", "doc_id")
-    assembled.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    if not direct_write:
+        assembled.write.mode("overwrite").parquet(
+            os.path.join(path, "postings")
+        )
     raw = spark.read.parquet(os.path.join(path, "postings"))
     postings = raw.filter(F.col("term") != "")
 
-    postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df_full"),
-        F.sum("tf").cast("long").alias("cf"),
-    ).write.mode("overwrite").parquet(os.path.join(path, "termdict"))
-
-    (
-        raw.filter(F.col("term") == "")
-        .select("doc_id", F.col("tf").cast("int").alias("doclen_bytes"))
-        .join(
-            postings.groupBy("doc_id").agg(
-                F.sum("tf").cast("int").alias("doclen_tokens")
-            ),
-            "doc_id",
-            "left",
+    if direct_write:
+        # docstats were written final per partition by the kernel;
+        # termdict only needs the partial merge (one row per distinct
+        # term per partition — orders of magnitude smaller than the
+        # postings scan the non-direct path aggregates over)
+        tp_dir = os.path.join(path, "_termdict_partials")
+        (
+            spark.read.parquet(tp_dir)
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("df_full").cast("long").alias("df_full"),
+                F.sum("cf").cast("long").alias("cf"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "termdict"))
         )
-        .fillna({"doclen_tokens": 0})
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "docstats"))
-    )
+        import shutil as _shutil
+
+        _shutil.rmtree(tp_dir, ignore_errors=True)
+    else:
+        postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("df_full"),
+            F.sum("tf").cast("long").alias("cf"),
+        ).write.mode("overwrite").parquet(os.path.join(path, "termdict"))
+
+        (
+            raw.filter(F.col("term") == "")
+            .select("doc_id", F.col("tf").cast("int").alias("doclen_bytes"))
+            .join(
+                postings.groupBy("doc_id").agg(
+                    F.sum("tf").cast("int").alias("doclen_tokens")
+                ),
+                "doc_id",
+                "left",
+            )
+            .fillna({"doclen_tokens": 0})
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "docstats"))
+        )
     docstats = spark.read.parquet(os.path.join(path, "docstats"))
 
     stats = docstats.agg(

@@ -156,6 +156,93 @@ def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFram
     )
 
 
+def synth_audio(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Synthetic audio-kind media: payload = magic || n:u32 || fake
+    8-bit PCM derived from the text (stands in for a wav/flac blob)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, metas = [], []
+            for text in pdf["text"]:
+                seed = hashlib.sha1(text.encode("utf-8")).digest()
+                n = 256 + seed[2] % 1024  # samples
+                pcm = (seed * (n // len(seed) + 1))[:n]
+                blobs.append(_MAGIC + struct.pack("<I", n) + pcm)
+                metas.append(
+                    {
+                        "width": 0,
+                        "height": 0,
+                        "sample_rate": sample_rate,
+                        "n_frames": n,
+                        "codec": "fakepcm",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "data": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _decode_audio_bytes(data: bytes) -> np.ndarray:
+    """STUB decode kernel for audio (cf. ``_decode_image_bytes``):
+    parses the synthetic PCM format; replace with soundfile/librosa when
+    codec libraries are available."""
+    if data[: len(_MAGIC)] != _MAGIC:
+        raise NotImplementedError(
+            "real audio codecs are not available in this environment; "
+            "plug a decoder into _decode_audio_bytes"
+        )
+    (n,) = struct.unpack_from("<I", data, len(_MAGIC))
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=n, offset=len(_MAGIC) + 4)
+        .astype(np.float64)
+        / 127.5
+        - 1.0
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples int, duration_sec double, rms double, "
+    "zero_crossings int"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract per clip: length, RMS level, zero
+    crossings — the audio-side analogue of ``image_features``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data, meta in zip(
+                pdf["doc_id"], pdf["data"], pdf["meta"]
+            ):
+                x = _decode_audio_bytes(bytes(data))
+                sr = max(int(meta["sample_rate"]), 1)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": int(x.size),
+                        "duration_sec": round(x.size / sr, 6),
+                        "rms": round(float(np.sqrt((x**2).mean())), 6),
+                        "zero_crossings": int(
+                            np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "data", "meta").mapInPandas(
+        extract, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video-kind media: emit (doc_id, frame_idx,
     frame binary) rows for every ``every_n``-th frame. With the stub

@@ -163,3 +163,79 @@ def test_arrow_ngram_assembly_property(texts):
     for i, t in enumerate(texts):
         expect.update(_python_assemble_ngrams(i, t))
     assert _arrow_assemble_ngrams(texts) == expect
+
+
+@pytest.mark.parametrize("ngrams", [False, True])
+def test_sorted_kernel_matches_per_batch_kernel(ngrams):
+    from inverted_index_spark.arrow_build import (
+        make_assemble_postings_arrow,
+        make_assemble_sorted_arrow,
+    )
+
+    texts = CASES + ["batch batch batch", "zz aa mm", "aa zz"]
+    batches = [
+        pa.RecordBatch.from_pydict(
+            {
+                "doc_id": np.arange(i, i + len(texts[i : i + 5]), dtype=np.int64),
+                "text": texts[i : i + 5],
+            }
+        )
+        for i in range(0, len(texts), 5)
+    ]
+
+    def rowset(out):
+        rows = set()
+        for rb in out:
+            d = rb.to_pydict()
+            for t, doc, pl, tf in zip(
+                d["term"], d["doc_id"], d["positions"], d["tf"]
+            ):
+                rows.add(
+                    (t, doc, tuple((q["begin"], q["end"], q["pos"]) for q in pl), tf)
+                )
+        return rows
+
+    plain = rowset(make_assemble_postings_arrow(ngrams)(iter(batches)))
+    srt = list(make_assemble_sorted_arrow(ngrams)(iter(batches)))
+    assert rowset(srt) == plain
+    # and the emitted order is (term, doc_id) ascending with '' first
+    flat = []
+    for rb in srt:
+        d = rb.to_pydict()
+        flat += list(zip(d["term"], d["doc_id"]))
+    assert flat == sorted(flat)
+
+
+def test_sorted_kernel_mixed_unicode_partition():
+    from inverted_index_spark.arrow_build import (
+        make_assemble_postings_arrow,
+        make_assemble_sorted_arrow,
+    )
+
+    texts = ["plain ascii here", "嗨 您好 unicode doc", "zebra apple", "ñandú mix"]
+    batch = pa.RecordBatch.from_pydict(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": texts}
+    )
+
+    def rowset(out):
+        rows = set()
+        for rb in out:
+            d = rb.to_pydict()
+            for t, doc, pl, tf in zip(
+                d["term"], d["doc_id"], d["positions"], d["tf"]
+            ):
+                rows.add(
+                    (t, doc, tuple((q["begin"], q["end"], q["pos"]) for q in pl), tf)
+                )
+        return rows
+
+    srt = list(make_assemble_sorted_arrow(False)(iter([batch])))
+    assert rowset(srt) == rowset(
+        make_assemble_postings_arrow(False)(iter([batch]))
+    )
+    flat = []
+    for rb in srt:
+        d = rb.to_pydict()
+        flat += list(zip(d["term"], d["doc_id"]))
+    # stats first, then term-sorted (fallback merge path)
+    assert flat == sorted(flat)

@@ -59,3 +59,23 @@ def test_frame_sample_expansion(media):
 def test_decode_rejects_real_formats():
     with pytest.raises(NotImplementedError):
         _decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_audio_features_deterministic(spark):
+    from inverted_index_spark.pipelines.multimodal import (
+        audio_features,
+        synth_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello audio"), (2, "another clip"), (1001, "hello audio")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in audio_features(synth_audio(docs)).collect()}
+    assert set(rows) == {1, 2, 1001}
+    # same text -> same synthetic payload -> identical features
+    a, b = rows[1], rows[1001]
+    assert (a["n_samples"], a["rms"], a["zero_crossings"]) == (
+        b["n_samples"], b["rms"], b["zero_crossings"],
+    )
+    assert rows[1]["duration_sec"] > 0 and 0.0 < rows[1]["rms"] < 1.5

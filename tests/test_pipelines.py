@@ -249,3 +249,48 @@ def test_rolling_fingerprint_matches_pure_python(spark):
     fps = {r["doc_id"]: r["fp"] for r in rolling_fingerprint(docs, window=8).collect()}
     assert fps == {i: expected(t) for i, t in texts.items()}
     assert fps[1] == fps[4]  # exact duplicates always collide
+
+
+def test_jaccard_df_cap_exact_for_pairs_sharing_rare_shingles(spark):
+    """max_shingle_df prunes candidate generation only: pairs that share
+    at least one sub-cap shingle get EXACT jaccard values, identical to
+    the uncapped path."""
+    from inverted_index_spark.pipelines.dedup import ngram_jaccard_pairs
+
+    stop = "the quick brown"  # shared by everyone -> df above cap
+    docs = spark.createDataFrame(
+        [
+            (1, f"{stop} alpha beta gamma"),
+            (2, f"{stop} alpha beta delta"),
+            (3, f"{stop} zeta eta theta"),
+            (4, f"{stop} zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=2, threshold=0.2).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=2, threshold=0.2, max_shingle_df=3
+        ).collect()
+    }
+    # capped is a subset with EXACT values (verification is uncapped)
+    assert capped == {k: full[k] for k in capped}
+    # pairs sharing a rare shingle always survive the cap
+    assert (1, 2) in capped and (3, 4) in capped and capped[(3, 4)] == 1.0
+    # pairs sharing ONLY stopword shingles are the (low-jaccard) ones
+    # the cap prunes; at a real threshold both paths agree exactly
+    full_hi = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=2, threshold=0.5).collect()
+    }
+    capped_hi = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=2, threshold=0.5, max_shingle_df=3
+        ).collect()
+    }
+    assert capped_hi == full_hi

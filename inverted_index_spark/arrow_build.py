@@ -86,24 +86,39 @@ def _stat_batch(doc_ids, byte_lens) -> pa.RecordBatch:
 
 
 def _tokenize_ascii(texts: List[str], doc_ids: np.ndarray, ngrams: bool):
-    """Vectorized tokenization of one ASCII batch -> flat occurrence
-    arrays (terms: pa.StringArray, doc (actual ids), begin, end, pos,
-    full-or-None). Shared by the per-batch grouper and the
-    partition-sorting kernel."""
-    joined = "\n".join(texts)
+    """Vectorized tokenization of a list of ASCII strings — builds one
+    byte buffer + doc bounds and defers to ``_tokenize_bytes``."""
+    joined = "".join(texts)
     arr = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
-    doc_starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    return _tokenize_bytes(arr, doc_starts, doc_ids, ngrams)
 
+
+def _tokenize_bytes(
+    arr: np.ndarray, doc_starts: np.ndarray, doc_ids: np.ndarray, ngrams: bool
+):
+    """Vectorized tokenization over a raw byte buffer of back-to-back
+    ASCII docs -> flat occurrence arrays (terms: pa.StringArray, doc
+    (actual ids), begin, end, pos (int32), full-or-None).
+
+    Documents need no separators: every doc start forces a token-run
+    break, so a run can never span two documents. This lets the kernels
+    tokenize an arrow StringArray's values buffer IN PLACE (zero copy,
+    no Python strings)."""
     al = _ASCII_AL_TAB[arr]
     ai = np.flatnonzero(al)
     if ai.size == 0:
         z = np.empty(0, np.int64)
-        return pa.array([], pa.utf8()), z, z, z, z, None
+        zi = np.empty(0, np.int32)
+        return pa.array([], pa.utf8()), z, zi, zi, zi, None
     ws = _ASCII_WS_TAB[arr]
     nonws = ~ws
     run_start = nonws.copy()
     run_start[1:] &= ws[:-1]
+    # force a new run at each doc boundary (no separator bytes needed)
+    inb = doc_starts[doc_starts < arr.size]
+    run_start[inb] = nonws[inb]
     rid = np.cumsum(run_start)
     r = rid[ai]
     newtok = np.empty(ai.size, dtype=bool)
@@ -115,14 +130,14 @@ def _tokenize_ascii(texts: List[str], doc_ids: np.ndarray, ngrams: bool):
     abs_end = ai[bounds[1:] - 1] + 1
 
     tok_doc = np.searchsorted(doc_starts, abs_begin, side="right") - 1
-    rel_begin = (abs_begin - doc_starts[tok_doc]).astype(np.int64)
-    rel_end = (abs_end - doc_starts[tok_doc]).astype(np.int64)
+    rel_begin = (abs_begin - doc_starts[tok_doc]).astype(np.int32)
+    rel_end = (abs_end - doc_starts[tok_doc]).astype(np.int32)
     # ordinal within doc, O(n): tok_doc is non-decreasing
     dstart = np.flatnonzero(
         np.concatenate(([True], tok_doc[1:] != tok_doc[:-1]))
     )
     first = np.repeat(dstart, np.diff(np.append(dstart, tok_doc.size)))
-    pos = np.arange(tok_doc.size) - first
+    pos = (np.arange(tok_doc.size) - first).astype(np.int32)
 
     clean = _LOWER[arr[ai]]
 
@@ -146,7 +161,7 @@ def _tokenize_ascii(texts: List[str], doc_ids: np.ndarray, ngrams: bool):
     occ_begin = rel_begin[occ_tok]
     # ngram end counts ONLY kept term chars from begin (the reference's
     # finish accumulator, tokenizers.rs:222-239)
-    occ_end = occ_begin + plen
+    occ_end = (occ_begin + plen).astype(np.int32)
     occ_full = plen == tok_len[occ_tok]
     out_off = np.concatenate(([0], np.cumsum(plen)))
     byte_src = np.repeat(bounds[occ_tok], plen) + (
@@ -331,13 +346,47 @@ def make_assemble_sorted_arrow(ngrams: bool = False):
         e_chunks: List[np.ndarray] = []
         p_chunks: List[np.ndarray] = []
         f_chunks: List[np.ndarray] = []
-        stat_ids: List[int] = []
-        stat_lens: List[int] = []
+        sid_chunks: List[np.ndarray] = []
+        slen_chunks: List[np.ndarray] = []
         fallback: List[pa.RecordBatch] = []
+
+        def add(terms, d, b, e, p, full):
+            if len(terms):
+                term_chunks.append(terms)
+                d_chunks.append(d)
+                b_chunks.append(b)
+                e_chunks.append(e)
+                p_chunks.append(p)
+                if full is not None:
+                    f_chunks.append(full)
 
         for batch in batches:
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            texts = batch.column("text").to_pylist()
+            sa = batch.column("text")
+            if sa.null_count == 0 and sa.type == pa.string():
+                # zero-copy fast path: tokenize the StringArray's values
+                # buffer in place (doc starts force token-run breaks, so
+                # no separators and no Python strings are ever made)
+                bufs = sa.buffers()
+                offs = np.frombuffer(bufs[1], np.int32)[
+                    sa.offset : sa.offset + len(sa) + 1
+                ].astype(np.int64)
+                values = (
+                    np.frombuffer(bufs[2], np.uint8)
+                    if bufs[2] is not None
+                    else np.empty(0, np.uint8)
+                )
+                view = values[offs[0] : offs[-1]]
+                offs0 = offs - offs[0]
+                if not (view >= 0x80).any():  # whole batch is ASCII
+                    add(*_tokenize_bytes(
+                        view, offs0[:-1], ids.astype(np.int64), ngrams
+                    ))
+                    sid_chunks.append(ids.astype(np.int64))
+                    slen_chunks.append(np.diff(offs0))
+                    continue
+            # slow path: nulls or non-ASCII docs present in this batch
+            texts = sa.to_pylist()
             ascii_texts: List[str] = []
             ascii_ids: List[int] = []
             other_texts: List[str] = []
@@ -352,29 +401,31 @@ def make_assemble_sorted_arrow(ngrams: bool = False):
                     other_texts.append(t)
                     other_ids.append(did)
             if ascii_texts:
-                terms, d, b, e, p, full = _tokenize_ascii(
+                add(*_tokenize_ascii(
                     ascii_texts, np.asarray(ascii_ids, np.int64), ngrams
+                ))
+                sid_chunks.append(np.asarray(ascii_ids, np.int64))
+                slen_chunks.append(
+                    np.fromiter(
+                        (len(t) for t in ascii_texts), np.int64,
+                        count=len(ascii_texts),
+                    )
                 )
-                if len(terms):
-                    term_chunks.append(terms)
-                    d_chunks.append(d)
-                    b_chunks.append(b)
-                    e_chunks.append(e)
-                    p_chunks.append(p)
-                    if full is not None:
-                        f_chunks.append(full)
-                stat_ids += ascii_ids
-                stat_lens += [len(t) for t in ascii_texts]
             if other_texts:
                 fallback.append(
                     _assemble_fallback(other_texts, other_ids, ngrams)
                 )
-                stat_ids += other_ids
-                stat_lens += [len(t.encode("utf-8")) for t in other_texts]
+                sid_chunks.append(np.asarray(other_ids, np.int64))
+                slen_chunks.append(
+                    np.fromiter(
+                        (len(t.encode("utf-8")) for t in other_texts),
+                        np.int64, count=len(other_texts),
+                    )
+                )
 
-        if stat_ids:
-            sid = np.asarray(stat_ids, np.int64)
-            slen = np.asarray(stat_lens, np.int64)
+        if sid_chunks:
+            sid = np.concatenate(sid_chunks)
+            slen = np.concatenate(slen_chunks)
             so = np.argsort(sid, kind="stable")
             yield _stat_batch(sid[so], slen[so])
         if not term_chunks and not fallback:

@@ -25,15 +25,11 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64-bit values
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized.
-
-    Each value emits ceil(bits/7) bytes; continuation bit 0x80 on all but
-    the last byte of each value.
-    """
+def _varint_parts(values: np.ndarray):
+    """Vectorized LEB128 core -> (byte array, per-VALUE byte offsets)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
     # bytes needed per value: position of highest set bit / 7 (min 1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -52,7 +48,36 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)
         cont = np.where(nbytes[sel] > g + 1, 0x80, 0).astype(np.uint8)
         out[idx] = chunk.astype(np.uint8) | cont
+    return out, offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized.
+
+    Each value emits ceil(bits/7) bytes; continuation bit 0x80 on all but
+    the last byte of each value.
+    """
+    out, _ = _varint_parts(values)
     return out.tobytes()
+
+
+def varint_encode_segmented(
+    values: np.ndarray, seg_value_starts: np.ndarray
+):
+    """ONE varint encode over a flat array that holds many segments
+    back-to-back -> (byte array, per-SEGMENT byte offsets, len nseg+1).
+
+    The per-segment blobs are byte-identical to encoding each segment
+    separately (LEB128 is context-free), so millions of tiny
+    per-posting-list encodes collapse into a single vectorized pass —
+    callers slice (or build arrow binary offsets from) the result.
+    """
+    out, val_off = _varint_parts(values)
+    starts = np.asarray(seg_value_starts, dtype=np.int64)
+    seg_off = np.empty(starts.size + 1, dtype=np.int64)
+    seg_off[:-1] = val_off[starts]
+    seg_off[-1] = val_off[-1]
+    return out, seg_off
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:

@@ -146,45 +146,102 @@ def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
         pos_blobs.append(b"")
 
     # posting rows, grouped by (term, block) over the term-sorted frame
+    # — fully vectorized: ONE varint pass per column with per-row byte
+    # offsets (codecs.varint_encode_segmented), arrow binary columns
+    # built straight from (offsets, bytes) buffers; no per-row Python.
     term_arr = np.asarray(table.column("term").to_pylist(), dtype=object)
     change = np.flatnonzero(
         (term_arr[1:] != term_arr[:-1]) | (block_all[1:] != block_all[:-1])
     )
     starts = np.concatenate(([0], change + 1))
     ends = np.concatenate((change + 1, [len(term_arr)]))
-    per_term_counts: dict = {}
-    for s, e in zip(starts, ends):
-        t = term_arr[s]
-        terms.append(t)
-        block_ids.append(int(block_all[s]))
-        ns.append(e - s)
-        id_blobs.append(encode_doc_ids(doc_ids_all[s:e]))
-        tf_blobs.append(encode_tfs(tf_all[s:e]))
-        max_us.append(float(u_all[s:e].max()))
-        if with_positions:
-            c = pos_counts_all[s:e]
-            lo, hi = pstarts[s], pstarts[e]
-            pc_blobs.append(varint_encode(c.astype(np.uint64)))
-            pos_blobs.append(
-                encode_pos_block(c, pb_all[lo:hi], pe_all[lo:hi], pp_all[lo:hi])
-            )
-        else:
-            pc_blobs.append(b"")
-            pos_blobs.append(b"")
-        per_term_counts[t] = per_term_counts.get(t, 0) + (e - s)
 
+    from .codecs import _segmented_delta, varint_encode_segmented
+
+    id_deltas = _segmented_delta(doc_ids_all, starts)
+    ids_bytes, ids_off = varint_encode_segmented(id_deltas, starts)
+    tf_bytes, tf_off = varint_encode_segmented(
+        tf_all.astype(np.uint64), starts
+    )
+    max_u_rows = np.maximum.reduceat(u_all, starts)
+
+    if with_positions:
+        pc_bytes, pc_off = varint_encode_segmented(
+            pos_counts_all.astype(np.uint64), starts
+        )
+        # per-doc (= per posting) delta encode over the flat triples
+        nonempty = pstarts[:-1][pos_counts_all > 0]
+        bd = _segmented_delta(pb_all, nonempty)
+        wd = (pe_all - pb_all).astype(np.uint64)
+        pd = _segmented_delta(pp_all, nonempty)
+        # planar-per-row layout: row i's values occupy
+        # [3*rps_i, 3*(rps_i + pc_i)): [bd block][width block][pd block]
+        rps = pstarts[starts]
+        row_pc = pstarts[ends] - rps
+        P = int(pstarts[-1])
+        base = np.repeat(3 * rps, row_pc)
+        pcrep = np.repeat(row_pc, row_pc)
+        i_in = np.arange(P) - np.repeat(rps, row_pc)
+        out_vals = np.empty(3 * P, dtype=np.uint64)
+        out_vals[base + i_in] = bd
+        out_vals[base + pcrep + i_in] = wd
+        out_vals[base + 2 * pcrep + i_in] = pd
+        pos_bytes, pos_off = varint_encode_segmented(out_vals, 3 * rps)
+    else:
+        pc_bytes = np.empty(0, np.uint8)
+        pc_off = np.zeros(starts.size + 1, np.int64)
+        pos_bytes = np.empty(0, np.uint8)
+        pos_off = np.zeros(starts.size + 1, np.int64)
+
+    # per-term posting counts (skew metric) without a Python dict
+    t_change = np.flatnonzero(term_arr[1:] != term_arr[:-1])
+    t_bounds = np.concatenate(([0], t_change + 1, [len(term_arr)]))
+    per_term = np.diff(t_bounds)
+    n_terms_distinct = int(per_term.size)
+
+    def _bin(data: np.ndarray, off: np.ndarray) -> "pa.Array":
+        return pa.Array.from_buffers(
+            pa.binary(),
+            off.size - 1,
+            [None, pa.py_buffer(off.astype(np.int32).tobytes()),
+             pa.py_buffer(data.tobytes())],
+        )
+
+    stats_part = {
+        "term": pa.array(terms, pa.string()),
+        "block_id": pa.array(block_ids, pa.int32()),
+        "n": pa.array(ns, pa.int32()),
+        "doc_ids": pa.array(id_blobs, pa.binary()),
+        "tfs": pa.array(tf_blobs, pa.binary()),
+        "max_u": pa.array(max_us, pa.float64()),
+        "pos_counts": pa.array(pc_blobs, pa.binary()),
+        "positions": pa.array(pos_blobs, pa.binary()),
+    }
+    rows_part = {
+        "term": pa.array(term_arr[starts].tolist(), pa.string()),
+        "block_id": pa.array(block_all[starts].astype(np.int32), pa.int32()),
+        "n": pa.array((ends - starts).astype(np.int32), pa.int32()),
+        "doc_ids": _bin(ids_bytes, ids_off),
+        "tfs": _bin(tf_bytes, tf_off),
+        "max_u": pa.array(max_u_rows, pa.float64()),
+        "pos_counts": _bin(pc_bytes, pc_off),
+        "positions": _bin(pos_bytes, pos_off),
+    }
     out = pa.table(
         {
-            "term": pa.array(terms, pa.string()),
-            "block_id": pa.array(block_ids, pa.int32()),
-            "n": pa.array(ns, pa.int32()),
-            "doc_ids": pa.array(id_blobs, pa.binary()),
-            "tfs": pa.array(tf_blobs, pa.binary()),
-            "max_u": pa.array(max_us, pa.float64()),
-            "pos_counts": pa.array(pc_blobs, pa.binary()),
-            "positions": pa.array(pos_blobs, pa.binary()),
+            name: pa.concat_arrays(
+                [stats_part[name], rows_part[name].cast(stats_part[name].type)
+                 if rows_part[name].type != stats_part[name].type
+                 else rows_part[name]]
+            )
+            for name in stats_part
         }
     )
+    enc_bytes = int(
+        ids_off[-1] + tf_off[-1] + pos_off[-1]
+        + sum(len(x) for x in id_blobs) + sum(len(x) for x in tf_blobs)
+    )
+    n_postings = int(len(doc_ids_all))
     fname = f"shard-{shard_id:05d}.parquet"
     fpath = os.path.join(seg_dir, fname)
     tmp = fpath + ".tmp"
@@ -192,21 +249,21 @@ def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
     os.replace(tmp, fpath)
 
     build_sec = time.perf_counter() - t_start
-    counts = np.array(list(per_term_counts.values()) or [0])
-    enc_bytes = (
-        sum(len(x) for x in id_blobs)
-        + sum(len(x) for x in tf_blobs)
-        + sum(len(x) for x in pos_blobs)
-    )
-    n_postings = int(len(doc_ids_all))
+    counts = per_term if per_term.size else np.array([0])
+    raw_bytes = n_postings * 12  # 8B doc_id + 4B tf
+    if with_positions:
+        raw_bytes += int(pstarts[-1]) * 12  # 3 x int32 per position
     return pa.table(
         {
             "shard_id": pa.array([shard_id], pa.int64()),
             "file": pa.array([fname], pa.string()),
-            "n_terms": pa.array([len(per_term_counts)], pa.int64()),
-            "n_blocks": pa.array([int(len(set(block_ids)))], pa.int64()),
+            "n_terms": pa.array([n_terms_distinct], pa.int64()),
+            "n_blocks": pa.array(
+                [int(np.unique(np.asarray(block_ids + [int(x) for x in block_all[starts]])).size)],
+                pa.int64(),
+            ),
             "n_postings": pa.array([n_postings], pa.int64()),
-            "raw_bytes": pa.array([int(n_postings * 12)], pa.int64()),
+            "raw_bytes": pa.array([int(raw_bytes)], pa.int64()),
             "enc_bytes": pa.array([int(enc_bytes)], pa.int64()),
             "build_sec": pa.array([build_sec], pa.float64()),
             "postings_per_sec": pa.array(
@@ -267,10 +324,15 @@ def build_segments(
         index.postings.filter((F.col("tf") > 0) & (F.col("term") != ""))
         .select(*cols)
         .join(
-            index.docstats.select(
-                "doc_id",
-                F.col("doclen_tokens").alias("dl"),
-                F.col("doclen_bytes").alias("db"),
+            # broadcast: docstats is ~1% of postings bytes; a shuffle
+            # join here would move every posting (plus positions) once
+            # more before the shard groupBy
+            F.broadcast(
+                index.docstats.select(
+                    "doc_id",
+                    F.col("doclen_tokens").alias("dl"),
+                    F.col("doclen_bytes").alias("db"),
+                )
             ),
             "doc_id",
         )

@@ -84,7 +84,7 @@ def main() -> None:
     t_wall1 = time.time()  # end of the build window (event-log basis)
 
     from inverted_index_spark.segments import build_segments
-    from inverted_index_spark.wand import wand_topk
+    from inverted_index_spark.wand import wand_topk, wand_topk_batch
 
     idx = load_index(spark, idx_path, docs=docs)
     n_docs = idx.n_docs
@@ -171,8 +171,14 @@ def main() -> None:
         "phrase_seg": lambda: segment_phrase(
             spark, idx_path, "batch batch", k=10
         ).collect(),
-        # amortized many-query path: 64 queries, one job
+        # amortized many-query paths: 64 queries, one job
         "bm25_batch64": lambda: eng.bm25_batch(
+            ["scan merge", "window stream", "group value", "join filter"] * 16,
+            k=10,
+        ).collect(),
+        "wand_batch64": lambda: wand_topk_batch(
+            spark,
+            idx_path,
             ["scan merge", "window stream", "group value", "join filter"] * 16,
             k=10,
         ).collect(),

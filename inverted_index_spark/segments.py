@@ -50,18 +50,16 @@ from __future__ import annotations
 
 import hashlib
 import json
-import math
 import os
 import time
-from typing import Iterator, List, Optional
+from typing import List
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .build import FtsIndex
-from .codecs import encode_doc_ids, encode_tfs, varint_encode
+from .codecs import encode_doc_ids, varint_encode
 
 K1 = 1.2
 B = 0.75

@@ -519,7 +519,7 @@ def make_write_index_arrow(ngrams: bool, path: str):
     sorted_kernel = make_assemble_sorted_arrow(ngrams)
     post_dir = os.path.join(path, "postings")
     ds_dir = os.path.join(path, "docstats")
-    tp_dir = os.path.join(path, "_termdict_partials")
+    tp_dir = os.path.join(path, "termdict_partials")
 
     def _write(table: pa.Table, dirname: str, pid: int, **kw) -> None:
         import pyarrow.parquet as pq

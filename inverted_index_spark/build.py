@@ -236,7 +236,7 @@ def build_and_save(
 
         from .arrow_build import make_write_index_arrow
 
-        for name in ("postings", "docstats", "_termdict_partials"):
+        for name in ("postings", "docstats", "termdict_partials"):
             d = os.path.join(path, name)
             _shutil.rmtree(d, ignore_errors=True)
             os.makedirs(d, exist_ok=True)
@@ -278,7 +278,7 @@ def build_and_save(
         # termdict only needs the partial merge (one row per distinct
         # term per partition — orders of magnitude smaller than the
         # postings scan the non-direct path aggregates over)
-        tp_dir = os.path.join(path, "_termdict_partials")
+        tp_dir = os.path.join(path, "termdict_partials")
         (
             spark.read.parquet(tp_dir)
             .groupBy("term")

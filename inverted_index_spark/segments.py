@@ -316,10 +316,17 @@ def build_segments(
                     done[row["shard_id"]] = row
 
     cols = ["term", "doc_id", "tf"] + (["positions"] if positions else [])
+    # term='' guards against a caller passing the raw postings files
+    # (build_and_save's per-doc stat rows carry tf=doclen_bytes).
+    # Non-positional segments serve BM25/WAND only -> full-token rows
+    # (tf>0) suffice; positional segments must also keep the parity
+    # index's tf=0 edge-ngram rows, whose positions drive Match/Phrase
+    # (the WAND scorer masks tf=0 so BM25 semantics are unchanged).
+    pred = F.col("term") != ""
+    if not positions:
+        pred = pred & (F.col("tf") > 0)
     src = (
-        # term='' guards against a caller passing the raw postings files
-        # (build_and_save's per-doc stat rows carry tf=doclen_bytes)
-        index.postings.filter((F.col("tf") > 0) & (F.col("term") != ""))
+        index.postings.filter(pred)
         .select(*cols)
         .join(
             # broadcast: docstats is ~1% of postings bytes; a shuffle

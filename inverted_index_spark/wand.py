@@ -108,10 +108,19 @@ def _score_shard_table(
         for i in rows:
             ids = decode_doc_ids(ids_col[i], int(ncol[i]))
             tfs = decode_tfs(tfs_col[i], int(ncol[i])).astype(np.float64)
+            # positional parity segments carry tf=0 edge-ngram rows for
+            # Match/Phrase serving; BM25 counts full tokens only
+            sel = tfs > 0
+            if not sel.all():
+                ids, tfs = ids[sel], tfs[sel]
+            if ids.size == 0:
+                continue
             dl = ds_dl[np.searchsorted(ds_ids, ids)]
             u = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
             id_parts.append(ids)
             s_parts.append(weights[tcol[i]] * u)
+        if not id_parts:
+            continue
         all_ids = np.concatenate(id_parts)
         all_s = np.concatenate(s_parts)
         uids, inv = np.unique(all_ids, return_inverse=True)

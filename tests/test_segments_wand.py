@@ -177,3 +177,28 @@ def test_rare_term_opens_few_shards(spark, tmp_path):
     # the pruned query still finds the one matching doc
     got = wand_topk(spark, path, "zzzuniqueterm", k=5).collect()
     assert [r["doc_id"] for r in got] == [300]
+
+
+def test_segment_queries_on_parity_ngram_index(spark, tmp_path):
+    """segquery on a PARITY (edge-ngram) index: _term_ranges degenerates
+    to exact term lookup (the stored ngrams do the prefix matching), and
+    results must still be bit-identical to the DataFrame engine."""
+    from inverted_index_spark.qast import Match, Phrase
+    from inverted_index_spark.segquery import segment_phrase, segment_search
+
+    path = str(tmp_path / "parityseg")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(120)
+    idx = build_and_save(spark, docs, path, ngrams=True)
+    build_segments(spark, idx, path, shard_docs=32, block_docs=8, positions=True)
+    eng = FtsEngine(idx)
+    for q in ["mer", "batch batch"]:
+        expect = _results_key(eng.results(Match(q)).collect())
+        got = _results_key(
+            segment_search(spark, path, q, with_positions=True).collect()
+        )
+        assert got == expect, f"match {q!r}"
+    expect = _results_key(eng.results(Phrase("batch batch")).collect())
+    got = _results_key(segment_phrase(spark, path, "batch batch").collect())
+    assert got == expect

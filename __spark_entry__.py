@@ -56,6 +56,26 @@ def _engine_fulltoken(spark: SparkSession, sf_dir: str):
     return _ENGINES[key]
 
 
+def _seg_index(spark: SparkSession, sf_dir: str) -> str:
+    """Saved full-token index + POSITIONAL segments (the scale path),
+    built once per sf into a temp dir and cached."""
+    import tempfile
+
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.session import ship_package
+
+    key = (id(spark), sf_dir, "segidx")
+    if key not in _ENGINES:
+        ship_package(spark)
+        path = tempfile.mkdtemp(prefix="fts_contract_seg")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_and_save(spark, docs, path, ngrams=False, store_docs=False)
+        build_segments(spark, idx, path, shard_docs=64, positions=True)
+        _ENGINES[key] = path
+    return _ENGINES[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'scan merge join' over sf0.001 docs."""
     eng = _engine(spark, "/root/testdata/sf0.001")
@@ -154,6 +174,30 @@ def _q_bm25_batch(spark, sf):
             F.round(F.col("score"), 4).alias("score_r4"),
             "rank",
         )
+
+
+def _q_wand_topk(spark, sf):
+    """Scale-path BM25: block-max WAND over compressed positional
+    segments — shares the brute-force BM25 oracle."""
+    from inverted_index_spark.wand import wand_topk
+
+    path = _seg_index(spark, sf)
+    return wand_topk(spark, path, "scan merge join", k=10).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score_r4")
+    )
+
+
+def _q_phrase_seg(spark, sf):
+    """Scale-path Phrase: served entirely from positional segments —
+    shares the phrase oracle (full-token prefix expansion is equivalent
+    to the parity index's stored edge-ngrams; n_positions counts
+    distinct contributing ordinals either way)."""
+    from inverted_index_spark.segquery import segment_phrase
+
+    path = _seg_index(spark, sf)
+    return segment_phrase(spark, path, "batch batch").select(
+        "doc_id", F.size("positions").cast("bigint").alias("n_positions")
+    )
 
 
 def _q_exact_dups(spark, sf):
@@ -333,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "bm25_topk": _q_bm25_topk,
         "bm25_batch": _q_bm25_batch,
+        "wand_topk": _q_wand_topk,
+        "phrase_seg": _q_phrase_seg,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -451,7 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "  i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) as shingle "
         "from documents"
     )
-    return {
+    out = {
         "doc_stats": """
             select doc_id,
                    strlen(text)::bigint as doclen_bytes,
@@ -750,3 +796,8 @@ def oracle_sql() -> dict[str, str]:
             from events group by 1, 2
         """,
     }
+    # segment-served scale paths share their relational twins' oracles:
+    # WAND is exact BM25; segment phrase is the same phrase semantics
+    out["wand_topk"] = out["bm25_topk"]
+    out["phrase_seg"] = out["phrase_match"]
+    return out

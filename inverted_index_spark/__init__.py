@@ -42,7 +42,9 @@ from .upsert import (  # noqa: F401
     load_index_merged,
     upsert_saved,
 )
-from .wand import wand_topk  # noqa: F401
+from .segquery import segment_phrase, segment_search  # noqa: F401
+from .sqlapi import bm25_sql, register_index_views  # noqa: F401
+from .wand import wand_topk, wand_topk_batch  # noqa: F401
 
 __all__ = [
     "FtsIndex",
@@ -64,6 +66,11 @@ __all__ = [
     "build_segments",
     "load_manifest",
     "wand_topk",
+    "wand_topk_batch",
+    "segment_search",
+    "segment_phrase",
+    "register_index_views",
+    "bm25_sql",
     "get_spark",
     "assign_doc_ids",
     "synthetic_transcripts",

@@ -43,6 +43,7 @@ from .upsert import (  # noqa: F401
     upsert_saved,
 )
 from .segquery import segment_phrase, segment_search  # noqa: F401
+from .streaming import compact_stream, refresh_index  # noqa: F401
 from .sqlapi import bm25_sql, register_index_views  # noqa: F401
 from .wand import wand_topk, wand_topk_batch  # noqa: F401
 
@@ -71,6 +72,8 @@ __all__ = [
     "segment_phrase",
     "register_index_views",
     "bm25_sql",
+    "compact_stream",
+    "refresh_index",
     "get_spark",
     "assign_doc_ids",
     "synthetic_transcripts",

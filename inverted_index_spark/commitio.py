@@ -52,6 +52,26 @@ def version_dir(path: str, name: str, gen: int) -> str:
     return os.path.join(path, f"{name}.v{gen}")
 
 
+def next_version(path: str, name: str) -> int:
+    """Smallest unused generation number for ``name`` (scans existing
+    ``<name>.v*`` directories and the catalog)."""
+    import glob
+
+    used = [0]
+    for d in glob.glob(os.path.join(path, f"{name}.v*")):
+        try:
+            used.append(int(d.rsplit(".v", 1)[1]))
+        except ValueError:
+            pass
+    cur = _catalog(path).get(name, "")
+    if ".v" in cur:
+        try:
+            used.append(int(cur.rsplit(".v", 1)[1]))
+        except ValueError:
+            pass
+    return max(used) + 1
+
+
 def publish(path: str, updates: Dict[str, int]) -> Dict[str, Optional[str]]:
     """Atomically point each table at its new generation directory.
 

@@ -11,7 +11,7 @@ Layout
 ``<path>/segments/shard-NNNNN.parquet`` — one file per **doc-range
 shard**. Rows, sorted by ``(term, block_id)``:
 
-    term:string | block_id:int | n:int | doc_ids:binary | tfs:binary
+    term:string | block_id:long | n:int | doc_ids:binary | tfs:binary
     | max_u:float
 
 * ``doc_ids`` — delta+varint blob (codecs.py) of the docs in this
@@ -207,7 +207,7 @@ def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
 
     stats_part = {
         "term": pa.array(terms, pa.string()),
-        "block_id": pa.array(block_ids, pa.int32()),
+        "block_id": pa.array(block_ids, pa.int64()),
         "n": pa.array(ns, pa.int32()),
         "doc_ids": pa.array(id_blobs, pa.binary()),
         "tfs": pa.array(tf_blobs, pa.binary()),
@@ -217,7 +217,7 @@ def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
     }
     rows_part = {
         "term": pa.array(term_arr[starts].tolist(), pa.string()),
-        "block_id": pa.array(block_all[starts].astype(np.int32), pa.int32()),
+        "block_id": pa.array(block_all[starts].astype(np.int64), pa.int64()),
         "n": pa.array((ends - starts).astype(np.int32), pa.int32()),
         "doc_ids": _bin(ids_bytes, ids_off),
         "tfs": _bin(tf_bytes, tf_off),

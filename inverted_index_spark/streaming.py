@@ -200,12 +200,117 @@ def _delta(spark: SparkSession, index_path: str, table: str) -> Optional[DataFra
     return None
 
 
+def compact_stream(spark: SparkSession, index_path: str) -> None:
+    """Fold stream deltas into the base tables (the off-peak maintenance
+    job, cf. upsert.compact_index): postings/docstats/docs each land in
+    a NEW versioned directory committed with one catalog pointer swap
+    (commitio.py), termdict is recomputed from the compacted postings,
+    and the delta directories are removed (the conversation registry is
+    kept — it is ongoing id-assignment state). After compaction every
+    disk-reading path (load_index, WAND's termdict lookup, segment
+    builds) sees the streamed documents without needing refresh_index's
+    in-memory union view."""
+    import json as _json
+
+    from . import commitio
+
+    delta_root = os.path.join(index_path, STREAM_DIR)
+    tables = [
+        t
+        for t in ("postings", "docstats", "docs")
+        if _delta(spark, index_path, t) is not None
+    ]
+    if not tables:
+        return
+    updates = {}
+    # postings: RAW base (keeps the term='' stat rows) + delta rows
+    base_raw = spark.read.parquet(commitio.table_path(index_path, "postings"))
+    dp = _delta(spark, index_path, "postings")
+    newp = (
+        base_raw.unionByName(dp.select(*base_raw.columns))
+        if dp is not None
+        else base_raw
+    )
+    gen = commitio.next_version(index_path, "postings")
+    newp.write.mode("overwrite").parquet(
+        commitio.version_dir(index_path, "postings", gen)
+    )
+    updates["postings"] = gen
+
+    ds = _delta(spark, index_path, "docstats")
+    base_ds = spark.read.parquet(commitio.table_path(index_path, "docstats"))
+    newds = (
+        base_ds.unionByName(ds.select(*base_ds.columns))
+        if ds is not None
+        else base_ds
+    )
+    gen = commitio.next_version(index_path, "docstats")
+    newds.write.mode("overwrite").parquet(
+        commitio.version_dir(index_path, "docstats", gen)
+    )
+    updates["docstats"] = gen
+
+    dd = _delta(spark, index_path, "docs")
+    docs_dir = commitio.table_path(index_path, "docs")
+    if dd is not None and os.path.isdir(docs_dir):
+        base_docs = spark.read.parquet(docs_dir)
+        gen = commitio.next_version(index_path, "docs")
+        base_docs.select("doc_id", "text").unionByName(
+            dd.select("doc_id", "text")
+        ).write.mode("overwrite").parquet(
+            commitio.version_dir(index_path, "docs", gen)
+        )
+        updates["docs"] = gen
+
+    gen = commitio.next_version(index_path, "termdict")
+    (
+        spark.read.parquet(commitio.version_dir(index_path, "postings", updates["postings"]))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("df_full"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .write.mode("overwrite")
+        .parquet(commitio.version_dir(index_path, "termdict", gen))
+    )
+    updates["termdict"] = gen
+
+    superseded = commitio.publish(index_path, updates)
+    commitio.gc_superseded(index_path, superseded)
+    import shutil
+
+    for t in ("postings", "docstats", "docs"):
+        shutil.rmtree(os.path.join(delta_root, t), ignore_errors=True)
+
+    # meta.json n_docs/avgdl now reflect the compacted docstats
+    meta_path = os.path.join(index_path, "meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    stats = (
+        spark.read.parquet(commitio.table_path(index_path, "docstats"))
+        .agg(F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl"))
+        .collect()[0]
+    )
+    meta["n_docs"] = int(stats["n"])
+    meta["avgdl"] = float(stats["avgdl"] or 0.0)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+
+
 def refresh_index(spark: SparkSession, index_path: str) -> FtsIndex:
     """Base index + stream deltas as one queryable view.
 
     meta.json's n_docs/avgdl and the termdict snapshot cover only the
     base build; this re-derives them over base+delta (cheap columnar
-    aggregates). The base directories on disk are untouched.
+    aggregates). The base directories on disk are untouched — run
+    ``compact_stream`` to fold deltas in durably so disk-only readers
+    (WAND, segment builds after restart) see the streamed docs.
     """
     idx = load_index(spark, index_path)
     dp = _delta(spark, index_path, "postings")

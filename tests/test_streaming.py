@@ -140,3 +140,62 @@ def test_stream_registry_mode_dense_stable_ids(spark, tmp_path):
         F.col("doc_id") < (8 << TURN_BITS)
     )
     assert streamed.select("doc_id").distinct().count() == 8 * 2
+
+
+def test_stream_append_then_incremental_segments(spark, tmp_path):
+    """Streamed docs flow onto the segment scale path: after an append,
+    build_segments(resume=True) builds ONLY the new docs' shards (their
+    doc-range shard ids are new) and WAND + segment search serve the
+    streamed content."""
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import segment_search
+    from inverted_index_spark.streaming import append_batch
+    from inverted_index_spark.wand import wand_topk
+
+    idx_path = str(tmp_path / "idx")
+    tr = synthetic_transcripts(spark, n_conversations=30, turns_per_conv=3)
+    boot = tr.filter(F.col("conv_id") < "conv-00000020")
+    build_and_save(
+        spark,
+        boot.withColumn("doc_id", streaming_doc_id()).select("doc_id", "text"),
+        idx_path,
+        ngrams=False,
+    )
+    idx0 = refresh_index(spark, idx_path)
+    m0 = build_segments(spark, idx0, idx_path, shard_docs=64, positions=True)
+
+    rest = tr.filter(F.col("conv_id") >= "conv-00000020").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzstreamedterm"))
+    )
+    append_batch(idx_path, ngrams=False)(rest, 0)
+
+    # fold the deltas into the base tables so every DISK-reading path
+    # (WAND's termdict lookup, segment resume) sees the streamed docs
+    from inverted_index_spark.build import load_index
+    from inverted_index_spark.streaming import compact_stream
+
+    compact_stream(spark, idx_path)
+    assert not os.path.isdir(
+        os.path.join(idx_path, "stream_delta", "postings")
+    )
+    idx1 = load_index(spark, idx_path)
+    m1 = build_segments(spark, idx1, idx_path, shard_docs=64, positions=True)
+    assert m1["resumed_shards"] == len(m0["shards"])
+    assert m1["built_shards"] >= 1  # only the streamed doc ranges
+
+    streamed_ids = {
+        r["doc_id"]
+        for r in rest.withColumn("doc_id", streaming_doc_id())
+        .select("doc_id")
+        .collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in wand_topk(spark, idx_path, "zzstreamedterm", k=50).collect()
+    }
+    assert got == streamed_ids
+    got2 = {
+        r["doc_id"]
+        for r in segment_search(spark, idx_path, "zzstreamedterm").collect()
+    }
+    assert got2 == streamed_ids

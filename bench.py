@@ -52,18 +52,30 @@ def main() -> None:
 
     spark = get_spark("fts-bench", cores=cores)
 
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    if mult > 1:
-        # deterministic amplification: `mult` distinct doc ids per source
-        # row, same text — scales the corpus without external data
-        reps = spark.range(mult).select(F.col("id").alias("rep"))
-        base = base.crossJoin(reps).select(
-            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"), "text"
-        )
-    transcripts = transcripts_from_documents(base)
-    docs = transcript_docs(transcripts).select(
-        "doc_id", "text", "conv_id", "turn_idx", "role", "ts"
+    # The input corpus is a MATERIALIZED table (per input_hint: the
+    # engine builds over an existing transcript table) — synthesize it
+    # once per (sf, mult) into a cached parquet and read it back, so
+    # corpus amplification never counts as build work and every bench
+    # width reads identical bytes.
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"fts_bench_corpus_{os.path.basename(sf_dir.rstrip('/'))}_{mult}"
     )
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        if mult > 1:
+            # deterministic amplification: `mult` distinct doc ids per
+            # source row, same text — scales the corpus, no external data
+            reps = spark.range(mult).select(F.col("id").alias("rep"))
+            base = base.crossJoin(reps).select(
+                (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"), "text"
+            )
+        transcripts = transcripts_from_documents(base)
+        transcript_docs(transcripts).select(
+            "doc_id", "text", "conv_id", "turn_idx", "role", "ts"
+        ).write.mode("overwrite").parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
 
     idx_path = os.path.join(tempfile.gettempdir(), f"fts_bench_idx_{cores}")
     shutil.rmtree(idx_path, ignore_errors=True)
@@ -75,11 +87,18 @@ def main() -> None:
 
     warm_python_workers(spark)
 
+    # identical logical plan at every width: a fixed partition count
+    # (overridable) keeps per-width work equal for scaling comparisons
+    buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "0")) or None
+
     t_wall0 = time.time()
     t0 = time.perf_counter()
     # store_docs=False: at the design scale the corpus IS the lakehouse
     # table — the index references it rather than duplicating it
-    build_and_save(spark, docs, idx_path, ngrams=False, store_docs=False)
+    build_and_save(
+        spark, docs, idx_path, ngrams=False, store_docs=False,
+        term_buckets=buckets,
+    )
     build_sec = time.perf_counter() - t0
     t_wall1 = time.time()  # end of the build window (event-log basis)
 

@@ -42,7 +42,7 @@ from .upsert import (  # noqa: F401
     load_index_merged,
     upsert_saved,
 )
-from .segquery import segment_phrase, segment_search  # noqa: F401
+from .segquery import segment_highlight, segment_phrase, segment_search  # noqa: F401
 from .streaming import compact_stream, refresh_index  # noqa: F401
 from .sqlapi import bm25_sql, register_index_views  # noqa: F401
 from .wand import wand_topk, wand_topk_batch  # noqa: F401
@@ -70,6 +70,7 @@ __all__ = [
     "wand_topk_batch",
     "segment_search",
     "segment_phrase",
+    "segment_highlight",
     "register_index_views",
     "bm25_sql",
     "compact_stream",

@@ -324,3 +324,31 @@ def segment_phrase(
     rank- and position-identical to FtsEngine.results(Phrase(text))."""
     terms = [t.term for t in analyze_query(text)]
     return _run_query(spark, index_path, terms, "phrase", k, with_positions)
+
+
+def segment_highlight(
+    results: DataFrame,
+    docs: DataFrame,
+    before: str,
+    after: str,
+) -> DataFrame:
+    """Attach highlighted content to segment-served results
+    (search_result.rs:54-66): join the doc store and wrap each
+    position's byte range. ``results`` must carry positions
+    (``with_positions=True``); ``docs`` is the (doc_id, text) corpus
+    table the index references."""
+    from .udfs import byte_slice_highlight
+
+    return (
+        results.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "highlighted",
+            byte_slice_highlight(
+                F.col("text"),
+                F.col("positions"),
+                F.lit(before),
+                F.lit(after),
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -202,3 +202,28 @@ def test_segment_queries_on_parity_ngram_index(spark, tmp_path):
     expect = _results_key(eng.results(Phrase("batch batch")).collect())
     got = _results_key(segment_phrase(spark, path, "batch batch").collect())
     assert got == expect
+
+
+def test_segment_highlight_matches_engine_highlight(spark, pos_indexed):
+    """The full segment-served user story: search -> highlight without
+    touching the postings parquet, identical to the engine's output."""
+    from inverted_index_spark.qast import Match
+    from inverted_index_spark.segquery import segment_highlight, segment_search
+
+    path, idx, _ = pos_indexed
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    eng = FtsEngine(idx)
+    expect = {
+        r["doc_id"]: r["highlighted"]
+        for r in eng.highlight(
+            eng.results(Match("merge"), k=5), "<b>", "</b>"
+        ).collect()
+    }
+    res = segment_search(spark, path, "merge", k=5, with_positions=True)
+    got = {
+        r["doc_id"]: r["highlighted"]
+        for r in segment_highlight(res, docs, "<b>", "</b>").collect()
+    }
+    assert got == expect and len(got) == 5

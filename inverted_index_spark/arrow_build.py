@@ -22,9 +22,10 @@ Non-ASCII documents (rare in transcript corpora) take the exact Python
 fallback and are appended as a second small batch. Both paths are
 asserted identical to the naive build in tests/test_arrow_build.py.
 
-Used by build.build_and_save for ngrams=False (the BM25/production
-index). The parity (edge-ngram) path keeps the Python assembler — its
-prefix expansion is test-scale only.
+Used by build.build_and_save for both index flavors:
+make_assemble_postings_arrow(ngrams=True) expands edge n-grams with the
+same numpy span arithmetic (parity mode is vectorized too, and
+property-tested equal to the Python assembler).
 """
 
 from __future__ import annotations

@@ -222,9 +222,24 @@ def build_and_save(
     kernel_sort = layout == "doc" and os.environ.get(
         "SPARK_GRAFT_KERNEL_SORT", "1"
     ) not in ("0", "false")
-    direct_write = kernel_sort and os.environ.get(
-        "SPARK_GRAFT_DIRECT_WRITE", "1"
-    ) not in ("0", "false")
+    # Kernel-direct writes land files via plain pyarrow on the machine
+    # the task runs on — correct only when executors and driver share
+    # `path`'s filesystem. local[...] masters qualify; on a real cluster
+    # set SPARK_GRAFT_SHARED_FS=1 iff `path` is on a shared mount (NFS/
+    # FUSE-mounted object store), otherwise the build falls back to the
+    # kernel-sort + JVM writer path, which commits through Spark's
+    # driver-coordinated output protocol.
+    shared_fs_env = os.environ.get("SPARK_GRAFT_SHARED_FS")
+    if shared_fs_env is not None:
+        shared_fs = shared_fs_env not in ("0", "false")
+    else:
+        shared_fs = spark.sparkContext.master.startswith("local")
+    direct_write = (
+        kernel_sort
+        and shared_fs
+        and os.environ.get("SPARK_GRAFT_DIRECT_WRITE", "1")
+        not in ("0", "false")
+    )
     if direct_write:
         # kernel-direct sink: the sorted-assembly kernel writes its
         # partition's postings parquet, final docstats and termdict
@@ -366,12 +381,21 @@ def load_index(
     docs_dir = commitio.table_path(path, "docs")
     if docs is None and os.path.exists(docs_dir):
         docs = spark.read.parquet(docs_dir)
+    if int(meta.get("generation", 0)) > 0:
+        # live upsert / stream-compaction delta generations: serve the
+        # generation-filtered merged view (upsert.py) so readers never
+        # see superseded postings or miss appended ones
+        from .upsert import merged_postings
+
+        postings = merged_postings(spark, path).filter(F.col("term") != "")
+    else:
+        postings = spark.read.parquet(
+            commitio.table_path(path, "postings")
+        ).filter(F.col("term") != "")
     return FtsIndex(
         # stat rows (term='', build_and_save) never match a real term
         # but must not surface as postings
-        postings=spark.read.parquet(
-            commitio.table_path(path, "postings")
-        ).filter(F.col("term") != ""),
+        postings=postings,
         docstats=spark.read.parquet(commitio.table_path(path, "docstats")),
         termdict=spark.read.parquet(commitio.table_path(path, "termdict")),
         docs=docs,

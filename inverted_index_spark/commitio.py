@@ -86,8 +86,12 @@ def publish(path: str, updates: Dict[str, int]) -> Dict[str, Optional[str]]:
         # bare <name> dirs (gen-0 base) are also superseded targets
         if prev is None and os.path.isdir(os.path.join(path, name)):
             prev = name
-        old[name] = prev
-        entries[name] = f"{name}.v{gen}"
+        new = f"{name}.v{gen}"
+        # never hand the just-published directory to gc_superseded: a
+        # caller that (wrongly) re-publishes a live generation must not
+        # get its only copy deleted
+        old[name] = None if prev == new else prev
+        entries[name] = new
     cat = os.path.join(path, CATALOG)
     tmp = cat + ".tmp"
     with open(tmp, "w") as fh:

@@ -77,15 +77,34 @@ def _registry_doc_ids(
     spark: SparkSession, batch_df: DataFrame, index_path: str, batch_id: int
 ) -> DataFrame:
     """Collision-free ids via the conversation registry (see module
-    docstring). One anti-join + one tiny max() per batch; the registry
-    write is batch-id-keyed and therefore replay-idempotent."""
+    docstring). One anti-join + one tiny max() per batch.
+
+    Replay safety: the registry is read EXCLUDING this batch's own
+    ``batch=<id>`` directory. A replayed batch therefore sees exactly
+    the registrations that existed before its first attempt, recomputes
+    the identical deterministic assignment (anti-join + conv_id-ordered
+    prefix sum over the same inputs), and overwrites its directory with
+    the same contents — instead of anti-joining against its own partial
+    output and deleting its previous assignments (which would silently
+    drop every already-registered conversation's turns from the batch).
+    This also keeps the write target out of the job's read set (no
+    read-while-overwriting a subdirectory of the same path).
+    """
     from .transcripts import assign_doc_ids
 
     reg_dir = os.path.join(index_path, STREAM_DIR, "registry")
+    own = f"batch={batch_id}"
+    prior_dirs = []
+    if os.path.isdir(reg_dir):
+        prior_dirs = [
+            os.path.join(reg_dir, d)
+            for d in sorted(os.listdir(reg_dir))
+            if d.startswith("batch=") and d != own
+        ]
     reg = None
     base = 0
-    if os.path.isdir(reg_dir) and os.listdir(reg_dir):
-        reg = spark.read.parquet(reg_dir).select("conv_id", "conv_no")
+    if prior_dirs:
+        reg = spark.read.parquet(*prior_dirs).select("conv_id", "conv_no")
         base = (reg.agg(F.max("conv_no")).first()[0] or -1) + 1
     new = batch_df.select("conv_id").distinct()
     if reg is not None:
@@ -93,9 +112,7 @@ def _registry_doc_ids(
     assigned = assign_doc_ids(new, order_cols=["conv_id"]).select(
         "conv_id", (F.col("doc_id") + F.lit(base)).cast("long").alias("conv_no")
     )
-    assigned.write.mode("overwrite").parquet(
-        os.path.join(reg_dir, f"batch={batch_id}")
-    )
+    assigned.write.mode("overwrite").parquet(os.path.join(reg_dir, own))
     full = spark.read.parquet(reg_dir).select("conv_id", "conv_no")
     return batch_df.join(full, "conv_id").withColumn(
         "doc_id",
@@ -200,101 +217,205 @@ def _delta(spark: SparkSession, index_path: str, table: str) -> Optional[DataFra
     return None
 
 
+def _snapshot_batches(index_path: str) -> dict:
+    """Batch directories per delta table, frozen at call time. Batches a
+    concurrently running stream writes after this snapshot are neither
+    read nor deleted by the compaction."""
+    snap: dict = {}
+    for t in ("postings", "docstats", "docs"):
+        d = os.path.join(index_path, STREAM_DIR, t)
+        if os.path.isdir(d):
+            dirs = sorted(
+                os.path.join(d, x)
+                for x in os.listdir(d)
+                if x.startswith("batch=")
+            )
+            if dirs:
+                snap[t] = dirs
+    return snap
+
+
 def compact_stream(spark: SparkSession, index_path: str) -> None:
-    """Fold stream deltas into the base tables (the off-peak maintenance
-    job, cf. upsert.compact_index): postings/docstats/docs each land in
-    a NEW versioned directory committed with one catalog pointer swap
-    (commitio.py), termdict is recomputed from the compacted postings,
-    and the delta directories are removed (the conversation registry is
-    kept — it is ongoing id-assignment state). After compaction every
-    disk-reading path (load_index, WAND's termdict lookup, segment
-    builds) sees the streamed documents without needing refresh_index's
-    in-memory union view."""
+    """Fold stream deltas into the index INCREMENTALLY (the off-peak
+    maintenance job).
+
+    The base postings files are never read or rewritten: the snapshot of
+    stream batches becomes ONE upsert delta generation
+    (``postings_delta/gen=g`` + ``tombstones/gen=g`` — the same
+    machinery as upsert.upsert_saved), so compaction cost scales with
+    the delta size, not the corpus — at the 10^12-turn design point an
+    O(corpus) rewrite per maintenance run would be fatal. Only the small
+    derived tables (docstats, termdict, docs) are refreshed, each into a
+    NEW versioned directory committed with one catalog pointer swap
+    (commitio.py). termdict is merged incrementally (base + delta
+    aggregate) when the streamed doc ids are all new — the common
+    append-only case — and re-derived from the generation-filtered view
+    only when a streamed doc id overwrites an existing document.
+
+    After compaction every disk-reading path (load_index — which is
+    generation-aware — WAND's termdict lookup, segment builds) sees the
+    streamed documents. ``upsert.compact_index`` remains the explicit
+    heavyweight operation that folds all generations into a fresh base.
+
+    Only the snapshotted batch directories are deleted at the end;
+    batches written concurrently survive for the next run. When the
+    index has no base doc store, a streamed doc-store delta is published
+    as the initial docs table instead of being dropped. The conversation
+    registry is kept — it is ongoing id-assignment state.
+    """
     import json as _json
-
-    from . import commitio
-
-    delta_root = os.path.join(index_path, STREAM_DIR)
-    tables = [
-        t
-        for t in ("postings", "docstats", "docs")
-        if _delta(spark, index_path, t) is not None
-    ]
-    if not tables:
-        return
-    updates = {}
-    # postings: RAW base (keeps the term='' stat rows) + delta rows
-    base_raw = spark.read.parquet(commitio.table_path(index_path, "postings"))
-    dp = _delta(spark, index_path, "postings")
-    newp = (
-        base_raw.unionByName(dp.select(*base_raw.columns))
-        if dp is not None
-        else base_raw
-    )
-    gen = commitio.next_version(index_path, "postings")
-    newp.write.mode("overwrite").parquet(
-        commitio.version_dir(index_path, "postings", gen)
-    )
-    updates["postings"] = gen
-
-    ds = _delta(spark, index_path, "docstats")
-    base_ds = spark.read.parquet(commitio.table_path(index_path, "docstats"))
-    newds = (
-        base_ds.unionByName(ds.select(*base_ds.columns))
-        if ds is not None
-        else base_ds
-    )
-    gen = commitio.next_version(index_path, "docstats")
-    newds.write.mode("overwrite").parquet(
-        commitio.version_dir(index_path, "docstats", gen)
-    )
-    updates["docstats"] = gen
-
-    dd = _delta(spark, index_path, "docs")
-    docs_dir = commitio.table_path(index_path, "docs")
-    if dd is not None and os.path.isdir(docs_dir):
-        base_docs = spark.read.parquet(docs_dir)
-        gen = commitio.next_version(index_path, "docs")
-        base_docs.select("doc_id", "text").unionByName(
-            dd.select("doc_id", "text")
-        ).write.mode("overwrite").parquet(
-            commitio.version_dir(index_path, "docs", gen)
-        )
-        updates["docs"] = gen
-
-    gen = commitio.next_version(index_path, "termdict")
-    (
-        spark.read.parquet(commitio.version_dir(index_path, "postings", updates["postings"]))
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(
-            F.count("*").cast("long").alias("df"),
-            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias("df_full"),
-            F.sum("tf").cast("long").alias("cf"),
-        )
-        .write.mode("overwrite")
-        .parquet(commitio.version_dir(index_path, "termdict", gen))
-    )
-    updates["termdict"] = gen
-
-    superseded = commitio.publish(index_path, updates)
-    commitio.gc_superseded(index_path, superseded)
     import shutil
 
-    for t in ("postings", "docstats", "docs"):
-        shutil.rmtree(os.path.join(delta_root, t), ignore_errors=True)
+    from . import commitio
+    from .upsert import DELTA_DIR, TOMB_DIR, _invalidate_segments
 
-    # meta.json n_docs/avgdl now reflect the compacted docstats
+    snap = _snapshot_batches(index_path)
+    if not snap:
+        return
     meta_path = os.path.join(index_path, "meta.json")
     with open(meta_path) as fh:
         meta = _json.load(fh)
+    gen = int(meta.get("generation", 0)) + 1
+    updates: dict = {}
+
+    sp = spark.read.parquet(*snap["postings"]) if "postings" in snap else None
+    sd = spark.read.parquet(*snap["docstats"]) if "docstats" in snap else None
+    dd = spark.read.parquet(*snap["docs"]) if "docs" in snap else None
+
+    base_ds = spark.read.parquet(commitio.table_path(index_path, "docstats"))
+    changed = None
+    if sd is not None:
+        changed = sd.select("doc_id").distinct()
+    elif sp is not None:
+        changed = sp.select("doc_id").distinct()
+
+    if sp is not None and sd is not None:
+        # delta generation = stream postings + synthesized per-doc stat
+        # rows (term='', tf=doclen_bytes): later upsert_saved docstats
+        # derivations read byte lengths from exactly these rows
+        stat_rows = sd.select(
+            F.lit("").alias("term"),
+            "doc_id",
+            F.array()
+            .cast("array<struct<begin:int,end:int,pos:int>>")
+            .alias("positions"),
+            F.col("doclen_bytes").cast("int").alias("tf"),
+        )
+        cols = ["term", "doc_id", "positions", "tf"]
+        (
+            sp.select(*cols)
+            .unionByName(stat_rows.select(*cols))
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_path, DELTA_DIR, f"gen={gen}"))
+        )
+        changed.write.mode("overwrite").parquet(
+            os.path.join(index_path, TOMB_DIR, f"gen={gen}")
+        )
+
+        # docstats: base minus superseded docs, plus the stream's rows
+        updates["docstats"] = commitio.next_version(index_path, "docstats")
+        (
+            base_ds.join(changed, "doc_id", "left_anti")
+            .unionByName(sd.select(*base_ds.columns))
+            .write.mode("overwrite")
+            .parquet(
+                commitio.version_dir(
+                    index_path, "docstats", updates["docstats"]
+                )
+            )
+        )
+
+        # termdict: incremental merge when the stream only appended new
+        # docs (no base contributions to subtract); full re-derive from
+        # the generation-filtered view otherwise
+        n_overlap = changed.join(base_ds.select("doc_id"), "doc_id").count()
+        delta_td = (
+            sp.filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(
+                F.count("*").cast("long").alias("df"),
+                F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias("df_full"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+        )
+        updates["termdict"] = commitio.next_version(index_path, "termdict")
+        if n_overlap == 0:
+            base_td = spark.read.parquet(
+                commitio.table_path(index_path, "termdict")
+            )
+            merged_td = (
+                base_td.unionByName(delta_td)
+                .groupBy("term")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("df_full").cast("long").alias("df_full"),
+                    F.sum("cf").cast("long").alias("cf"),
+                )
+            )
+        else:
+            from .upsert import merged_postings
+
+            # merged_postings scans the postings_delta directory itself,
+            # so the gen written above is already part of the view
+            merged_td = (
+                merged_postings(spark, index_path)
+                .filter(F.col("term") != "")
+                .groupBy("term")
+                .agg(
+                    F.count("*").cast("long").alias("df"),
+                    F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+                    .cast("long")
+                    .alias("df_full"),
+                    F.sum("tf").cast("long").alias("cf"),
+                )
+            )
+        merged_td.write.mode("overwrite").parquet(
+            commitio.version_dir(index_path, "termdict", updates["termdict"])
+        )
+
+    docs_dir = commitio.table_path(index_path, "docs")
+    if dd is not None:
+        updates["docs"] = commitio.next_version(index_path, "docs")
+        new_docs = dd.select("doc_id", "text")
+        if os.path.isdir(docs_dir):
+            new_docs = (
+                spark.read.parquet(docs_dir)
+                .select("doc_id", "text")
+                .join(dd.select("doc_id").distinct(), "doc_id", "left_anti")
+                .unionByName(new_docs)
+            )
+        # no base doc store (store_docs=False): the stream delta BECOMES
+        # the initial docs table instead of being dropped below
+        new_docs.write.mode("overwrite").parquet(
+            commitio.version_dir(index_path, "docs", updates["docs"])
+        )
+
+    superseded = commitio.publish(index_path, updates)
+    commitio.gc_superseded(index_path, superseded)
+
+    if changed is not None:
+        _invalidate_segments(spark, index_path, changed)
+
+    # delete ONLY the snapshotted batch directories (plus each table dir
+    # if that leaves it empty — concurrent batches keep it alive)
+    for t, dirs in snap.items():
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(index_path, STREAM_DIR, t))
+        except OSError:
+            pass
+
     stats = (
         spark.read.parquet(commitio.table_path(index_path, "docstats"))
         .agg(F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl"))
         .collect()[0]
     )
+    if sp is not None and sd is not None:
+        meta["generation"] = gen
     meta["n_docs"] = int(stats["n"])
     meta["avgdl"] = float(stats["avgdl"] or 0.0)
     tmp = meta_path + ".tmp"

@@ -124,14 +124,24 @@ def upsert_saved(
 
     # derived tables are rewritten into NEW versioned directories and
     # committed with a single catalog-pointer swap (commitio.py) —
-    # object-store-safe: no in-place rename/delete of live data
+    # object-store-safe: no in-place rename/delete of live data.
+    # Versions come from commitio.next_version, NOT the meta generation:
+    # compact_index resets the generation counter to 0, so a meta-derived
+    # version could collide with a live directory (overwrite-in-place,
+    # then gc of the directory the catalog points at).
     merged = merged_postings(spark, path)
     postings = merged.filter(F.col("term") != "")
+    updates = {
+        "termdict": commitio.next_version(path, "termdict"),
+        "docstats": commitio.next_version(path, "docstats"),
+    }
     postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df_full"),
         F.sum("tf").cast("long").alias("cf"),
-    ).write.mode("overwrite").parquet(commitio.version_dir(path, "termdict", gen))
+    ).write.mode("overwrite").parquet(
+        commitio.version_dir(path, "termdict", updates["termdict"])
+    )
     (
         merged.filter(F.col("term") == "")
         .select("doc_id", F.col("tf").cast("int").alias("doclen_bytes"))
@@ -144,24 +154,23 @@ def upsert_saved(
         )
         .fillna({"doclen_tokens": 0})
         .write.mode("overwrite")
-        .parquet(commitio.version_dir(path, "docstats", gen))
+        .parquet(commitio.version_dir(path, "docstats", updates["docstats"]))
     )
-    updates = {"termdict": gen, "docstats": gen}
 
     # keep the doc store (if this index carries one) in sync, or
     # highlight/doc lookups would serve superseded text
     docs_dir = commitio.table_path(path, "docs")
     if os.path.isdir(docs_dir):
         base_docs = spark.read.parquet(docs_dir)
+        updates["docs"] = commitio.next_version(path, "docs")
         (
             base_docs.join(
                 changed_docs.select("doc_id").distinct(), "doc_id", "left_anti"
             )
             .unionByName(changed_docs, allowMissingColumns=True)
             .write.mode("overwrite")
-            .parquet(commitio.version_dir(path, "docs", gen))
+            .parquet(commitio.version_dir(path, "docs", updates["docs"]))
         )
-        updates["docs"] = gen
 
     superseded = commitio.publish(path, updates)
     commitio.gc_superseded(path, superseded)
@@ -244,12 +253,16 @@ def compact_index(spark: SparkSession, path: str) -> None:
     gen = int(meta.get("generation", 0))
     if gen == 0:
         return
+    # next_version, NOT the meta generation: after a previous compact the
+    # live postings dir can be postings.v<gen> itself — a meta-derived
+    # version would overwrite the very directory merged_postings reads
+    pgen = commitio.next_version(path, "postings")
     merged_postings(spark, path).sortWithinPartitions(
         "term", "doc_id"
     ).write.mode("overwrite").parquet(
-        commitio.version_dir(path, "postings", gen)
+        commitio.version_dir(path, "postings", pgen)
     )
-    superseded = commitio.publish(path, {"postings": gen})
+    superseded = commitio.publish(path, {"postings": pgen})
     commitio.gc_superseded(path, superseded)
     shutil.rmtree(os.path.join(path, DELTA_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(path, TOMB_DIR), ignore_errors=True)
@@ -260,8 +273,6 @@ def compact_index(spark: SparkSession, path: str) -> None:
 def load_index_merged(
     spark: SparkSession, path: str, docs: Optional[DataFrame] = None
 ) -> FtsIndex:
-    """load_index that respects delta generations (use after upserts)."""
-    idx = load_index(spark, path, docs=docs)
-    if int(_meta(path).get("generation", 0)) > 0:
-        idx.postings = merged_postings(spark, path).filter(F.col("term") != "")
-    return idx
+    """Alias kept for API compatibility: ``load_index`` is
+    generation-aware and always serves the merged view."""
+    return load_index(spark, path, docs=docs)

@@ -239,3 +239,37 @@ def test_sorted_kernel_mixed_unicode_partition():
         flat += list(zip(d["term"], d["doc_id"]))
     # stats first, then term-sorted (fallback merge path)
     assert flat == sorted(flat)
+
+
+def test_direct_write_gated_on_shared_fs(spark, tmp_path, monkeypatch):
+    """Kernel-direct writes require driver+executors to share the target
+    filesystem (round-3 advice): with SPARK_GRAFT_SHARED_FS=0 the build
+    must take the driver-coordinated JVM writer path and still produce
+    an identical index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.build import build_and_save
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 7} beta gamma{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    p_direct = str(tmp_path / "direct")
+    p_jvm = str(tmp_path / "jvm")
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_FS", "1")
+    build_and_save(spark, docs, p_direct, ngrams=False, store_docs=False)
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_FS", "0")
+    build_and_save(spark, docs, p_jvm, ngrams=False, store_docs=False)
+    # fallback path leaves no kernel-written partials behind
+    assert not os.path.isdir(os.path.join(p_jvm, "termdict_partials"))
+
+    def canon(path, table):
+        df = spark.read.parquet(os.path.join(path, table))
+        if "positions" in df.columns:
+            df = df.withColumn("np", F.size("positions")).drop("positions")
+        return sorted(tuple(r) for r in df.collect())
+
+    for t in ("postings", "docstats", "termdict"):
+        assert canon(p_direct, t) == canon(p_jvm, t), t

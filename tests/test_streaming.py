@@ -199,3 +199,130 @@ def test_stream_append_then_incremental_segments(spark, tmp_path):
         for r in segment_search(spark, idx_path, "zzstreamedterm").collect()
     }
     assert got2 == streamed_ids
+
+
+def test_registry_replay_preserves_assignments(spark, tmp_path):
+    """Regression (round-3 advice): a replayed registry batch must
+    reproduce identical registry contents. Anti-joining against the
+    batch's OWN previous output deleted its conv_no assignments and
+    silently dropped every one of those conversations' turns."""
+    from inverted_index_spark.streaming import append_batch
+
+    idx_path = str(tmp_path / "idx")
+    tr = synthetic_transcripts(spark, n_conversations=6, turns_per_conv=2)
+    fn = append_batch(idx_path, ngrams=False, id_mode="registry")
+    b0 = tr.filter(F.col("conv_id") < "conv-00000003")
+    b1 = tr.filter(F.col("conv_id") >= "conv-00000003")
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def registry():
+        return {
+            r["conv_id"]: r["conv_no"]
+            for r in spark.read.parquet(
+                os.path.join(idx_path, "stream_delta", "registry")
+            ).collect()
+        }
+
+    def batch1_postings():
+        return (
+            spark.read.parquet(
+                os.path.join(idx_path, "stream_delta", "postings", "batch=1")
+            ).count()
+        )
+
+    reg_before, n_before = registry(), batch1_postings()
+    assert n_before > 0
+    # replay batch 1 (crash after the registry write, before/after the
+    # postings write — foreachBatch re-runs the whole batch)
+    fn(b1, 1)
+    assert registry() == reg_before
+    assert batch1_postings() == n_before
+
+
+def test_compact_stream_incremental_base_untouched(spark, tmp_path):
+    """compact_stream folds stream deltas as ONE upsert delta
+    generation: the base postings files are byte-identical afterwards
+    and the catalog's postings pointer is unchanged — compaction cost
+    scales with the delta, not the corpus."""
+    from inverted_index_spark.commitio import table_path
+    from inverted_index_spark.build import load_index
+    from inverted_index_spark.streaming import append_batch, compact_stream
+
+    idx_path = str(tmp_path / "idx")
+    tr = synthetic_transcripts(spark, n_conversations=20, turns_per_conv=3)
+    boot = tr.filter(F.col("conv_id") < "conv-00000015")
+    build_and_save(
+        spark,
+        boot.withColumn("doc_id", streaming_doc_id()).select("doc_id", "text"),
+        idx_path,
+        ngrams=False,
+    )
+    rest = tr.filter(F.col("conv_id") >= "conv-00000015").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzcompactincr"))
+    )
+    append_batch(idx_path, ngrams=False)(rest, 0)
+
+    pdir = table_path(idx_path, "postings")
+    before = {
+        f: (os.path.getsize(os.path.join(pdir, f)),
+            os.path.getmtime(os.path.join(pdir, f)))
+        for f in os.listdir(pdir)
+    }
+    compact_stream(spark, idx_path)
+    after = {
+        f: (os.path.getsize(os.path.join(pdir, f)),
+            os.path.getmtime(os.path.join(pdir, f)))
+        for f in os.listdir(pdir)
+    }
+    assert after == before
+    assert table_path(idx_path, "postings") == pdir
+    # the delta generation serves the streamed docs through load_index
+    idx = load_index(spark, idx_path)
+    n_streamed = rest.count()
+    assert (
+        idx.postings.filter(F.col("term") == "zzcompactincr").count()
+        == n_streamed
+    )
+    assert idx.n_docs == 60
+    # termdict was merged incrementally and carries the streamed term
+    assert (
+        idx.termdict.filter(F.col("term") == "zzcompactincr").first()["df"]
+        == n_streamed
+    )
+
+
+def test_compact_stream_publishes_docs_without_base(spark, tmp_path):
+    """Regression (round-3 advice): with store_docs=False there is no
+    base docs dir — streamed doc-store rows must be published as the
+    initial docs table, not deleted."""
+    from inverted_index_spark.commitio import table_path
+    from inverted_index_spark.build import load_index
+    from inverted_index_spark.streaming import append_batch, compact_stream
+
+    idx_path = str(tmp_path / "idx")
+    tr = synthetic_transcripts(spark, n_conversations=10, turns_per_conv=2)
+    boot = tr.filter(F.col("conv_id") < "conv-00000008")
+    build_and_save(
+        spark,
+        boot.withColumn("doc_id", streaming_doc_id()).select("doc_id", "text"),
+        idx_path,
+        ngrams=False,
+        store_docs=False,
+    )
+    rest = tr.filter(F.col("conv_id") >= "conv-00000008")
+    append_batch(idx_path, ngrams=False)(rest, 0)
+    compact_stream(spark, idx_path)
+    docs_dir = table_path(idx_path, "docs")
+    assert os.path.isdir(docs_dir)
+    streamed_ids = {
+        r["doc_id"]
+        for r in rest.withColumn("doc_id", streaming_doc_id())
+        .select("doc_id")
+        .collect()
+    }
+    stored = {
+        r["doc_id"] for r in spark.read.parquet(docs_dir).collect()
+    }
+    assert stored == streamed_ids
+    assert load_index(spark, idx_path).docs is not None

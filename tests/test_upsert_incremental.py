@@ -194,3 +194,36 @@ def test_commit_protocol_versioned_dirs_and_crash_safety(spark, tmp_path):
     idx = load_index(spark, path)
     assert idx.termdict.count() > 0  # still served from v1
     assert table_path(path, "termdict").endswith("termdict.v1")
+
+
+def test_upsert_compact_upsert_cycle(spark, saved):
+    """Regression (round-3 advice): compact_index resets the meta
+    generation to 0, so a later upsert's derived-table versions must
+    come from commitio.next_version — a meta-derived version collided
+    with the live termdict.v1/docstats.v1, overwrote it in place, and
+    then gc'd the directory the catalog pointed at."""
+    import json
+
+    upsert_saved(
+        spark,
+        saved,
+        spark.createDataFrame([(0, "first rewrite alpha")], ["doc_id", "text"]),
+    )
+    compact_index(spark, saved)
+    upsert_saved(
+        spark,
+        saved,
+        spark.createDataFrame([(1, "second rewrite beta")], ["doc_id", "text"]),
+    )
+    assert _docs_of(spark, saved, "beta") == [1]
+    assert _docs_of(spark, saved, "alpha") == [0]
+    assert _docs_of(spark, saved, "sorcery") == []
+    # every catalog entry points at a directory that exists
+    cat = json.load(open(os.path.join(saved, "catalog.json")))
+    for name, d in cat.items():
+        assert os.path.isdir(os.path.join(saved, d)), (name, d)
+    # compact again: must pick a fresh postings version, not overwrite
+    # the live directory merged_postings is reading
+    compact_index(spark, saved)
+    assert _docs_of(spark, saved, "beta") == [1]
+    assert _docs_of(spark, saved, "alpha") == [0]

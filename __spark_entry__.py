@@ -200,6 +200,50 @@ def _q_phrase_seg(spark, sf):
     )
 
 
+def _q_match_seg(spark, sf):
+    """Scale-path Match + parity score from positional segments —
+    shares the match_docs oracle."""
+    from inverted_index_spark.segquery import segment_search
+
+    path = _seg_index(spark, sf)
+    return segment_search(spark, path, "merge").select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score_r4")
+    )
+
+
+def _q_and_seg(spark, sf):
+    """Scale-path And: compound algebra served from segments (And
+    intersects child shard sets before opening files)."""
+    from inverted_index_spark.qast import And, Match
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, And(Match("scan"), Match("merge")), with_positions=False
+    ).select("doc_id")
+
+
+def _q_or_seg(spark, sf):
+    from inverted_index_spark.qast import Match, Or
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, Or(Match("window"), Match("stream")), with_positions=False
+    ).select("doc_id")
+
+
+def _q_prefix_seg(spark, sf):
+    """Raw (un-analyzed) dictionary range scan served from segments."""
+    from inverted_index_spark.qast import Prefix
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, Prefix("mer"), with_positions=False
+    ).select("doc_id")
+
+
 def _q_exact_dups(spark, sf):
     from inverted_index_spark.pipelines.dedup import with_text_hash
 
@@ -379,6 +423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": _q_bm25_batch,
         "wand_topk": _q_wand_topk,
         "phrase_seg": _q_phrase_seg,
+        "match_seg": _q_match_seg,
+        "and_seg": _q_and_seg,
+        "or_seg": _q_or_seg,
+        "prefix_seg": _q_prefix_seg,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -396,10 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,
         "neardup_cosine": _q_neardup_cosine,
-        # rows-only contract entries (no SQL-expressible oracle):
-        # highlight is byte-slicing (tested against ported reference
-        # goldens); image_features decodes a synthetic binary format
         "highlight": _q_highlight,
+        # rows-only contract entry (no SQL-expressible oracle):
+        # image_features decodes a synthetic binary format
         "image_features": _q_image_features,
     }
 
@@ -796,8 +843,40 @@ def oracle_sql() -> dict[str, str]:
             from events group by 1, 2
         """,
     }
+    # highlight: the engine wraps each coalesced position's byte range
+    # (search_result.rs:54-66). Match('merge') positions are the first
+    # 5 bytes of every token with prefix 'merge'; top-5 selection
+    # mirrors the engine's float32 parity order (score desc, doc_id
+    # asc). The corpus text is single-space ASCII, so a token-level
+    # rebuild reproduces the byte-sliced output exactly.
+    out["highlight"] = f"""
+        with m as (
+          select doc_id, count(*)::bigint as cnt
+          from ({_TOKS}) where term like 'merge%' group by doc_id
+        ),
+        top5 as (
+          select m.doc_id
+          from m join documents d using (doc_id)
+          order by (5 * m.cnt)::float / sqrt(strlen(d.text)::float) desc,
+                   m.doc_id asc
+          limit 5
+        )
+        select d.doc_id,
+               array_to_string(
+                 list_transform(string_split(d.text, ' '),
+                   t -> case when t like 'merge%'
+                        then '<b>' || substr(t, 1, 5) || '</b>' || substr(t, 6)
+                        else t end),
+                 ' ') as highlighted
+        from top5 join documents d using (doc_id)
+    """
     # segment-served scale paths share their relational twins' oracles:
-    # WAND is exact BM25; segment phrase is the same phrase semantics
+    # WAND is exact BM25; segment Match/And/Or/Prefix/Phrase reproduce
+    # the engine's semantics bit-for-bit (asserted in tests)
     out["wand_topk"] = out["bm25_topk"]
     out["phrase_seg"] = out["phrase_match"]
+    out["match_seg"] = out["match_docs"]
+    out["and_seg"] = out["and_docs"]
+    out["or_seg"] = out["or_docs"]
+    out["prefix_seg"] = out["prefix_docs"]
     return out

@@ -157,7 +157,11 @@ def main() -> None:
         fn()
         return round(time.perf_counter() - t, 4)
 
-    from inverted_index_spark.segquery import segment_phrase, segment_search
+    from inverted_index_spark.segquery import (
+        segment_phrase,
+        segment_query,
+        segment_search,
+    )
 
     # warm all query paths once (python workers, OS page cache for the
     # segment files, parquet footers) so per-query numbers measure the
@@ -189,6 +193,19 @@ def main() -> None:
         ).collect(),
         "phrase_seg": lambda: segment_phrase(
             spark, idx_path, "batch batch", k=10
+        ).collect(),
+        # compound algebra served from segments (round 3): And prunes to
+        # the intersection of child shard sets before opening any file
+        "and_seg": lambda: segment_query(
+            spark, idx_path, And(Match("scan"), Match("merge")), k=10,
+            with_positions=False,
+        ).collect(),
+        "or_seg": lambda: segment_query(
+            spark, idx_path, Or(Match("window"), Match("stream")), k=10,
+            with_positions=False,
+        ).collect(),
+        "prefix_seg": lambda: segment_query(
+            spark, idx_path, Prefix("mer"), k=10, with_positions=False
         ).collect(),
         # amortized many-query paths: 64 queries, one job
         "bm25_batch64": lambda: eng.bm25_batch(

@@ -42,7 +42,12 @@ from .upsert import (  # noqa: F401
     load_index_merged,
     upsert_saved,
 )
-from .segquery import segment_highlight, segment_phrase, segment_search  # noqa: F401
+from .segquery import (  # noqa: F401
+    segment_highlight,
+    segment_phrase,
+    segment_query,
+    segment_search,
+)
 from .streaming import compact_stream, refresh_index  # noqa: F401
 from .sqlapi import bm25_sql, register_index_views  # noqa: F401
 from .wand import wand_topk, wand_topk_batch  # noqa: F401
@@ -69,6 +74,7 @@ __all__ = [
     "wand_topk",
     "wand_topk_batch",
     "segment_search",
+    "segment_query",
     "segment_phrase",
     "segment_highlight",
     "register_index_views",

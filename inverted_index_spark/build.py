@@ -57,6 +57,10 @@ class FtsIndex:
     n_docs: int
     avgdl: float  # mean doclen_tokens (BM25 dl normalization)
     ngrams: bool = True
+    # directory of the saved index (None for in-memory builds): lets
+    # FtsEngine discover fresh compressed segments and route BM25 calls
+    # to the WAND scale path automatically
+    path: Optional[str] = None
 
 
 def tokenize_docs(docs: DataFrame, ngrams: bool = True) -> DataFrame:
@@ -352,6 +356,7 @@ def build_and_save(
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
         ngrams=ngrams,
+        path=path,
     )
 
 
@@ -402,6 +407,7 @@ def load_index(
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
         ngrams=meta["ngrams"],
+        path=path,
     )
 
 

@@ -11,17 +11,28 @@ Protocol here (the Iceberg/Delta pattern, hand-rolled over parquet):
 
 * every rewrite of a derived table lands in a NEW versioned directory
   ``<name>.v<gen>`` — existing directories are never modified;
-* readers resolve a logical table name through ``catalog.json``
-  (``table_path``), falling back to the bare ``<name>`` directory for
-  gen-0 layouts written by build_and_save;
-* a batch commits by swapping the single small pointer file once
-  (``publish`` — write-temp + atomic rename locally; on a real object
-  store this maps to one conditional PUT / CAS of the catalog object);
+* readers resolve a logical table name through the active CATALOG
+  (default: ``catalog.json`` in the table root), falling back to the
+  bare ``<name>`` directory for gen-0 layouts written by build_and_save;
+* a batch commits by swapping the pointer state once (``publish`` —
+  write-temp + atomic rename locally; on a real object store this maps
+  to one conditional PUT / CAS of the catalog object);
 * a crash before ``publish`` leaves the old catalog pointing at intact
   old directories — half-written versions are invisible garbage;
 * superseded version directories are removed only AFTER the pointer
   swap (``gc_superseded``) — production deployments would defer this by
   a grace period so in-flight readers finish.
+
+Catalog adapter seam
+--------------------
+All pointer reads/writes go through one small interface
+(``CatalogAdapter``: resolve + swap). The default ``JsonCatalog`` is
+the sandbox implementation; a deployment with a real Iceberg/Delta/
+Glue catalog registers its own adapter (``set_catalog``) that maps
+``swap`` to the catalog's atomic multi-table commit (e.g. an Iceberg
+transaction replacing each table's data location) and ``resolve`` to a
+catalog lookup — no other engine code changes. The protocol only needs
+compare-and-swap semantics from the adapter.
 """
 
 from __future__ import annotations
@@ -34,17 +45,61 @@ from typing import Dict, Optional
 CATALOG = "catalog.json"
 
 
-def _catalog(path: str) -> Dict[str, str]:
-    cat = os.path.join(path, CATALOG)
-    if os.path.exists(cat):
-        with open(cat) as fh:
-            return json.load(fh)
-    return {}
+class CatalogAdapter:
+    """Pointer store interface: logical table name -> directory name.
+
+    ``resolve`` returns the directory name (relative to ``path``) the
+    catalog currently maps ``name`` to, or None when unmapped.
+    ``swap`` atomically updates ALL given mappings (one commit).
+    """
+
+    def resolve(self, path: str, name: str) -> Optional[str]:
+        raise NotImplementedError
+
+    def swap(self, path: str, mapping: Dict[str, str]) -> None:
+        raise NotImplementedError
+
+
+class JsonCatalog(CatalogAdapter):
+    """Default adapter: one small JSON pointer file per table root,
+    replaced atomically (locally: os.replace; object store: one CAS
+    PUT of the catalog object)."""
+
+    def _load(self, path: str) -> Dict[str, str]:
+        cat = os.path.join(path, CATALOG)
+        if os.path.exists(cat):
+            with open(cat) as fh:
+                return json.load(fh)
+        return {}
+
+    def resolve(self, path: str, name: str) -> Optional[str]:
+        return self._load(path).get(name)
+
+    def swap(self, path: str, mapping: Dict[str, str]) -> None:
+        entries = self._load(path)
+        entries.update(mapping)
+        cat = os.path.join(path, CATALOG)
+        tmp = cat + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh, indent=1)
+        os.replace(tmp, cat)
+
+
+_CATALOG_ADAPTER: CatalogAdapter = JsonCatalog()
+
+
+def set_catalog(adapter: CatalogAdapter) -> CatalogAdapter:
+    """Install a catalog adapter (returns the previous one). Pass a
+    real-catalog binding here when running against Iceberg/Delta."""
+    global _CATALOG_ADAPTER
+    prev = _CATALOG_ADAPTER
+    _CATALOG_ADAPTER = adapter
+    return prev
 
 
 def table_path(path: str, name: str) -> str:
     """Resolve a logical table name to its current directory."""
-    return os.path.join(path, _catalog(path).get(name, name))
+    return os.path.join(path, _CATALOG_ADAPTER.resolve(path, name) or name)
 
 
 def version_dir(path: str, name: str, gen: int) -> str:
@@ -63,7 +118,7 @@ def next_version(path: str, name: str) -> int:
             used.append(int(d.rsplit(".v", 1)[1]))
         except ValueError:
             pass
-    cur = _catalog(path).get(name, "")
+    cur = _CATALOG_ADAPTER.resolve(path, name) or ""
     if ".v" in cur:
         try:
             used.append(int(cur.rsplit(".v", 1)[1]))
@@ -79,10 +134,10 @@ def publish(path: str, updates: Dict[str, int]) -> Dict[str, Optional[str]]:
     ``version_dir``. Returns the superseded directory per table (None
     when there was none) for ``gc_superseded``.
     """
-    entries = _catalog(path)
     old: Dict[str, Optional[str]] = {}
+    mapping: Dict[str, str] = {}
     for name, gen in updates.items():
-        prev = entries.get(name)
+        prev = _CATALOG_ADAPTER.resolve(path, name)
         # bare <name> dirs (gen-0 base) are also superseded targets
         if prev is None and os.path.isdir(os.path.join(path, name)):
             prev = name
@@ -91,12 +146,8 @@ def publish(path: str, updates: Dict[str, int]) -> Dict[str, Optional[str]]:
         # caller that (wrongly) re-publishes a live generation must not
         # get its only copy deleted
         old[name] = None if prev == new else prev
-        entries[name] = new
-    cat = os.path.join(path, CATALOG)
-    tmp = cat + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(entries, fh, indent=1)
-    os.replace(tmp, cat)
+        mapping[name] = new
+    _CATALOG_ADAPTER.swap(path, mapping)
     return old
 
 

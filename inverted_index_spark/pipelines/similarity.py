@@ -221,12 +221,26 @@ def _kmeans_centroids(
     the expensive part — assigning every vector — stays distributed.
     Sampling is seeded and the iteration is plain numpy, so centroids
     are reproducible run to run.
+
+    The sample is a REAL random sample: a Bernoulli pass sized from
+    the table count (``fraction = min(1, 4*sample/N)``) bounds the
+    candidate set to ~4*sample rows, then a seeded-random shuffle of
+    that small set breaks partition order before the limit. A bare
+    ``limit(sample)`` would take the first rows in partition order —
+    at corpus scale that is one shard's data and the centroids would
+    be fit on whatever that shard happens to contain (e.g. a
+    time-ordered table's oldest slice); the head of a Bernoulli sample
+    is equally early-partition-biased, hence the shuffle.
     """
     import numpy as np
 
+    n = embeddings.count()
+    frac = min(1.0, (4.0 * sample) / max(n, 1))
     rows = (
         embeddings.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
+        .sample(fraction=frac, seed=seed)
+        # the sort input is <= ~4*sample rows regardless of N
+        .orderBy(F.rand(seed + 1))
         .limit(sample)
         .collect()
     )

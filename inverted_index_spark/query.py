@@ -84,10 +84,28 @@ class PlanResult:
 
 
 class FtsEngine:
-    """Compiles Query ASTs against an FtsIndex and scores results."""
+    """Compiles Query ASTs against an FtsIndex and scores results.
 
-    def __init__(self, index: FtsIndex):
+    BM25 calls (``bm25``, ``bm25_batch``) route to the block-max WAND
+    scale path automatically when the index directory holds compressed
+    segments that are FRESH (segments.segments_fresh: source token
+    matches the live postings state, no un-compacted stream deltas) —
+    WAND is exact, 10x+ faster on broad queries, and reads only the
+    segments. Pass ``use_segments=False`` to pin the relational
+    DataFrame plan (equivalence tests do).
+    """
+
+    def __init__(self, index: FtsIndex, use_segments: bool = True):
         self.index = index
+        self.use_segments = use_segments
+
+    def _segment_path(self) -> Optional[str]:
+        path = getattr(self.index, "path", None)
+        if not self.use_segments or not path:
+            return None
+        from .segments import segments_fresh
+
+        return path if segments_fresh(path) else None
 
     # ------------------------------------------------------------------
     # leaf scans
@@ -309,23 +327,29 @@ class FtsEngine:
 
         Parity score: float32 sum(coalesced widths)/sqrt(doc bytes)
         (search_result.rs:19-28); order score desc, doc_id asc
-        (index.rs:148-156). With ``with_positions=True`` the position
-        arrays are built in the same single-exchange aggregation that
-        computes widths — for EVERY matching doc, pre-limit; on broad
-        queries where only a small top-k is needed, pass
-        ``with_positions=False`` (or use ``search``/``bm25``) and fetch
-        positions for the k winners afterwards.
+        (index.rs:148-156).
+
+        Position materialization is TWO-PASS when ``k`` is set: pass 1
+        scores every matching doc WITHOUT building position arrays
+        (widths only — stays in whole-stage codegen) and takes the
+        top-k; pass 2 re-reads only the k winners' rows (broadcast
+        semi-join pushes the doc filter into the scan) and coalesces
+        their positions. A broad query therefore never collect_lists
+        position arrays corpus-wide just to throw away all but k of
+        them. ``k=None`` + ``with_positions=True`` keeps the single-pass
+        shape (every doc's positions are genuinely wanted).
         """
         plan = self.compile(query)
+        two_pass = with_positions and k is not None
         coalesced = self.coalesce_rows(plan.rows)
-        # ONE aggregation produces width AND (optionally) the position
-        # array — and it reuses the coalesce windows' hash partitioning
-        # on doc_id, so the whole post-scan pipeline is a single
-        # exchange. The membership join (with its duplicated subtree)
-        # only exists for plans where a doc can match with zero rows
-        # (Phrase, see PlanResult.complete).
+        # ONE aggregation produces width AND (single-pass only) the
+        # position array — and it reuses the coalesce windows' hash
+        # partitioning on doc_id, so the whole post-scan pipeline is a
+        # single exchange. The membership join (with its duplicated
+        # subtree) only exists for plans where a doc can match with
+        # zero rows (Phrase, see PlanResult.complete).
         aggs = [F.sum(F.col("end") - F.col("begin")).alias("width")]
-        if with_positions:
+        if with_positions and not two_pass:
             aggs.append(
                 F.sort_array(
                     F.collect_list(F.struct("begin", "end", "pos"))
@@ -353,13 +377,39 @@ class FtsEngine:
             scored = scored.limit(k)
         if not with_positions:
             return scored.select("doc_id", "score")
+        empty_pos = F.array().cast("array<struct<begin:int,end:int,pos:int>>")
+        if two_pass:
+            winners = scored.select("doc_id", "score")
+            win_pos = (
+                self.coalesce_rows(
+                    plan.rows.join(
+                        F.broadcast(winners.select("doc_id")),
+                        "doc_id",
+                        "left_semi",
+                    )
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("begin", "end", "pos"))
+                    ).alias("positions")
+                )
+            )
+            return (
+                winners.join(win_pos, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "score",
+                    F.coalesce(F.col("positions"), empty_pos).alias(
+                        "positions"
+                    ),
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
         return scored.select(
             "doc_id",
             "score",
-            F.coalesce(
-                F.col("positions"),
-                F.array().cast("array<struct<begin:int,end:int,pos:int>>"),
-            ).alias("positions"),
+            F.coalesce(F.col("positions"), empty_pos).alias("positions"),
         )
 
     def search(self, text: str, k: Optional[int] = None) -> DataFrame:
@@ -402,7 +452,19 @@ class FtsEngine:
         ``row_number() <= k`` partitioned by query_id (SURVEY §2.4
         window-functions row). At 10^5 queries/batch this amortizes the
         scan and shuffles once — the shape for offline relevance jobs.
+
+        With fresh segments the batch routes to ``wand_topk_batch``
+        (one segment pass for the whole batch, no docstats shuffle —
+        doc lengths are baked into the shard files); the DataFrame plan
+        below is the fallback for segment-less indexes.
         """
+        seg = self._segment_path()
+        if seg is not None:
+            from .wand import wand_topk_batch
+
+            return wand_topk_batch(
+                self.index.docstats.sparkSession, seg, texts, k=k
+            )
         q_terms: List[tuple] = []  # (query_id, term)
         for qid, text in enumerate(texts):
             seen: List[str] = []
@@ -458,8 +520,17 @@ class FtsEngine:
         idf = ln((N - df + 0.5)/(df + 0.5) + 1); dl = tokens per doc;
         all JVM-side: postings scan -> termdict join (broadcast: one row
         per query term) -> docstats join -> weighted sum -> top-k via
-        TakeOrderedAndProject.
+        TakeOrderedAndProject. Routes to block-max WAND over the
+        compressed segments when they are fresh (exact, and skips
+        everything the threshold proves can't rank).
         """
+        seg = self._segment_path()
+        if seg is not None:
+            from .wand import wand_topk
+
+            return wand_topk(
+                self.index.docstats.sparkSession, seg, text, k=k
+            )
         terms: List[str] = []
         for tok in analyze_query(text):
             if tok.term not in terms:

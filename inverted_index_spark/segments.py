@@ -52,7 +52,7 @@ import hashlib
 import json
 import os
 import time
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 from pyspark.sql import SparkSession
@@ -275,6 +275,56 @@ def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
     )
 
 
+def _source_token(index_path: str) -> dict:
+    """Snapshot of the postings state a segment build derives from.
+
+    Any mutation path changes at least one component: upserts and
+    stream compactions bump the meta generation, compact_index swaps
+    the catalog's postings pointer, a full rebuild changes the dir
+    mtime. Used by ``segments_fresh`` to decide whether WAND answers
+    would equal the live postings' answers.
+    """
+    import json as _json
+
+    from . import commitio
+
+    pdir = commitio.table_path(index_path, "postings")
+    tok: dict = {"postings_dir": os.path.basename(pdir.rstrip("/"))}
+    if os.path.isdir(pdir):
+        tok["mtime"] = os.path.getmtime(pdir)
+    meta_path = os.path.join(index_path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            tok["generation"] = int(
+                _json.load(fh).get("generation", 0)
+            )
+    return tok
+
+
+def segments_fresh(path: str, positional: Optional[bool] = None) -> bool:
+    """True iff segments exist and reflect the CURRENT postings state
+    (source token matches and no un-compacted stream deltas) — the
+    guard for routing relational BM25 calls to the WAND scale path."""
+    manifest_path = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(manifest_path):
+        return False
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    if positional is not None and bool(
+        manifest.get("positional", False)
+    ) != positional:
+        return False
+    src = manifest.get("source")
+    if src is None or src != _source_token(path):
+        return False
+    sd = os.path.join(path, "stream_delta", "postings")
+    if os.path.isdir(sd) and any(
+        x.startswith("batch=") for x in os.listdir(sd)
+    ):
+        return False
+    return True
+
+
 def build_segments(
     spark: SparkSession,
     index: FtsIndex,
@@ -387,6 +437,7 @@ def build_segments(
         "positional": positions,
         "built_shards": len(new_rows),
         "resumed_shards": len(done),
+        "source": _source_token(path),
         "shards": shards,
     }
     tmp = manifest_path + ".tmp"

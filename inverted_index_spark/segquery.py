@@ -1,17 +1,20 @@
-"""Positional segment-served queries: parity Match and Phrase.
+"""Positional segment-served queries: the FULL reference query algebra.
 
-Serves the reference's positional query family (Match scoring and
-Phrase adjacency — /root/reference/src/postings.rs:66-112,
-src/search_result.rs:19-28) from the compressed segment layout
-(segments.py with ``positions=True``) instead of the raw postings
-parquet, so the uncompressed postings table is not needed at query time.
+Serves every variant of the reference's ``Query`` enum — Match, And,
+Or, Phrase, Prefix (/root/reference/src/query.rs:5-27, interpreted at
+src/index.rs:131-146) — from the compressed segment layout (segments.py
+with ``positions=True``) instead of the raw postings parquet, so the
+uncompressed postings table is not needed at query time at all.
 
 Distributed plan — same shape as WAND (wand.py): prune shards with the
-exact term->shard map, one task per surviving shard file (mapInPandas),
-each shard evaluated with a fully vectorized numpy kernel (decode ->
-adjacency join on (doc, pos+1) -> neighbor-only coalesce -> parity
-score); blocks hold complete docs, so per-shard results are exact and
-the driver just merges.
+exact term->shard map (read driver-side, metacache.py — compound nodes
+prune structurally: And intersects child shard sets, Or unions), one
+task per surviving shard file (mapInPandas), each shard evaluated with
+a fully vectorized numpy kernel (decode -> recursive AST evaluation ->
+neighbor-only coalesce -> parity score). Doc-range sharding makes every
+operator doc-local (a doc's postings for every term live in its own
+shard), so per-shard evaluation of the whole tree is exact and the
+driver just merges.
 
 The coalesce kernel reproduces the reference's *neighbor-only* merge
 rule (util/coalesce.rs:32-73): rows sorted by (begin, end, pos) merge
@@ -36,6 +39,7 @@ from pyspark.sql import functions as F
 from .analysis import analyze_query
 from .codecs import decode_doc_ids, decode_pos_block, varint_decode
 from .oracle import prefix_upper_bound
+from .qast import And, Match, Or, Phrase, Prefix, Query
 from .segments import DOCSTATS_TERM, load_manifest
 
 RESULT_SCHEMA = "doc_id long, score float"
@@ -47,44 +51,144 @@ RESULT_POS_SCHEMA = (
 _POS_SHIFT = np.int64(1) << np.int64(32)  # (doc_idx, pos) -> one int64 key
 
 
-def _term_ranges(index_path: str, terms: List[str]) -> List[Tuple[str, Optional[str]]]:
-    """One (lo, hi) index-term range per query term.
+def _index_ngrams(index_path: str) -> bool:
+    meta_path = os.path.join(index_path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            return bool(json.load(fh).get("ngrams", False))
+    return False
+
+
+def _term_range(term: str, ngrams: bool) -> Tuple[str, Optional[str]]:
+    """(lo, hi) index-term range for one analyzed query term.
 
     Full-token index: prefix-expansion range [t, succ(t)) — equivalent
     to the parity index's stored edge-ngrams (query.py:113). Parity
     (ngram) index: degenerate exact range [t, t + chr(0))."""
-    meta_path = os.path.join(index_path, "meta.json")
-    ngrams = False
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            ngrams = bool(json.load(fh).get("ngrams", False))
     if ngrams:
-        return [(t, t + "\x00") for t in terms]
-    return [(t, prefix_upper_bound(t)) for t in terms]
+        return (term, term + "\x00")
+    return (term, prefix_upper_bound(term))
+
+
+def _term_ranges(index_path: str, terms: List[str]) -> List[Tuple[str, Optional[str]]]:
+    ngrams = _index_ngrams(index_path)
+    return [_term_range(t, ngrams) for t in terms]
 
 
 def _shards_for_ranges(
     spark: SparkSession, index_path: str, manifest: dict, ranges
 ) -> List[dict]:
-    """Term->shard pruning for range matchers (cf. wand.shards_for_terms)."""
-    ts_dir = os.path.join(index_path, "term_shards")
-    if not ranges or not os.path.isdir(ts_dir):
+    """Manifest shard rows matching ANY of the term ranges (driver-side
+    metacache read — no Spark job; cf. wand.shards_for_terms)."""
+    from . import metacache
+
+    if not ranges:
         return manifest["shards"]
-    pred = None
-    for lo, hi in ranges:
-        p = F.col("term") >= lo
-        if hi is not None:
-            p = p & (F.col("term") < hi)
-        pred = p if pred is None else (pred | p)
-    hit = {
-        r["shard_id"]
-        for r in spark.read.parquet(ts_dir)
-        .filter(pred)
-        .select("shard_id")
-        .distinct()
-        .collect()
-    }
+    sets = metacache.shard_sets_for_ranges(index_path, list(ranges))
+    if sets is None or any(s is None for s in sets):
+        return manifest["shards"]
+    hit = set().union(*sets)
     return [s for s in manifest["shards"] if s["shard_id"] in hit]
+
+
+# ----------------------------------------------------------------------
+# Query AST -> compiled per-shard evaluation tree
+#
+# A compiled node is a tuple: ("empty",) | ("match", [range_idx, ...])
+# | ("prefix", [range_idx]) | ("phrase", [range_idx per term, in order])
+# | ("and", [child, ...]) | ("or", [child, ...]). Leaves index into one
+# flat ranges list so each shard file is opened and decoded exactly once
+# for the whole tree.
+
+
+def _compile_node(q: Query, ngrams: bool, ranges: list) -> tuple:
+    if isinstance(q, Match):
+        terms: List[str] = []
+        for tok in analyze_query(q.text):
+            if tok.term not in terms:  # query-token dedup (index.rs:81)
+                terms.append(tok.term)
+        if not terms:
+            return ("empty",)
+        idxs = []
+        for t in terms:
+            idxs.append(len(ranges))
+            ranges.append(_term_range(t, ngrams))
+        return ("match", idxs)
+    if isinstance(q, Prefix):
+        # raw, un-analyzed dictionary range scan (query.rs:23-25);
+        # empty prefix -> empty result (index.rs:110-112)
+        if not q.text:
+            return ("empty",)
+        idx = len(ranges)
+        ranges.append((q.text, prefix_upper_bound(q.text)))
+        return ("prefix", [idx])
+    if isinstance(q, Phrase):
+        terms = [t.term for t in analyze_query(q.text)]
+        if len(terms) < 2:  # 1-term phrase -> empty (index.rs:94-106)
+            return ("empty",)
+        idxs = []
+        for t in terms:  # NO dedup: adjacency needs every ordinal slot
+            idxs.append(len(ranges))
+            ranges.append(_term_range(t, ngrams))
+        return ("phrase", idxs)
+    if isinstance(q, And):
+        children = [_compile_node(c, ngrams, ranges) for c in q.children]
+        if not children:
+            return ("empty",)  # And([]) -> empty (postings.rs:33-34)
+        if len(children) == 1:
+            return children[0]
+        return ("and", children)
+    if isinstance(q, Or):
+        children = [_compile_node(c, ngrams, ranges) for c in q.children]
+        if not children:
+            return ("empty",)
+        if len(children) == 1:
+            return children[0]
+        return ("or", children)
+    raise TypeError(f"unknown query node: {q!r}")
+
+
+def _node_shards(node: tuple, sets) -> Optional[set]:
+    """Shard ids a node can possibly touch; None = no constraint.
+
+    And/Phrase members need every term present in the doc's shard ->
+    intersection; Match/Or -> union. ``sets[i]`` is range i's shard set
+    from metacache (None when the range was too broad to enumerate)."""
+    kind = node[0]
+    if kind == "empty":
+        return set()
+    if kind in ("match", "prefix"):
+        out: set = set()
+        for i in node[1]:
+            s = sets[i]
+            if s is None:
+                return None
+            out |= s
+        return out
+    if kind == "phrase":
+        inter: Optional[set] = None
+        for i in node[1]:
+            s = sets[i]
+            if s is None:
+                continue
+            inter = set(s) if inter is None else (inter & s)
+        return inter
+    if kind == "and":
+        inter = None
+        for c in node[1]:
+            s = _node_shards(c, sets)
+            if s is None:
+                continue
+            inter = set(s) if inter is None else (inter & s)
+        return inter
+    # or
+    out = set()
+    for c in node[1]:
+        s = _node_shards(c, sets)
+        if s is None:
+            return None
+        out |= s
+    return out
 
 
 def _read_shard(file_path: str, ranges) -> Tuple[list, Dict[int, int]]:
@@ -208,21 +312,21 @@ def _score_rows(
     return pd.DataFrame(out)
 
 
-def _eval_match(matchers, docbytes, with_positions) -> pd.DataFrame:
-    d = np.concatenate([m[0] for m in matchers])
-    b = np.concatenate([m[1] for m in matchers])
-    e = np.concatenate([m[2] for m in matchers])
-    p = np.concatenate([m[3] for m in matchers])
-    member = np.unique(d)
-    return _score_rows(member, (d, b, e, p), docbytes, with_positions)
+_Z = np.empty(0, np.int64)
+_EMPTY_ROWS = (_Z, _Z, _Z, _Z)
 
 
-def _eval_phrase(matchers, docbytes, with_positions) -> pd.DataFrame:
+def _concat_rows(parts):
+    """Concatenate a list of (d, b, e, p) tuples."""
+    if not parts:
+        return _EMPTY_ROWS
+    return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+
+
+def _phrase_member_rows(matchers) -> Tuple[np.ndarray, tuple]:
+    """(member docs, adjacency rows) for a phrase's ordered matchers."""
     member: Optional[np.ndarray] = None
-    parts_d: List[np.ndarray] = []
-    parts_b: List[np.ndarray] = []
-    parts_e: List[np.ndarray] = []
-    parts_p: List[np.ndarray] = []
+    parts: List[tuple] = []
     for (ld, lb, le, lp), (rd, rb, re_, rp) in zip(matchers, matchers[1:]):
         # docs containing BOTH terms stay in the result even with no
         # adjacency (postings.rs:101-112): empty position lists score 0
@@ -236,34 +340,63 @@ def _eval_phrase(matchers, docbytes, with_positions) -> pd.DataFrame:
         rkey = np.searchsorted(udocs, rd) * _POS_SHIFT + rp
         lhit = np.isin(lkey + 1, rkey)
         rhit = np.isin(rkey - 1, lkey)
-        parts_d += [ld[lhit], rd[rhit]]
-        parts_b += [lb[lhit], rb[rhit]]
-        parts_e += [le[lhit], re_[rhit]]
-        parts_p += [lp[lhit], rp[rhit]]
+        parts.append((ld[lhit], lb[lhit], le[lhit], lp[lhit]))
+        parts.append((rd[rhit], rb[rhit], re_[rhit], rp[rhit]))
     if member is None or member.size == 0:
-        return pd.DataFrame(
-            {"doc_id": [], "score": []}
-            | ({"positions": []} if with_positions else {})
-        )
-    d = np.concatenate(parts_d)
+        return _Z, _EMPTY_ROWS
+    d, b, e, p = _concat_rows(parts)
     keep = np.isin(d, member)
-    rows = (
-        d[keep],
-        np.concatenate(parts_b)[keep],
-        np.concatenate(parts_e)[keep],
-        np.concatenate(parts_p)[keep],
-    )
-    return _score_rows(member, rows, docbytes, with_positions)
+    return member, (d[keep], b[keep], e[keep], p[keep])
 
 
-def _run_query(
+def _eval_node(node: tuple, matchers) -> Tuple[np.ndarray, tuple]:
+    """Evaluate a compiled tree on one shard -> (member docs, rows).
+
+    Mirrors the engine's combinators (query.py): And = member
+    intersection with rows = union of child rows over surviving docs
+    (positions of BOTH branches, index.rs:134-137 + postings.rs:38-44);
+    Or = member union + row union (MergeCoalesceMap, coalesce.rs:78-120);
+    duplicates merge away downstream in _coalesced."""
+    kind = node[0]
+    if kind == "empty":
+        return _Z, _EMPTY_ROWS
+    if kind in ("match", "prefix"):
+        rows = _concat_rows([matchers[i] for i in node[1]])
+        return np.unique(rows[0]), rows
+    if kind == "phrase":
+        return _phrase_member_rows([matchers[i] for i in node[1]])
+    children = [_eval_node(c, matchers) for c in node[1]]
+    if kind == "and":
+        member = children[0][0]
+        for m, _ in children[1:]:
+            member = np.intersect1d(member, m)
+        d, b, e, p = _concat_rows([r for _, r in children])
+        keep = np.isin(d, member)
+        return member, (d[keep], b[keep], e[keep], p[keep])
+    # or
+    member = children[0][0]
+    for m, _ in children[1:]:
+        member = np.union1d(member, m)
+    return member, _concat_rows([r for _, r in children])
+
+
+def segment_query(
     spark: SparkSession,
     index_path: str,
-    terms: List[str],
-    kind: str,
-    k: Optional[int],
-    with_positions: bool,
+    query: Query,
+    k: Optional[int] = None,
+    with_positions: bool = True,
 ) -> DataFrame:
+    """Execute ANY reference Query AST from positional segments.
+
+    Rank-, score- and position-identical to
+    ``FtsEngine.results(query)`` (asserted in tests), without touching
+    the uncompressed postings table: compile the AST to a flat range
+    list + evaluation tree, prune shards structurally (And intersects
+    child shard sets, Or unions — driver-side metacache lookup, no
+    Spark job), then one mapInPandas task per surviving shard decodes
+    its file once and evaluates the whole tree vectorized.
+    """
     schema = RESULT_POS_SCHEMA if with_positions else RESULT_SCHEMA
     manifest = load_manifest(index_path)
     if not bool(manifest.get("positional", False)):
@@ -271,10 +404,23 @@ def _run_query(
             "segments were built without positions; rebuild with "
             "build_segments(..., positions=True)"
         )
-    ranges = _term_ranges(index_path, terms)
-    if not ranges or (kind == "phrase" and len(ranges) < 2):
+    ranges: list = []
+    tree = _compile_node(query, _index_ngrams(index_path), ranges)
+    if tree == ("empty",) or not ranges:
         return spark.createDataFrame([], schema)
-    shards = _shards_for_ranges(spark, index_path, manifest, ranges)
+
+    from . import metacache
+
+    sets = metacache.shard_sets_for_ranges(index_path, ranges)
+    if sets is None:
+        shards = manifest["shards"]
+    else:
+        want = _node_shards(tree, sets)
+        shards = (
+            manifest["shards"]
+            if want is None
+            else [s for s in manifest["shards"] if s["shard_id"] in want]
+        )
     seg_dir = os.path.join(index_path, "segments")
     files = [os.path.join(seg_dir, s["file"]) for s in shards]
     if not files:
@@ -285,10 +431,10 @@ def _run_query(
         for pdf in batches:
             for f in pdf["file"]:
                 matchers, docbytes = _read_shard(f, ranges)
-                if kind == "phrase":
-                    yield _eval_phrase(matchers, docbytes, with_positions)
-                else:
-                    yield _eval_match(matchers, docbytes, with_positions)
+                member, rows = _eval_node(tree, matchers)
+                if member.size == 0:
+                    continue
+                yield _score_rows(member, rows, docbytes, with_positions)
 
     res = shards_df.mapInPandas(run, schema=schema).orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -305,11 +451,9 @@ def segment_search(
 ) -> DataFrame:
     """Reference ``search`` (Match + parity score, index.rs:72-74)
     served entirely from positional segments."""
-    terms: List[str] = []
-    for tok in analyze_query(text):
-        if tok.term not in terms:
-            terms.append(tok.term)
-    return _run_query(spark, index_path, terms, "match", k, with_positions)
+    return segment_query(
+        spark, index_path, Match(text), k=k, with_positions=with_positions
+    )
 
 
 def segment_phrase(
@@ -322,8 +466,9 @@ def segment_phrase(
     """Reference ``Phrase`` (pairwise positional intersection,
     postings.rs:66-112) served entirely from positional segments —
     rank- and position-identical to FtsEngine.results(Phrase(text))."""
-    terms = [t.term for t in analyze_query(text)]
-    return _run_query(spark, index_path, terms, "phrase", k, with_positions)
+    return segment_query(
+        spark, index_path, Phrase(text), k=k, with_positions=with_positions
+    )
 
 
 def segment_highlight(

@@ -73,6 +73,31 @@ def streaming_doc_id():
     ).cast("long")
 
 
+def hash_collision_bound(n_conversations: int) -> float:
+    """Birthday bound on ANY two conversations colliding in hash id
+    mode: P ~= n^2 / 2^(CONV_BITS+1)."""
+    return min(1.0, float(n_conversations) ** 2 / float(2 ** (CONV_BITS + 1)))
+
+
+def choose_id_mode(
+    expected_conversations: Optional[int] = None,
+    max_collision_prob: float = 1e-6,
+) -> str:
+    """Pick the doc-id mode for a stream.
+
+    'hash' only when the caller states an expected conversation count
+    whose birthday bound stays under ``max_collision_prob``
+    (n <= sqrt(p * 2^44): ~4.2k conversations at the strict 1e-6
+    default, ~132k at 1e-3); 'registry' otherwise — at the
+    10^11-conversation design point hash collisions are certain, so the
+    safe default when the scale is unknown is the registry."""
+    if expected_conversations is None:
+        return "registry"
+    if hash_collision_bound(expected_conversations) <= max_collision_prob:
+        return "hash"
+    return "registry"
+
+
 def _registry_doc_ids(
     spark: SparkSession, batch_df: DataFrame, index_path: str, batch_id: int
 ) -> DataFrame:
@@ -191,13 +216,33 @@ def stream_transcripts_to_index(
     ngrams: bool = False,
     trigger_once: bool = True,
     id_mode: str = "hash",
+    expected_conversations: Optional[int] = None,
 ):
     """Wire a transcript readStream into the index (returns the query).
 
     ``trigger_once`` processes all available data then stops — the
     pattern for incremental batch jobs (cron-style index refresh); pass
     False for a continuous micro-batch stream.
+
+    ``id_mode="auto"`` resolves via ``choose_id_mode``: hash ids only
+    when ``expected_conversations`` keeps the birthday bound under
+    1e-6, registry otherwise. An explicit ``id_mode="hash"`` with a
+    stated scale above that bound warns instead of silently risking
+    doc-id collisions.
     """
+    if id_mode == "auto":
+        id_mode = choose_id_mode(expected_conversations)
+    elif id_mode == "hash" and expected_conversations is not None:
+        p = hash_collision_bound(expected_conversations)
+        if p > 1e-6:
+            import warnings
+
+            warnings.warn(
+                f"hash id mode: conversation-id collision probability "
+                f"~{p:.2e} at {expected_conversations} conversations; "
+                f"pass id_mode='registry' (collision-free) or 'auto'",
+                stacklevel=2,
+            )
     writer = (
         transcripts_stream.writeStream.foreachBatch(
             append_batch(index_path, ngrams=ngrams, id_mode=id_mode)

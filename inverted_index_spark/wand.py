@@ -161,13 +161,17 @@ def _query_weights(
         per_query_terms.append(terms)
     all_terms = sorted({t for ts in per_query_terms for t in ts})
     if termdict is None:
-        from .commitio import table_path
+        # driver-side filtered parquet read (metacache) — no Spark job
+        # ahead of the shard scan; a caller holding a live in-memory
+        # termdict view (e.g. refresh_index) passes it explicitly
+        from .metacache import term_dfs
 
-        termdict = spark.read.parquet(table_path(index_path, "termdict"))
-    dfs = {
-        r["term"]: r["df_full"]
-        for r in termdict.filter(F.col("term").isin(all_terms)).collect()
-    }
+        dfs = term_dfs(index_path, all_terms)
+    else:
+        dfs = {
+            r["term"]: r["df_full"]
+            for r in termdict.filter(F.col("term").isin(all_terms)).collect()
+        }
     return [
         {
             t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
@@ -183,25 +187,27 @@ def shards_for_terms(
 ) -> List[dict]:
     """Manifest shard rows pruned to those containing >= 1 query term.
 
-    Uses the exact ``term_shards`` map written by build_segments (term
-    predicate pushed to the parquet scan). A rare term therefore costs
-    O(df / shard_docs) shard opens instead of O(shards) — the
+    Uses the exact ``term_shards`` map written by build_segments, read
+    DRIVER-SIDE with parquet predicate pushdown (metacache.py — the map
+    is range-partitioned and sorted by term, so row-group fences prune;
+    no Spark job runs before the shard scan). A rare term therefore
+    costs O(df / shard_docs) shard opens instead of O(shards) — the
     distributed analogue of the reference's O(log n) sorted-dictionary
     term lookup (/root/reference/src/index.rs:122-127). Falls back to
     every shard when the map is absent (pre-v2 layouts).
     """
-    ts_dir = os.path.join(index_path, "term_shards")
+    from .metacache import shard_sets_for_ranges
+
     terms = list(terms)
-    if not terms or not os.path.isdir(ts_dir):
+    if not terms:
         return manifest["shards"]
-    hit = {
-        r["shard_id"]
-        for r in spark.read.parquet(ts_dir)
-        .filter(F.col("term").isin(terms))
-        .select("shard_id")
-        .distinct()
-        .collect()
-    }
+    # exact terms = degenerate ranges [t, t + NUL)
+    sets = shard_sets_for_ranges(
+        index_path, [(t, t + "\x00") for t in terms]
+    )
+    if sets is None or any(s is None for s in sets):
+        return manifest["shards"]
+    hit = set().union(*sets)
     return [s for s in manifest["shards"] if s["shard_id"] in hit]
 
 

@@ -294,3 +294,50 @@ def test_jaccard_df_cap_exact_for_pairs_sharing_rare_shingles(spark):
         ).collect()
     }
     assert capped_hi == full_hi
+
+
+def test_ivf_centroids_survive_adversarial_partition_order(spark, embeddings):
+    """Regression (round-3): the k-means sample must be a real Bernoulli
+    sample, not the first rows in partition order. Adversarial input: a
+    single repartition(1) + sort puts 2048+ near-identical vectors
+    first; first-N sampling would fit every centroid on that one blob
+    and recall on the rest of the space would collapse."""
+    import numpy as np
+
+    from inverted_index_spark.pipelines.similarity import (
+        _kmeans_centroids,
+        ivf_topk,
+    )
+
+    qvec = list(
+        embeddings.filter(F.col("vec_id") == 7).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    dim = len(qvec)
+    # 300 near-identical "blob" vectors with ids sorting FIRST: the
+    # old first-N "sample" (sample=256) would consist of blob ONLY
+    blob = [
+        (-(i + 1), [1.0 + 0.0001 * ((i + j) % 5) for j in range(dim)])
+        for i in range(300)
+    ]
+    embs = (
+        embeddings.select("vec_id", "embedding")
+        .unionByName(
+            spark.createDataFrame(blob, "vec_id long, embedding array<float>")
+        )
+        .repartition(1)
+        .sortWithinPartitions("vec_id")  # blob occupies the head
+    )
+    cent = _kmeans_centroids(embs, n_centroids=8, vec_col="embedding", sample=256)
+    # centroids must not all collapse onto the blob direction (the blob
+    # is ~37% of rows: most centroids must describe the other 63%)
+    blob_dir = np.ones(dim) / np.sqrt(dim)
+    sims = cent @ blob_dir
+    assert (sims < 0.95).sum() >= 4, sims
+    # and a probe for a non-blob vector still finds it
+    got = [
+        r["vec_id"]
+        for r in ivf_topk(embs, qvec, k=3, n_centroids=8, n_probe=2).collect()
+    ]
+    assert got[0] == 7

@@ -93,3 +93,37 @@ def test_build_doc_layout_has_single_exchange(spark):
     # the tree and once in the detail section: ") Exchange")
     assert plan.count(") Exchange") == 1
     assert "MapInArrow" in plan
+
+
+def test_topk_positions_are_two_pass(engine):
+    """results(q, k, with_positions=True) must NOT collect position
+    arrays corpus-wide pre-limit: pass 1 scores widths only and takes
+    top-k (TakeOrderedAndProject with no collect_list upstream of it);
+    positions are aggregated only for the k winners (downstream of a
+    broadcast semi-join on their doc ids)."""
+    df = engine.results(Match("merge"), k=5, with_positions=True)
+    plan = _formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "collect_list" in plan  # winners' positions pass exists
+    # the take-ordered pass carries no positions aggregation: the limit
+    # input references width/score only
+    take = plan[plan.index("TakeOrderedAndProject"):]
+    first_section = take.split("\n\n")[0]
+    assert "collect_list" not in first_section
+
+
+def test_topk_positions_match_full_results(spark, engine):
+    """Two-pass top-k returns exactly the head of the single-pass
+    result, positions included."""
+    from inverted_index_spark.qast import And, Phrase
+
+    for q in [Match("merge"), And(Match("scan"), Match("merge")),
+              Phrase("batch batch")]:
+        full = engine.results(q, with_positions=True).collect()
+        topk = engine.results(q, k=4, with_positions=True).collect()
+        key = lambda r: (  # noqa: E731
+            r["doc_id"],
+            round(float(r["score"]), 6),
+            [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+        )
+        assert [key(r) for r in topk] == [key(r) for r in full[:4]]

@@ -35,7 +35,9 @@ QUERIES = [
 @pytest.mark.parametrize("q", QUERIES)
 def test_wand_matches_dataframe_bm25(spark, indexed, q):
     path, idx, _ = indexed
-    eng = FtsEngine(idx)
+    # pin the DataFrame plan: with fresh segments the engine would
+    # route bm25 to WAND itself, making this equivalence test circular
+    eng = FtsEngine(idx, use_segments=False)
     expect = [(r["doc_id"], r["score"]) for r in eng.bm25(q, k=10).collect()]
     got = [(r["doc_id"], r["score"]) for r in wand_topk(spark, path, q, k=10).collect()]
     assert [d for d, _ in got] == [d for d, _ in expect]
@@ -94,7 +96,7 @@ def test_resume_skips_done_shards(spark, indexed):
 
 def test_wand_after_resume_still_correct(spark, indexed):
     path, idx, _ = indexed
-    eng = FtsEngine(idx)
+    eng = FtsEngine(idx, use_segments=False)
     q = "scan merge join"
     expect = [r["doc_id"] for r in eng.bm25(q, k=10).collect()]
     got = [r["doc_id"] for r in wand_topk(spark, path, q, k=10).collect()]
@@ -227,3 +229,112 @@ def test_segment_highlight_matches_engine_highlight(spark, pos_indexed):
         for r in segment_highlight(res, docs, "<b>", "</b>").collect()
     }
     assert got == expect and len(got) == 5
+
+
+# ----------------------------------------------------------------------
+# compound algebra served from segments (round 3): And / Or / Prefix /
+# arbitrary nesting must be bit-identical to the DataFrame engine
+
+
+def _compound_cases():
+    from inverted_index_spark.qast import And, Match, Or, Phrase, Prefix
+
+    return [
+        And(Match("scan"), Match("merge")),
+        Or(Match("window"), Match("stream")),
+        Prefix("mer"),
+        Prefix(""),
+        And(Match("scan")),
+        Or(Match("scan")),
+        And(Or(Match("scan"), Match("window")), Match("merge")),
+        Or(And(Match("scan"), Match("merge")), Phrase("batch batch")),
+        And(Match("scan"), Prefix("mer")),
+        And(Match("scan"), Match("zzzznotaterm")),
+    ]
+
+
+@pytest.mark.parametrize("qi", range(10))
+def test_segment_compound_matches_engine(spark, pos_indexed, qi):
+    from inverted_index_spark.segquery import segment_query
+
+    q = _compound_cases()[qi]
+    path, idx, _ = pos_indexed
+    eng = FtsEngine(idx)
+    expect = _results_key(eng.results(q).collect())
+    got = _results_key(
+        segment_query(spark, path, q, with_positions=True).collect()
+    )
+    assert got == expect
+
+
+def test_segment_and_prunes_to_rare_terms_shards(spark, tmp_path):
+    """Structural shard pruning: And(rare, common) opens only the RARE
+    term's shards (intersection of child shard sets), so a selective
+    conjunction costs O(df_rare / shard_docs) file opens."""
+    from inverted_index_spark import metacache
+    from inverted_index_spark.qast import And, Match
+    from inverted_index_spark.segquery import (
+        _compile_node,
+        _node_shards,
+        segment_query,
+    )
+
+    path = str(tmp_path / "andprune")
+    rows = [(i, f"common words w{i % 7} everywhere") for i in range(300)]
+    rows.append((300, "common words zzzuniqueterm here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    manifest = build_segments(
+        spark, idx, path, shard_docs=16, block_docs=8, positions=True
+    )
+    assert len(manifest["shards"]) >= 15
+    ranges: list = []
+    tree = _compile_node(
+        And(Match("zzzuniqueterm"), Match("common")), False, ranges
+    )
+    sets = metacache.shard_sets_for_ranges(path, ranges)
+    want = _node_shards(tree, sets)
+    assert want is not None and len(want) == 1
+    got = segment_query(
+        spark, path, And(Match("zzzuniqueterm"), Match("common"))
+    ).collect()
+    assert [r["doc_id"] for r in got] == [300]
+
+
+def test_bm25_routes_to_wand_when_segments_fresh(spark, tmp_path):
+    """FtsEngine routes bm25/bm25_batch to the segment WAND path when
+    segments reflect the live postings state, and falls back to the
+    DataFrame plan (serving the merged generation view) the moment an
+    upsert makes them stale."""
+    from inverted_index_spark.segments import segments_fresh
+    from inverted_index_spark.upsert import load_index_merged, upsert_saved
+
+    path = str(tmp_path / "routeidx")
+    docs = spark.createDataFrame(
+        [(i, f"route words w{i % 5} alpha") for i in range(100)],
+        "doc_id long, text string",
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=32, block_docs=8)
+    assert segments_fresh(path)
+    eng = FtsEngine(idx)
+    routed = [(r["doc_id"], round(r["score"], 9))
+              for r in eng.bm25("alpha w1", k=10).collect()]
+    direct = [(r["doc_id"], round(r["score"], 9))
+              for r in wand_topk(spark, path, "alpha w1", k=10).collect()]
+    assert routed == direct
+    br = eng.bm25_batch(["alpha w1"], k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in br] == direct
+
+    # upsert supersedes the segments: routing must stop
+    upsert_saved(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(0, "completely zzreplaced content")], "doc_id long, text string"
+        ),
+    )
+    assert not segments_fresh(path)
+    eng2 = FtsEngine(load_index_merged(spark, path))
+    got = [r["doc_id"] for r in eng2.bm25("zzreplaced", k=5).collect()]
+    assert got == [0]

@@ -326,3 +326,55 @@ def test_compact_stream_publishes_docs_without_base(spark, tmp_path):
     }
     assert stored == streamed_ids
     assert load_index(spark, idx_path).docs is not None
+
+
+def test_id_mode_selection_and_warning(spark, tmp_path):
+    """id_mode='auto' picks hash only under the collision bound;
+    explicit hash above the bound warns (round-3: the 10^11-conversation
+    design point makes hash collisions certain)."""
+    import warnings
+
+    from inverted_index_spark.streaming import (
+        choose_id_mode,
+        hash_collision_bound,
+        stream_transcripts_to_index,
+    )
+
+    assert choose_id_mode(None) == "registry"
+    # n^2 / 2^44 <= 1e-6 holds up to n ~= 4195
+    assert choose_id_mode(1_000) == "hash"
+    assert choose_id_mode(10_000) == "registry"
+    assert choose_id_mode(10**11) == "registry"
+    assert hash_collision_bound(10**11) == 1.0
+    assert hash_collision_bound(1_000) < 1e-6
+
+    src_dir = str(tmp_path / "in")
+    tr = synthetic_transcripts(spark, n_conversations=4, turns_per_conv=2)
+    tr.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src_dir)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        q = stream_transcripts_to_index(
+            stream,
+            str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"),
+            ngrams=False,
+            id_mode="hash",
+            expected_conversations=10**9,
+        )
+        q.awaitTermination(60)
+        assert any("collision" in str(x.message) for x in w)
+
+    # auto at huge scale -> registry ids (dense ordinals, not hashes)
+    stream2 = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src_dir)
+    q2 = stream_transcripts_to_index(
+        stream2,
+        str(tmp_path / "idx2"),
+        str(tmp_path / "ckpt2"),
+        ngrams=False,
+        id_mode="auto",
+        expected_conversations=10**9,
+    )
+    q2.awaitTermination(60)
+    reg_dir = os.path.join(str(tmp_path / "idx2"), "stream_delta", "registry")
+    assert os.path.isdir(reg_dir)

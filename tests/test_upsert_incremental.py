@@ -227,3 +227,44 @@ def test_upsert_compact_upsert_cycle(spark, saved):
     compact_index(spark, saved)
     assert _docs_of(spark, saved, "beta") == [1]
     assert _docs_of(spark, saved, "alpha") == [0]
+
+
+def test_catalog_adapter_seam(spark, saved):
+    """The commit protocol runs unchanged against a pluggable catalog
+    (the seam a real Iceberg/Delta binding implements): all pointer
+    reads/writes route through the adapter, swaps are atomic batches,
+    and the JSON file is untouched while the adapter is active."""
+    import json
+
+    from inverted_index_spark import commitio
+
+    class DictCatalog(commitio.CatalogAdapter):
+        def __init__(self):
+            self.entries = {}
+            self.swaps = []
+
+        def resolve(self, path, name):
+            return self.entries.get((path, name))
+
+        def swap(self, path, mapping):
+            self.swaps.append(dict(mapping))
+            for name, d in mapping.items():
+                self.entries[(path, name)] = d
+
+    fake = DictCatalog()
+    prev = commitio.set_catalog(fake)
+    try:
+        upsert_saved(
+            spark,
+            saved,
+            spark.createDataFrame(
+                [(0, "adapter routed rewrite")], ["doc_id", "text"]
+            ),
+        )
+        # one atomic multi-table swap; pointers live in the adapter
+        assert len(fake.swaps) == 1
+        assert set(fake.swaps[0]) == {"termdict", "docstats", "docs"}
+        assert _docs_of(spark, saved, "adapter") == [0]
+        assert not os.path.exists(os.path.join(saved, "catalog.json"))
+    finally:
+        commitio.set_catalog(prev)

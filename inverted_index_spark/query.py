@@ -99,13 +99,13 @@ class FtsEngine:
         self.index = index
         self.use_segments = use_segments
 
-    def _segment_path(self) -> Optional[str]:
+    def _segment_path(self, positional: Optional[bool] = None) -> Optional[str]:
         path = getattr(self.index, "path", None)
         if not self.use_segments or not path:
             return None
         from .segments import segments_fresh
 
-        return path if segments_fresh(path) else None
+        return path if segments_fresh(path, positional=positional) else None
 
     # ------------------------------------------------------------------
     # leaf scans
@@ -329,18 +329,39 @@ class FtsEngine:
         (search_result.rs:19-28); order score desc, doc_id asc
         (index.rs:148-156).
 
-        Position materialization is TWO-PASS when ``k`` is set: pass 1
-        scores every matching doc WITHOUT building position arrays
-        (widths only — stays in whole-stage codegen) and takes the
-        top-k; pass 2 re-reads only the k winners' rows (broadcast
-        semi-join pushes the doc filter into the scan) and coalesces
-        their positions. A broad query therefore never collect_lists
-        position arrays corpus-wide just to throw away all but k of
-        them. ``k=None`` + ``with_positions=True`` keeps the single-pass
-        shape (every doc's positions are genuinely wanted).
+        Position materialization is TWO-PASS when ``k`` is set and the
+        plan is complete (Match/Or/Prefix/And of scans): pass 1 scores
+        every matching doc WITHOUT building position arrays (widths
+        only — stays in whole-stage codegen) and takes the top-k;
+        pass 2 re-reads only the k winners' rows (broadcast semi-join
+        pushes the doc filter into the scan) and coalesces their
+        positions. A broad query therefore never collect_lists position
+        arrays corpus-wide just to throw away all but k of them.
+        Incomplete plans (Phrase) stay single-pass: their rows are
+        already reduced by the adjacency join, so re-executing that
+        join for a second pass would cost more than the small
+        collect_list it avoids. ``k=None`` + ``with_positions=True``
+        keeps the single-pass shape too (every doc's positions are
+        genuinely wanted).
+
+        With fresh POSITIONAL segments the whole query routes to
+        ``segquery.segment_query`` — bit-identical results (scores,
+        order, position arrays; asserted in tests) served from the
+        compressed shards without touching the postings parquet.
         """
+        seg = self._segment_path(positional=True)
+        if seg is not None:
+            from .segquery import segment_query
+
+            return segment_query(
+                self.index.docstats.sparkSession,
+                seg,
+                query,
+                k=k,
+                with_positions=with_positions,
+            )
         plan = self.compile(query)
-        two_pass = with_positions and k is not None
+        two_pass = with_positions and k is not None and plan.complete
         coalesced = self.coalesce_rows(plan.rows)
         # ONE aggregation produces width AND (single-pass only) the
         # position array — and it reuses the coalesce windows' hash

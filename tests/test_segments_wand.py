@@ -133,7 +133,9 @@ def test_segment_search_matches_engine(spark, pos_indexed, q):
     from inverted_index_spark.segquery import segment_search
 
     path, idx, _ = pos_indexed
-    eng = FtsEngine(idx)
+    # positional segments exist at idx.path: pin the DataFrame plan or
+    # the routed engine would compare the segment path against itself
+    eng = FtsEngine(idx, use_segments=False)
     expect = _results_key(eng.results(Match(q)).collect())
     got = _results_key(
         segment_search(spark, path, q, with_positions=True).collect()
@@ -147,7 +149,9 @@ def test_segment_phrase_matches_engine(spark, pos_indexed, q):
     from inverted_index_spark.segquery import segment_phrase
 
     path, idx, _ = pos_indexed
-    eng = FtsEngine(idx)
+    # positional segments exist at idx.path: pin the DataFrame plan or
+    # the routed engine would compare the segment path against itself
+    eng = FtsEngine(idx, use_segments=False)
     expect = _results_key(eng.results(Phrase(q)).collect())
     got = _results_key(segment_phrase(spark, path, q).collect())
     assert got == expect
@@ -194,7 +198,7 @@ def test_segment_queries_on_parity_ngram_index(spark, tmp_path):
     ).select("doc_id", "text").limit(120)
     idx = build_and_save(spark, docs, path, ngrams=True)
     build_segments(spark, idx, path, shard_docs=32, block_docs=8, positions=True)
-    eng = FtsEngine(idx)
+    eng = FtsEngine(idx, use_segments=False)
     for q in ["mer", "batch batch"]:
         expect = _results_key(eng.results(Match(q)).collect())
         got = _results_key(
@@ -216,7 +220,7 @@ def test_segment_highlight_matches_engine_highlight(spark, pos_indexed):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
     )
-    eng = FtsEngine(idx)
+    eng = FtsEngine(idx, use_segments=False)
     expect = {
         r["doc_id"]: r["highlighted"]
         for r in eng.highlight(
@@ -259,7 +263,9 @@ def test_segment_compound_matches_engine(spark, pos_indexed, qi):
 
     q = _compound_cases()[qi]
     path, idx, _ = pos_indexed
-    eng = FtsEngine(idx)
+    # positional segments exist at idx.path: pin the DataFrame plan or
+    # the routed engine would compare the segment path against itself
+    eng = FtsEngine(idx, use_segments=False)
     expect = _results_key(eng.results(q).collect())
     got = _results_key(
         segment_query(spark, path, q, with_positions=True).collect()
@@ -338,3 +344,19 @@ def test_bm25_routes_to_wand_when_segments_fresh(spark, tmp_path):
     eng2 = FtsEngine(load_index_merged(spark, path))
     got = [r["doc_id"] for r in eng2.bm25("zzreplaced", k=5).collect()]
     assert got == [0]
+
+
+def test_results_routes_to_segment_query(spark, pos_indexed):
+    """With fresh POSITIONAL segments, results()/search() themselves
+    serve from segments: the routed engine equals the pinned DataFrame
+    engine bit-for-bit (the routing must change the plan, not the
+    answer)."""
+    from inverted_index_spark.qast import And, Match
+
+    path, idx, _ = pos_indexed
+    routed = FtsEngine(idx)
+    pinned = FtsEngine(idx, use_segments=False)
+    for q in [Match("merge"), And(Match("scan"), Match("merge"))]:
+        a = _results_key(routed.results(q, k=7).collect())
+        b = _results_key(pinned.results(q, k=7).collect())
+        assert a == b

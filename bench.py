@@ -164,6 +164,7 @@ def main() -> None:
     from inverted_index_spark.segquery import (
         segment_phrase,
         segment_query,
+        segment_query_batch,
         segment_search,
     )
 
@@ -212,6 +213,13 @@ def main() -> None:
             spark, idx_path, Prefix("mer"), k=10, with_positions=False
         ).collect(),
         # amortized many-query paths: 64 queries, one job
+        "seg_batch64": lambda: segment_query_batch(
+            spark,
+            idx_path,
+            [Match("scan merge"), Match("window stream"),
+             Match("group value"), Match("join filter")] * 16,
+            k=10,
+        ).collect(),
         "bm25_batch64": lambda: eng.bm25_batch(
             ["scan merge", "window stream", "group value", "join filter"] * 16,
             k=10,

@@ -46,6 +46,7 @@ from .segquery import (  # noqa: F401
     segment_highlight,
     segment_phrase,
     segment_query,
+    segment_query_batch,
     segment_search,
 )
 from .streaming import compact_stream, refresh_index  # noqa: F401
@@ -75,6 +76,7 @@ __all__ = [
     "wand_topk_batch",
     "segment_search",
     "segment_query",
+    "segment_query_batch",
     "segment_phrase",
     "segment_highlight",
     "register_index_views",

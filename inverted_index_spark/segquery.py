@@ -280,9 +280,18 @@ def _score_rows(
     rows: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
     docbytes: Dict[int, int],
     with_positions: bool,
+    k: Optional[int] = None,
 ) -> pd.DataFrame:
     """Parity score (float32 sum(width)/sqrt(bytes)) for every member
-    doc; docs with no surviving rows score 0 with empty positions."""
+    doc; docs with no surviving rows score 0 with empty positions.
+
+    With ``k`` set, only the shard-local top-k (score desc, doc_id asc)
+    is emitted and positions are materialized ONLY for those k docs —
+    the global top-k is a subset of the per-shard top-ks (shards
+    partition the doc space), so the driver-side merge stays exact
+    while a broad query ships k rows per shard instead of every
+    matching doc's position arrays.
+    """
     cd, cb, ce, cp = _coalesced(*rows)
     member_docs = np.sort(member_docs)
     widths = np.zeros(member_docs.size, dtype=np.int64)
@@ -298,6 +307,11 @@ def _score_rows(
         widths.astype(np.float32).astype(np.float64)
         / np.sqrt(dbs).astype(np.float32).astype(np.float64)
     ).astype(np.float32)
+    if k is not None and member_docs.size > k:
+        # (score desc, doc_id asc): member_docs is sorted asc, and
+        # np.argsort(kind="stable") keeps that order within equal keys
+        top = np.argsort(-scores, kind="stable")[:k]
+        member_docs, scores = member_docs[top], scores[top]
     out = {"doc_id": member_docs, "score": scores}
     if with_positions:
         bounds = np.searchsorted(cd, member_docs, side="left")
@@ -434,12 +448,95 @@ def segment_query(
                 member, rows = _eval_node(tree, matchers)
                 if member.size == 0:
                     continue
-                yield _score_rows(member, rows, docbytes, with_positions)
+                yield _score_rows(member, rows, docbytes, with_positions, k)
 
     res = shards_df.mapInPandas(run, schema=schema).orderBy(
         F.desc("score"), F.asc("doc_id")
     )
     return res.limit(k) if k is not None else res
+
+
+def segment_query_batch(
+    spark: SparkSession,
+    index_path: str,
+    queries: List[Query],
+    k: int = 10,
+    with_positions: bool = False,
+) -> DataFrame:
+    """Evaluate MANY Query ASTs in ONE pass over the segments.
+
+    Each shard file is opened and decoded once with the union of every
+    query's term ranges, then every query assigned to that shard (its
+    structural shard set contains it) is evaluated on the in-memory
+    arrays — the read/decode cost is amortized across the batch, the
+    same shape as wand.wand_topk_batch. Returns
+    (query_id, doc_id, score[, positions], rank) with rank 1..k per
+    query (parity score desc, doc_id asc); per-query results are
+    identical to ``segment_query(..., k=k)``. The offline-relevance
+    shape for the positional/parity score family.
+    """
+    schema = (
+        "query_id int, " + (RESULT_POS_SCHEMA if with_positions else RESULT_SCHEMA)
+    )
+    manifest = load_manifest(index_path)
+    if not bool(manifest.get("positional", False)):
+        raise ValueError(
+            "segments were built without positions; rebuild with "
+            "build_segments(..., positions=True)"
+        )
+    ngrams = _index_ngrams(index_path)
+    ranges: list = []
+    trees = [_compile_node(q, ngrams, ranges) for q in queries]
+    live = [(i, t) for i, t in enumerate(trees) if t != ("empty",)]
+    out_schema = schema + ", rank int"
+    if not live or not ranges:
+        return spark.createDataFrame([], out_schema)
+
+    from . import metacache
+
+    sets = metacache.shard_sets_for_ranges(index_path, ranges)
+    all_ids = [s["shard_id"] for s in manifest["shards"]]
+    per_shard: Dict[int, List[int]] = {}
+    for qid, tree in live:
+        want = _node_shards(tree, sets) if sets is not None else None
+        for sid in all_ids if want is None else want:
+            per_shard.setdefault(sid, []).append(qid)
+    seg_dir = os.path.join(index_path, "segments")
+    by_id = {s["shard_id"]: s for s in manifest["shards"]}
+    rows = [
+        (os.path.join(seg_dir, by_id[sid]["file"]), qids)
+        for sid, qids in sorted(per_shard.items())
+        if sid in by_id
+    ]
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    shards_df = spark.createDataFrame(rows, "file string, qids array<int>")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for f, qids in zip(pdf["file"], pdf["qids"]):
+                matchers, docbytes = _read_shard(f, ranges)
+                for qid in qids:
+                    member, qrows = _eval_node(trees[qid], matchers)
+                    if member.size == 0:
+                        continue
+                    res = _score_rows(
+                        member, qrows, docbytes, with_positions, k
+                    )
+                    res.insert(0, "query_id", int(qid))
+                    yield res
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        shards_df.mapInPandas(run, schema=schema)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
 
 
 def segment_search(

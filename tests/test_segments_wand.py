@@ -360,3 +360,33 @@ def test_results_routes_to_segment_query(spark, pos_indexed):
         a = _results_key(routed.results(q, k=7).collect())
         b = _results_key(pinned.results(q, k=7).collect())
         assert a == b
+
+
+def test_segment_query_batch_matches_singles(spark, pos_indexed):
+    """One segment pass for many ASTs: per-query results equal the
+    single-query evaluator (same per-shard top-k + driver merge)."""
+    from inverted_index_spark.qast import And, Match, Or, Phrase, Prefix
+    from inverted_index_spark.segquery import segment_query, segment_query_batch
+
+    path, _, _ = pos_indexed
+    qs = [
+        Match("merge"),
+        And(Match("scan"), Match("merge")),
+        Or(Match("window"), Match("stream")),
+        Phrase("batch batch"),
+        Prefix("mer"),
+        Match("zzzznotaterm"),
+    ]
+    batch = segment_query_batch(spark, path, qs, k=7, with_positions=True)
+    by_q: dict = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(qs):
+        single = segment_query(spark, path, q, k=7, with_positions=True).collect()
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        key = lambda r: (  # noqa: E731
+            r["doc_id"],
+            round(float(r["score"]), 6),
+            [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+        )
+        assert [key(r) for r in got] == [key(r) for r in single], qid

@@ -76,11 +76,18 @@ class PlanResult:
           then skip the membership join and its duplicated subtree.
           Phrase breaks it: a doc with both terms but no adjacency is a
           member with zero rows.
+    raw: PRE-explode postings of the node (doc_id, positions array),
+          when the node is scans/unions of scans. Lets combinators
+          semi-join on doc_id BEFORE exploding position arrays — an
+          And explodes only surviving docs' postings, and its
+          membership branch never reads the positions column at all.
+          None for nodes whose rows aren't a postings subset (Phrase).
     """
 
     docs: DataFrame
     rows: DataFrame
     complete: bool = False
+    raw: Optional[DataFrame] = None
 
 
 class FtsEngine:
@@ -110,22 +117,32 @@ class FtsEngine:
     # ------------------------------------------------------------------
     # leaf scans
 
-    def _empty(self) -> PlanResult:
-        rows = (
-            self.index.postings.filter(F.lit(False))
-            .select("doc_id", F.explode("positions").alias("p"))
-            .select("doc_id", "p.begin", "p.end", "p.pos")
+    @staticmethod
+    def _explode_raw(raw: DataFrame) -> DataFrame:
+        return raw.select("doc_id", F.explode("positions").alias("p")).select(
+            "doc_id", "p.begin", "p.end", "p.pos"
         )
-        return PlanResult(docs=rows.select("doc_id"), rows=rows, complete=True)
+
+    def _empty(self) -> PlanResult:
+        raw = self.index.postings.filter(F.lit(False)).select(
+            "doc_id", "positions"
+        )
+        rows = self._explode_raw(raw)
+        return PlanResult(
+            docs=rows.select("doc_id"), rows=rows, complete=True, raw=raw
+        )
 
     def _scan(self, predicate) -> PlanResult:
-        rows = (
-            self.index.postings.filter(predicate)
-            .select("doc_id", F.explode("positions").alias("p"))
-            .select("doc_id", "p.begin", "p.end", "p.pos")
+        raw = self.index.postings.filter(predicate).select(
+            "doc_id", "positions"
         )
         return PlanResult(
-            docs=rows.select("doc_id").distinct(), rows=rows, complete=True
+            # membership from the un-exploded scan: Catalyst prunes the
+            # positions column away for this branch entirely
+            docs=raw.select("doc_id").distinct(),
+            rows=self._explode_raw(raw),
+            complete=True,
+            raw=raw,
         )
 
     def _term_pred(self, term: str):
@@ -177,13 +194,20 @@ class FtsEngine:
             return self._empty()
         docs = children[0].docs
         rows = children[0].rows
+        raw = children[0].raw
         for c in children[1:]:
             docs = docs.unionByName(c.docs)
             rows = rows.unionByName(c.rows)
+            raw = (
+                raw.unionByName(c.raw)
+                if raw is not None and c.raw is not None
+                else None
+            )
         return PlanResult(
             docs=docs.distinct(),
             rows=rows,
             complete=all(c.complete for c in children),
+            raw=raw,
         )
 
     def _intersect(self, children: List[PlanResult]) -> PlanResult:
@@ -207,13 +231,27 @@ class FtsEngine:
             .filter(F.col("nb") == len(children))
             .select("doc_id")
         )
-        rows = None
-        for c in children:
-            rows = c.rows if rows is None else rows.unionByName(c.rows)
-        rows = rows.join(F.broadcast(docs), "doc_id", "left_semi")
+        if all(c.raw is not None for c in children):
+            # semi-join BEFORE exploding: only surviving docs' position
+            # arrays are ever unpacked (the dominant cost of a broad
+            # conjunction is exploding the non-surviving majority)
+            raw = None
+            for c in children:
+                raw = c.raw if raw is None else raw.unionByName(c.raw)
+            raw = raw.join(F.broadcast(docs), "doc_id", "left_semi")
+            rows = self._explode_raw(raw)
+        else:
+            raw = None
+            rows = None
+            for c in children:
+                rows = c.rows if rows is None else rows.unionByName(c.rows)
+            rows = rows.join(F.broadcast(docs), "doc_id", "left_semi")
         # every surviving doc has rows from each (complete) branch
         return PlanResult(
-            docs=docs, rows=rows, complete=all(c.complete for c in children)
+            docs=docs,
+            rows=rows,
+            complete=all(c.complete for c in children),
+            raw=raw,
         )
 
     def _phrase(self, text: str) -> PlanResult:
@@ -401,14 +439,23 @@ class FtsEngine:
         empty_pos = F.array().cast("array<struct<begin:int,end:int,pos:int>>")
         if two_pass:
             winners = scored.select("doc_id", "score")
-            win_pos = (
-                self.coalesce_rows(
-                    plan.rows.join(
+            if plan.raw is not None:
+                # prune to the k winners BEFORE exploding position arrays
+                win_rows = self._explode_raw(
+                    plan.raw.join(
                         F.broadcast(winners.select("doc_id")),
                         "doc_id",
                         "left_semi",
                     )
                 )
+            else:
+                win_rows = plan.rows.join(
+                    F.broadcast(winners.select("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+            win_pos = (
+                self.coalesce_rows(win_rows)
                 .groupBy("doc_id")
                 .agg(
                     F.sort_array(

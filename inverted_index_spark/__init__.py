@@ -30,7 +30,7 @@ from .build import (  # noqa: F401
 )
 from .qast import And, Match, Or, Phrase, Prefix, Query  # noqa: F401
 from .query import FtsEngine  # noqa: F401
-from .segments import build_segments, load_manifest  # noqa: F401
+from .segments import build_segments, load_manifest, refresh_segments  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .transcripts import (  # noqa: F401
     assign_doc_ids,
@@ -71,6 +71,7 @@ __all__ = [
     "compact_index",
     "load_index_merged",
     "build_segments",
+    "refresh_segments",
     "load_manifest",
     "wand_topk",
     "wand_topk_batch",

@@ -52,7 +52,7 @@ import hashlib
 import json
 import os
 import time
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 from pyspark.sql import SparkSession
@@ -70,8 +70,14 @@ DOCSTATS_TERM = ""  # sorts before every real term
 SEGMENT_SCHEMA = (
     "shard_id long, file string, n_terms long, n_blocks long, n_postings long, "
     "raw_bytes long, enc_bytes long, build_sec double, postings_per_sec double, "
-    "skew_ratio double, fingerprint string"
+    "skew_ratio double, fingerprint string, avgdl_built double"
 )
+
+# Sidecar listing doc-range shards whose postings changed since the
+# manifest was stamped (written by upsert._invalidate_segments on every
+# mutation path). refresh_segments folds exactly these; a full
+# build_segments clears it.
+PENDING_NAME = "segments_pending.json"
 
 
 def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
@@ -271,6 +277,12 @@ def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
                 [float(counts.max() / max(counts.mean(), 1e-9))], pa.float64()
             ),
             "fingerprint": pa.array([fingerprint.hexdigest()], pa.string()),
+            # the avgdl the block-max bounds were computed under: after
+            # later mutations drift the corpus avgdl, WAND rescales this
+            # shard's bounds by max(1, avgdl_live/avgdl_built) — u is
+            # decreasing in dl/avgdl, so that ratio bounds the growth of
+            # any block's true max u (wand.py) and skipping stays sound
+            "avgdl_built": pa.array([float(avgdl)], pa.float64()),
         }
     )
 
@@ -325,6 +337,90 @@ def segments_fresh(path: str, positional: Optional[bool] = None) -> bool:
     return True
 
 
+def _pending_path(path: str) -> str:
+    return os.path.join(path, PENDING_NAME)
+
+
+def record_pending_shards(path: str, shard_ids) -> None:
+    """Accumulate shard ids touched by a mutation (upsert / stream
+    compaction) so ``refresh_segments`` knows exactly which doc ranges
+    to re-encode. Idempotent union; atomic replace."""
+    p = _pending_path(path)
+    cur: set = set()
+    if os.path.exists(p):
+        with open(p) as fh:
+            cur = set(json.load(fh))
+    cur |= {int(s) for s in shard_ids}
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(cur), fh)
+    os.replace(tmp, p)
+
+
+def _clear_pending(path: str) -> None:
+    try:
+        os.remove(_pending_path(path))
+    except FileNotFoundError:
+        pass
+
+
+def _postings_src(index: FtsIndex, shard_docs: int, positions: bool):
+    """Postings frame a segment (re)build encodes, with dl/db joined in
+    and the doc-range shard id attached."""
+    cols = ["term", "doc_id", "tf"] + (["positions"] if positions else [])
+    # term='' guards against a caller passing the raw postings files
+    # (build_and_save's per-doc stat rows carry tf=doclen_bytes).
+    # Non-positional segments serve BM25/WAND only -> full-token rows
+    # (tf>0) suffice; positional segments must also keep the parity
+    # index's tf=0 edge-ngram rows, whose positions drive Match/Phrase
+    # (the WAND scorer masks tf=0 so BM25 semantics are unchanged).
+    pred = F.col("term") != ""
+    if not positions:
+        pred = pred & (F.col("tf") > 0)
+    return (
+        index.postings.filter(pred)
+        .select(*cols)
+        .join(
+            # broadcast: docstats is ~1% of postings bytes; a shuffle
+            # join here would move every posting (plus positions) once
+            # more before the shard groupBy
+            F.broadcast(
+                index.docstats.select(
+                    "doc_id",
+                    F.col("doclen_tokens").alias("dl"),
+                    F.col("doclen_bytes").alias("db"),
+                )
+            ),
+            "doc_id",
+        )
+        # integer DIV on longs: exact for the full 63-bit doc-id space
+        # (streaming hash ids reach ~2^62; a double-division int cast
+        # would wrap/collide)
+        .withColumn("shard_id", F.expr(f"doc_id DIV {int(shard_docs)}"))
+    )
+
+
+def _publish_term_shards(spark: SparkSession, path: str, pairs_df) -> None:
+    """Commit a (term, shard_id) map as a new catalog-managed version.
+
+    Sorted by term so a term-predicate read prunes row groups (min/max
+    fences) on top of column pruning; versioned-dir + pointer swap so a
+    reader mid-refresh never sees a half-written map (commitio.py)."""
+    from . import commitio
+
+    gen = commitio.next_version(path, "term_shards")
+    (
+        pairs_df.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 1), "term"
+        )
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(commitio.version_dir(path, "term_shards", gen))
+    )
+    superseded = commitio.publish(path, {"term_shards": gen})
+    commitio.gc_superseded(path, superseded)
+
+
 def build_segments(
     spark: SparkSession,
     index: FtsIndex,
@@ -365,37 +461,7 @@ def build_segments(
                 if os.path.exists(os.path.join(seg_dir, row["file"])):
                     done[row["shard_id"]] = row
 
-    cols = ["term", "doc_id", "tf"] + (["positions"] if positions else [])
-    # term='' guards against a caller passing the raw postings files
-    # (build_and_save's per-doc stat rows carry tf=doclen_bytes).
-    # Non-positional segments serve BM25/WAND only -> full-token rows
-    # (tf>0) suffice; positional segments must also keep the parity
-    # index's tf=0 edge-ngram rows, whose positions drive Match/Phrase
-    # (the WAND scorer masks tf=0 so BM25 semantics are unchanged).
-    pred = F.col("term") != ""
-    if not positions:
-        pred = pred & (F.col("tf") > 0)
-    src = (
-        index.postings.filter(pred)
-        .select(*cols)
-        .join(
-            # broadcast: docstats is ~1% of postings bytes; a shuffle
-            # join here would move every posting (plus positions) once
-            # more before the shard groupBy
-            F.broadcast(
-                index.docstats.select(
-                    "doc_id",
-                    F.col("doclen_tokens").alias("dl"),
-                    F.col("doclen_bytes").alias("db"),
-                )
-            ),
-            "doc_id",
-        )
-        # integer DIV on longs: exact for the full 63-bit doc-id space
-        # (streaming hash ids reach ~2^62; a double-division int cast
-        # would wrap/collide)
-        .withColumn("shard_id", F.expr(f"doc_id DIV {int(shard_docs)}"))
-    )
+    src = _postings_src(index, shard_docs, positions)
     todo = src
     if done:
         todo = src.filter(~F.col("shard_id").isin(list(done)))
@@ -412,16 +478,8 @@ def build_segments(
         .collect()
     ]
 
-    # exact term->shard map; sorted by term so a term-predicate read
-    # prunes row groups (min/max fences) on top of column pruning
-    (
-        src.select("term", "shard_id")
-        .distinct()
-        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 1), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "term_shards"))
-    )
+    # exact term->shard map (second-level inverted index)
+    _publish_term_shards(spark, path, src.select("term", "shard_id").distinct())
 
     shards = sorted(
         list(done.values()) + new_rows, key=lambda r: r["shard_id"]
@@ -444,6 +502,156 @@ def build_segments(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, manifest_path)
+    # a full build over the live view subsumes any recorded deltas
+    _clear_pending(path)
+    return manifest
+
+
+def refresh_segments(
+    spark: SparkSession, index: FtsIndex, path: str
+) -> dict:
+    """Fold index mutations into the segments INCREMENTALLY.
+
+    After an upsert or stream compaction, ``segments_pending.json``
+    (written by upsert._invalidate_segments) lists exactly the doc-range
+    shards whose postings changed. This re-encodes ONLY those ranges:
+
+    * the postings scan carries sargable ``doc_id`` range predicates
+      (contiguous pending runs), so parquet min/max fences skip the
+      untouched majority of the base files — refresh I/O scales with the
+      delta, not the corpus;
+    * untouched shard files are never rewritten (their manifest rows,
+      including ``fingerprint`` and ``avgdl_built``, carry over);
+    * the term->shard map is merged incrementally (old pairs of
+      surviving shards + the rebuilt ranges' pairs) and committed as a
+      new catalog version;
+    * the manifest is re-stamped with the live source token, n_docs and
+      avgdl — kept shards' block-max bounds remain sound under the
+      avgdl drift because WAND rescales them by
+      ``max(1, avgdl_live / avgdl_built)`` per shard (wand.py).
+
+    ``index`` must be the LIVE merged view of the index at ``path``
+    (load_index is generation-aware; upsert_saved returns it). Falls
+    back to a full ``build_segments`` when no manifest exists, when the
+    manifest is stale without a recorded pending set (a mutation that
+    bypassed the library), or when the pending set covers half the
+    shards (a full rebuild is cheaper than range-filtered scans).
+
+    The reference rebuilds nothing — it mutates in-memory maps per doc
+    (/root/reference/src/index.rs:36-51); this is the immutable-storage
+    analogue: Lucene-style per-segment refresh over parquet.
+    """
+    manifest_path = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"{manifest_path}: no segments to refresh — run build_segments"
+        )
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    shard_docs = int(manifest["shard_docs"])
+    block_docs = int(manifest["block_docs"])
+    positions = bool(manifest.get("positional", False))
+    seg_dir = os.path.join(path, "segments")
+
+    pending: set = set()
+    pp = _pending_path(path)
+    if os.path.exists(pp):
+        with open(pp) as fh:
+            pending = {int(s) for s in json.load(fh)}
+    # defensive: manifest rows whose file vanished are rebuilt too
+    pending |= {
+        int(r["shard_id"])
+        for r in manifest["shards"]
+        if not os.path.exists(os.path.join(seg_dir, r["file"]))
+    }
+
+    def _full() -> dict:
+        return build_segments(
+            spark,
+            index,
+            path,
+            shard_docs=shard_docs,
+            block_docs=block_docs,
+            resume=True,
+            positions=positions,
+        )
+
+    if not pending:
+        if manifest.get("source") == _source_token(path):
+            return manifest  # already fresh, nothing to do
+        # stale with no recorded deltas: some mutation bypassed
+        # _invalidate_segments — the only safe answer is a full pass
+        return _full()
+
+    kept = [
+        r for r in manifest["shards"] if int(r["shard_id"]) not in pending
+    ]
+    if 2 * len(pending) >= len(kept) + len(pending):
+        return _full()
+
+    # contiguous pending runs -> sargable doc_id range predicates
+    runs: List[Tuple[int, int]] = []
+    for s in sorted(pending):
+        if runs and s == runs[-1][1]:
+            runs[-1] = (runs[-1][0], s + 1)
+        else:
+            runs.append((s, s + 1))
+    src = _postings_src(index, shard_docs, positions)
+    if len(runs) <= 128:
+        rng = None
+        for lo, hi in runs:
+            p = (F.col("doc_id") >= lo * shard_docs) & (
+                F.col("doc_id") < hi * shard_docs
+            )
+            rng = p if rng is None else (rng | p)
+        src = src.filter(rng)
+    else:
+        # too many disjoint ranges for a useful pushdown expression;
+        # post-scan filter is still delta-sized output (full-scan input)
+        src = src.filter(F.col("shard_id").isin([int(s) for s in pending]))
+
+    os.makedirs(seg_dir, exist_ok=True)
+    avgdl = index.avgdl
+
+    def write_group(table):
+        return _write_shard(table, seg_dir, block_docs, avgdl)
+
+    new_rows = [
+        r.asDict()
+        for r in src.groupBy("shard_id")
+        .applyInArrow(write_group, schema=SEGMENT_SCHEMA)
+        .collect()
+    ]
+
+    # incremental term->shard merge: surviving shards keep their pairs,
+    # rebuilt ranges contribute fresh ones (an emptied shard simply
+    # drops out of both)
+    from . import commitio
+
+    ts_dir = commitio.table_path(path, "term_shards")
+    pairs = src.select("term", "shard_id").distinct()
+    if os.path.isdir(ts_dir):
+        old_pairs = spark.read.parquet(ts_dir).filter(
+            ~F.col("shard_id").isin([int(s) for s in pending])
+        )
+        pairs = old_pairs.unionByName(pairs)
+    _publish_term_shards(spark, path, pairs)
+
+    manifest.update(
+        n_docs=index.n_docs,
+        avgdl=index.avgdl,
+        built_shards=len(new_rows),
+        resumed_shards=len(kept),
+        source=_source_token(path),
+        shards=sorted(kept + new_rows, key=lambda r: r["shard_id"]),
+    )
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, manifest_path)
+    # after the stamped manifest lands, the folded deltas are covered; a
+    # crash before this line leaves the sidecar -> refresh reruns (idempotent)
+    _clear_pending(path)
     return manifest
 
 

@@ -211,9 +211,13 @@ def _invalidate_segments(
     entries (and files) means the next ``build_segments(resume=True)``
     rebuilds only the touched shards — without this, resume would see
     matching fingerprints for the base build and happily serve
-    superseded postings to WAND.
+    superseded postings to WAND. The same shard ids (including brand-new
+    ranges absent from the manifest) are recorded in the
+    ``segments_pending.json`` sidecar so ``segments.refresh_segments``
+    can re-encode exactly these doc ranges with a range-pruned scan
+    instead of a full pass.
     """
-    from .segments import MANIFEST_NAME
+    from .segments import MANIFEST_NAME, record_pending_shards
 
     manifest_path = os.path.join(path, MANIFEST_NAME)
     if not os.path.exists(manifest_path):
@@ -231,6 +235,9 @@ def _invalidate_segments(
         .distinct()
         .collect()
     }
+    # record BEFORE removing files: a crash in between leaves manifest
+    # rows pointing at missing files, which refresh treats as pending
+    record_pending_shards(path, changed_shards)
     kept = []
     for s in manifest["shards"]:
         if s["shard_id"] in changed_shards:
@@ -249,10 +256,16 @@ def _invalidate_segments(
 def compact_index(spark: SparkSession, path: str) -> None:
     """Fold delta generations back into a generation-0 base (the
     maintenance job a real deployment schedules off-peak)."""
+    from .segments import segments_fresh
+
     meta = _meta(path)
     gen = int(meta.get("generation", 0))
     if gen == 0:
         return
+    # compaction rewrites files but preserves the merged VIEW — segments
+    # that are fresh now stay answer-identical after the fold, so their
+    # manifest gets re-stamped below instead of forcing a full rebuild
+    seg_were_fresh = segments_fresh(path)
     # next_version, NOT the meta generation: after a previous compact the
     # live postings dir can be postings.v<gen> itself — a meta-derived
     # version would overwrite the very directory merged_postings reads
@@ -268,6 +281,17 @@ def compact_index(spark: SparkSession, path: str) -> None:
     shutil.rmtree(os.path.join(path, TOMB_DIR), ignore_errors=True)
     meta["generation"] = 0
     _write_meta(path, meta)
+    if seg_were_fresh:
+        from .segments import MANIFEST_NAME, _source_token
+
+        manifest_path = os.path.join(path, MANIFEST_NAME)
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        manifest["source"] = _source_token(path)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, manifest_path)
 
 
 def load_index_merged(

@@ -51,6 +51,7 @@ def _score_shard(
     k1: float,
     b: float,
     avgdl: float,
+    mu_scale: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k of one shard via block-max skipping. Returns (ids, scores)."""
     import pyarrow.parquet as pq
@@ -61,7 +62,7 @@ def _score_shard(
         columns=["term", "block_id", "n", "doc_ids", "tfs", "max_u"],
         filters=[("term", "in", terms + [DOCSTATS_TERM])],
     )
-    return _score_shard_table(table, weights, k, k1, b, avgdl)
+    return _score_shard_table(table, weights, k, k1, b, avgdl, mu_scale)
 
 
 def _score_shard_table(
@@ -71,9 +72,21 @@ def _score_shard_table(
     k1: float,
     b: float,
     avgdl: float,
+    mu_scale: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Block-max scorer over an in-memory shard table (rows may cover a
-    superset of ``weights``'s terms — extra terms are ignored)."""
+    superset of ``weights``'s terms — extra terms are ignored).
+
+    ``mu_scale``: soundness factor for stored block-max bounds when the
+    live avgdl has drifted since the shard was encoded. Stored
+    ``max_u`` was computed under ``avgdl_built``; with
+    u(tf, dl) = tf(k1+1)/(tf + k1(1-b) + k1*b*dl/avgdl) the ratio
+    u_new/u_old = (x + y/a_old)/(x + y/a_new)  (x, y >= 0) is at most
+    ``a_new/a_old`` when avgdl grew and at most 1 otherwise, so
+    ``mu_scale = max(1, avgdl_live/avgdl_built)`` times the stored bound
+    upper-bounds every true u — block skipping stays exact. Exact
+    scores are always recomputed from the decoded dl with the live
+    avgdl, so only the bound (never a result) is approximate."""
     if table.num_rows == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     tcol = table.column("term").to_pylist()
@@ -95,7 +108,7 @@ def _score_shard_table(
     heap: List[Tuple[float, int]] = []  # (score, -doc_id); heap[0] = worst
     for blk in sorted(blocks):
         rows = blocks[blk]
-        ub = sum(weights[tcol[i]] * mu_col[i] for i in rows)
+        ub = mu_scale * sum(weights[tcol[i]] * mu_col[i] for i in rows)
         if len(heap) == k and ub <= heap[0][0]:
             continue  # block-max skip: cannot beat current threshold
         # decode block doc-stats once
@@ -182,6 +195,19 @@ def _query_weights(
     ]
 
 
+def _bound_scale(avgdl_live: float, shard_row: dict) -> float:
+    """max(1, avgdl_live/avgdl_built) for a manifest shard row — the
+    factor that keeps this shard's stored block-max bounds sound after
+    incremental refreshes drift the corpus avgdl (see
+    _score_shard_table). Rows from pre-refresh manifests carry no
+    avgdl_built; they were built under the manifest's own avgdl, which
+    is only updated together with a rebuild, so 1.0 is exact there."""
+    built = shard_row.get("avgdl_built")
+    if not built or built <= 0:
+        return 1.0
+    return max(1.0, float(avgdl_live) / float(built))
+
+
 def shards_for_terms(
     spark: SparkSession, index_path: str, manifest: dict, terms
 ) -> List[dict]:
@@ -239,22 +265,32 @@ def wand_topk_batch(
 
     union_query_terms = {t for _, w in live for t in w}
     shards = shards_for_terms(spark, index_path, manifest, union_query_terms)
-    files = [os.path.join(seg_dir, s["file"]) for s in shards]
-    shards_df = spark.createDataFrame([(f,) for f in files], "file string")
+    shards_df = spark.createDataFrame(
+        [
+            (
+                os.path.join(seg_dir, s["file"]),
+                _bound_scale(avgdl, s),
+            )
+            for s in shards
+        ],
+        "file string, mu_scale double",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
         union_terms = sorted({t for _, w in live for t in w})
         for pdf in batches:
-            for f in pdf["file"]:
+            for f, sc in zip(pdf["file"], pdf["mu_scale"]):
                 table = pq.read_table(
                     f,
                     columns=["term", "block_id", "n", "doc_ids", "tfs", "max_u"],
                     filters=[("term", "in", union_terms + [DOCSTATS_TERM])],
                 )
                 for qid, w in live:
-                    ids, scores = _score_shard_table(table, w, k, k1, b, avgdl)
+                    ids, scores = _score_shard_table(
+                        table, w, k, k1, b, avgdl, float(sc)
+                    )
                     yield pd.DataFrame(
                         {"query_id": qid, "doc_id": ids, "score": scores}
                     )
@@ -295,13 +331,20 @@ def wand_topk(
     # stage for no balance gain (a task scores files sequentially, and
     # shard files are uniform by construction)
     shards = shards_for_terms(spark, index_path, manifest, weights)
-    files = [os.path.join(seg_dir, s["file"]) for s in shards]
-    shards_df = spark.createDataFrame([(f,) for f in files], "file string")
+    shards_df = spark.createDataFrame(
+        [
+            (os.path.join(seg_dir, s["file"]), _bound_scale(avgdl, s))
+            for s in shards
+        ],
+        "file string, mu_scale double",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for f in pdf["file"]:
-                ids, scores = _score_shard(f, weights, k, k1, b, avgdl)
+            for f, sc in zip(pdf["file"], pdf["mu_scale"]):
+                ids, scores = _score_shard(
+                    f, weights, k, k1, b, avgdl, float(sc)
+                )
                 yield pd.DataFrame({"doc_id": ids, "score": scores})
 
     return (

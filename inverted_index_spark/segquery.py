@@ -221,6 +221,10 @@ def _read_shard(file_path: str, ranges) -> Tuple[list, Dict[int, int]]:
         {"d": [], "b": [], "e": [], "p": []} for _ in ranges
     ]
     docbytes: Dict[int, int] = {}
+    # a term repeats across every block row of the shard; resolve its
+    # matching ranges ONCE (batch queries carry 100+ ranges — the per-row
+    # string-compare loop was O(rows x ranges))
+    term_ranges: Dict[str, List[int]] = {}
     for i, t in enumerate(tcol):
         n = int(ncol[i])
         ids = decode_doc_ids(ids_col[i], n)
@@ -228,16 +232,23 @@ def _read_shard(file_path: str, ranges) -> Tuple[list, Dict[int, int]]:
             dbs = varint_decode(pc_col[i], n).astype(np.int64)
             docbytes.update(zip(ids.tolist(), dbs.tolist()))
             continue
+        hits = term_ranges.get(t)
+        if hits is None:
+            hits = [
+                mi
+                for mi, (lo, hi) in enumerate(ranges)
+                if t >= lo and (hi is None or t < hi)
+            ]
+            term_ranges[t] = hits
         counts = varint_decode(pc_col[i], n).astype(np.int64)
         b, e, p = decode_pos_block(pos_col[i], counts)
         drep = np.repeat(ids, counts)
-        for mi, (lo, hi) in enumerate(ranges):
-            if t >= lo and (hi is None or t < hi):
-                m = matchers[mi]
-                m["d"].append(drep)
-                m["b"].append(b)
-                m["e"].append(e)
-                m["p"].append(p)
+        for mi in hits:
+            m = matchers[mi]
+            m["d"].append(drep)
+            m["b"].append(b)
+            m["e"].append(e)
+            m["p"].append(p)
 
     out = []
     for m in matchers:

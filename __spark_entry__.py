@@ -365,6 +365,18 @@ def _q_minhash_neardup(spark, sf):
     )
 
 
+def _q_dedup_clusters(spark, sf):
+    from inverted_index_spark.pipelines.dedup import (
+        near_dup_clusters,
+        near_dup_pairs,
+    )
+
+    pairs = near_dup_pairs(
+        _docs(spark, sf), num_hashes=8, rows_per_band=2, k=2, threshold=0.3
+    )
+    return near_dup_clusters(pairs)
+
+
 def _q_image_features(spark, sf):
     from inverted_index_spark.pipelines.multimodal import image_features, synth_media
 
@@ -443,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,
+        "dedup_clusters": _q_dedup_clusters,
         "neardup_cosine": _q_neardup_cosine,
         "highlight": _q_highlight,
         # rows-only contract entry (no SQL-expressible oracle):
@@ -754,6 +767,64 @@ def oracle_sql() -> dict[str, str]:
             join sz sa on sa.doc_id = doc_a
             join sz sb on sb.doc_id = doc_b
             where round(i / (sa.sz + sb.sz - i), 4) >= 0.3
+        """,
+        # connected components over the near-dup pair graph (transitive
+        # closure via recursive CTE; Spark side = iterative min-label
+        # propagation in dedup.near_dup_clusters)
+        "dedup_clusters": f"""
+            with recursive sh as ({shingle2}),
+            sig as (
+              select doc_id,
+                     min(md5('0|' || shingle)) as h0,
+                     min(md5('1|' || shingle)) as h1,
+                     min(md5('2|' || shingle)) as h2,
+                     min(md5('3|' || shingle)) as h3,
+                     min(md5('4|' || shingle)) as h4,
+                     min(md5('5|' || shingle)) as h5,
+                     min(md5('6|' || shingle)) as h6,
+                     min(md5('7|' || shingle)) as h7
+              from sh group by doc_id
+            ),
+            bands as (
+              select doc_id, 0 as band, h0 || '|' || h1 as bucket from sig
+              union all select doc_id, 1, h2 || '|' || h3 from sig
+              union all select doc_id, 2, h4 || '|' || h5 from sig
+              union all select doc_id, 3, h6 || '|' || h7 from sig
+            ),
+            cand as (
+              select distinct a.doc_id as doc_a, b.doc_id as doc_b
+              from bands a join bands b
+                on a.band = b.band and a.bucket = b.bucket
+               and a.doc_id < b.doc_id
+            ),
+            sz as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select c.doc_a, c.doc_b, count(*) as i
+              from cand c
+              join sh a on a.doc_id = c.doc_a
+              join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
+              group by 1, 2
+            ),
+            pairs as (
+              select doc_a, doc_b
+              from inter
+              join sz sa on sa.doc_id = doc_a
+              join sz sb on sb.doc_id = doc_b
+              where round(i / (sa.sz + sb.sz - i), 4) >= 0.3
+            ),
+            edges as (
+              select doc_a as a, doc_b as b from pairs
+              union
+              select doc_b, doc_a from pairs
+            ),
+            reach(a, b) as (
+              select a, a from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+            )
+            select a as doc_id, min(b) as cluster_id,
+                   (a = min(b)) as keep
+            from reach group by a
         """,
         "simhash": f"""
             with toks as ({_TOKS}),

@@ -170,6 +170,61 @@ def test_minhash_neardup_finds_planted_dup(spark):
     assert all(3 not in p for p in got)
 
 
+def test_near_dup_clusters_transitive_closure(spark):
+    """a~b and b~c must land in ONE cluster even though (a,c) was never
+    emitted as a pair; cluster_id is the component min; keep marks it."""
+    from inverted_index_spark.pipelines.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        10: (10, True),
+        11: (10, False),
+    }
+
+
+def test_near_dup_clusters_converges_on_long_chain(spark):
+    """A diameter-5 chain needs several label-propagation rounds; the
+    loop must iterate to convergence, not stop after one pass."""
+    from inverted_index_spark.pipelines.dedup import near_dup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 7)]  # 1-2-3-4-5-6-7
+    got = near_dup_clusters(
+        spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    ).collect()
+    assert {r["cluster_id"] for r in got} == {1}
+    assert sorted(r["doc_id"] for r in got) == list(range(1, 8))
+    assert [r["doc_id"] for r in got if r["keep"]] == [1]
+
+
+def test_near_dup_clusters_end_to_end_planted(spark):
+    """Planted triple: A~B and B~C pair up but A,C may not; the cluster
+    step must still put all three in one component."""
+    from inverted_index_spark.pipelines.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a quick brown fox jumps over the lazy dog tonight"),
+            (9, "completely different words about spark shuffles here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = near_dup_pairs(docs, num_hashes=8, rows_per_band=2, k=3, threshold=0.5)
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got.get(1) == got.get(2) == got.get(3) == 1
+    assert 9 not in got  # no pair -> trivially its own cluster, not emitted
+
+
 def test_near_dup_candidate_only_verify_matches_full_verify(spark):
     """The candidate-only Jaccard verify must return exactly what the
     (non-scalable) corpus-wide verify + candidate semi-join returns."""

@@ -377,6 +377,32 @@ def _q_dedup_clusters(spark, sf):
     return near_dup_clusters(pairs)
 
 
+def _q_dedup_keep_best(spark, sf):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.dedup import (
+        near_dup_clusters,
+        near_dup_pairs,
+    )
+
+    docs = _docs(spark, sf)
+    pairs = near_dup_pairs(
+        docs, num_hashes=8, rows_per_band=2, k=2, threshold=0.3
+    )
+    prio = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("priority")
+    )
+    return near_dup_clusters(pairs, priority=prio)
+
+
+def _q_dedup_corpus(spark, sf):
+    from inverted_index_spark.pipelines.dedup import dedup_corpus
+
+    return dedup_corpus(
+        _docs(spark, sf), num_hashes=8, rows_per_band=2, k=2, threshold=0.3
+    ).select("doc_id")
+
+
 def _q_image_features(spark, sf):
     from inverted_index_spark.pipelines.multimodal import image_features, synth_media
 
@@ -456,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "dedup_corpus": _q_dedup_corpus,
         "neardup_cosine": _q_neardup_cosine,
         "highlight": _q_highlight,
         # rows-only contract entry (no SQL-expressible oracle):
@@ -557,6 +585,65 @@ def oracle_sql() -> dict[str, str]:
         "  i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) as shingle "
         "from documents"
     )
+
+    def neardup_chain(shingle_src: str) -> str:
+        """CTE chain shared by the dedup_* oracles: minhash signatures
+        -> LSH band buckets -> candidate pairs -> exact Jaccard >= 0.3
+        -> undirected edge set -> recursive transitive closure (reach).
+        Mirrors dedup.near_dup_pairs + near_dup_clusters."""
+        return f"""
+            sh as ({shingle_src}),
+            sig as (
+              select doc_id,
+                     min(md5('0|' || shingle)) as h0,
+                     min(md5('1|' || shingle)) as h1,
+                     min(md5('2|' || shingle)) as h2,
+                     min(md5('3|' || shingle)) as h3,
+                     min(md5('4|' || shingle)) as h4,
+                     min(md5('5|' || shingle)) as h5,
+                     min(md5('6|' || shingle)) as h6,
+                     min(md5('7|' || shingle)) as h7
+              from sh group by doc_id
+            ),
+            bands as (
+              select doc_id, 0 as band, h0 || '|' || h1 as bucket from sig
+              union all select doc_id, 1, h2 || '|' || h3 from sig
+              union all select doc_id, 2, h4 || '|' || h5 from sig
+              union all select doc_id, 3, h6 || '|' || h7 from sig
+            ),
+            cand as (
+              select distinct a.doc_id as doc_a, b.doc_id as doc_b
+              from bands a join bands b
+                on a.band = b.band and a.bucket = b.bucket
+               and a.doc_id < b.doc_id
+            ),
+            sz as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select c.doc_a, c.doc_b, count(*) as i
+              from cand c
+              join sh a on a.doc_id = c.doc_a
+              join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
+              group by 1, 2
+            ),
+            pairs as (
+              select doc_a, doc_b
+              from inter
+              join sz sa on sa.doc_id = doc_a
+              join sz sb on sb.doc_id = doc_b
+              where round(i / (sa.sz + sb.sz - i), 4) >= 0.3
+            ),
+            edges as (
+              select doc_a as a, doc_b as b from pairs
+              union
+              select doc_b, doc_a from pairs
+            ),
+            reach(a, b) as (
+              select a, a from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+            )
+        """
+
     out = {
         "doc_stats": """
             select doc_id,
@@ -772,59 +859,47 @@ def oracle_sql() -> dict[str, str]:
         # closure via recursive CTE; Spark side = iterative min-label
         # propagation in dedup.near_dup_clusters)
         "dedup_clusters": f"""
-            with recursive sh as ({shingle2}),
-            sig as (
-              select doc_id,
-                     min(md5('0|' || shingle)) as h0,
-                     min(md5('1|' || shingle)) as h1,
-                     min(md5('2|' || shingle)) as h2,
-                     min(md5('3|' || shingle)) as h3,
-                     min(md5('4|' || shingle)) as h4,
-                     min(md5('5|' || shingle)) as h5,
-                     min(md5('6|' || shingle)) as h6,
-                     min(md5('7|' || shingle)) as h7
-              from sh group by doc_id
-            ),
-            bands as (
-              select doc_id, 0 as band, h0 || '|' || h1 as bucket from sig
-              union all select doc_id, 1, h2 || '|' || h3 from sig
-              union all select doc_id, 2, h4 || '|' || h5 from sig
-              union all select doc_id, 3, h6 || '|' || h7 from sig
-            ),
-            cand as (
-              select distinct a.doc_id as doc_a, b.doc_id as doc_b
-              from bands a join bands b
-                on a.band = b.band and a.bucket = b.bucket
-               and a.doc_id < b.doc_id
-            ),
-            sz as (select doc_id, count(*) as sz from sh group by doc_id),
-            inter as (
-              select c.doc_a, c.doc_b, count(*) as i
-              from cand c
-              join sh a on a.doc_id = c.doc_a
-              join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
-              group by 1, 2
-            ),
-            pairs as (
-              select doc_a, doc_b
-              from inter
-              join sz sa on sa.doc_id = doc_a
-              join sz sb on sb.doc_id = doc_b
-              where round(i / (sa.sz + sb.sz - i), 4) >= 0.3
-            ),
-            edges as (
-              select doc_a as a, doc_b as b from pairs
-              union
-              select doc_b, doc_a from pairs
-            ),
-            reach(a, b) as (
-              select a, a from edges
-              union
-              select r.a, e.b from reach r join edges e on r.b = e.a
-            )
+            with recursive {neardup_chain(shingle2)}
             select a as doc_id, min(b) as cluster_id,
                    (a = min(b)) as keep
             from reach group by a
+        """,
+        # same closure, keeper = max-token-count doc per cluster
+        # (dedup.near_dup_clusters with a priority table)
+        "dedup_keep_best": f"""
+            with recursive {neardup_chain(shingle2)},
+            labels as (
+              select a as doc_id, min(b) as cluster_id from reach group by a
+            ),
+            ranked as (
+              select l.doc_id, l.cluster_id,
+                     row_number() over (
+                       partition by l.cluster_id
+                       order by len(string_split(d.text, ' ')) desc, l.doc_id
+                     ) as rn
+              from labels l join documents d on d.doc_id = l.doc_id
+            )
+            select doc_id, cluster_id, (rn = 1) as keep from ranked
+        """,
+        # full corpus-level dedup: exact pass first, then near-dup
+        # clustering over the survivors, drop cluster non-keepers
+        # (dedup.dedup_corpus)
+        "dedup_corpus": f"""
+            with recursive base as (
+              select doc_id, text from (
+                select doc_id, text,
+                       row_number() over (
+                         partition by md5(text) order by doc_id
+                       ) as rn
+                from documents
+              ) t where rn = 1
+            ),
+            {neardup_chain(shingle2.replace("from documents", "from base"))},
+            losers as (
+              select a as doc_id from reach group by a having a <> min(b)
+            )
+            select doc_id from base
+            where doc_id not in (select doc_id from losers)
         """,
         "simhash": f"""
             with toks as ({_TOKS}),

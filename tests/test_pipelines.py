@@ -225,6 +225,81 @@ def test_near_dup_clusters_end_to_end_planted(spark):
     assert 9 not in got  # no pair -> trivially its own cluster, not emitted
 
 
+def test_lsh_bucket_cap_drops_mega_bucket_keeps_other_pairs(spark):
+    """30 identical docs form one >cap bucket in EVERY band: with the
+    cap their quadratic pair set is suppressed, while a distinct
+    near-dup pair in small buckets is still found."""
+    from inverted_index_spark.pipelines.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "same boilerplate license header text repeated verbatim")
+            for i in range(100, 130)]
+    rows += [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    sigs = minhash_signatures(
+        spark.createDataFrame(rows, ["doc_id", "text"]), num_hashes=8, k=2
+    )
+    capped = lsh_candidate_pairs(
+        sigs, num_hashes=8, rows_per_band=2, max_bucket_size=10
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (1, 2) in got
+    assert not any(a >= 100 for a, _ in got)  # mega-bucket suppressed
+    uncapped = lsh_candidate_pairs(sigs, num_hashes=8, rows_per_band=2).count()
+    assert uncapped >= 30 * 29 // 2  # without the cap it IS quadratic
+
+
+def test_near_dup_clusters_priority_picks_best_copy(spark):
+    """With a priority table the keeper is the cluster's max-priority
+    doc (ties -> lowest doc_id), not the min doc_id."""
+    from inverted_index_spark.pipelines.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"])
+    prio = spark.createDataFrame(
+        [(1, 1.0), (2, 9.0), (3, 9.0), (11, 5.0)],  # 10 missing -> sorts last
+        ["doc_id", "priority"],
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dup_clusters(pairs, priority=prio).collect()
+    }
+    assert got == {
+        1: (1, False),
+        2: (1, True),   # max priority, tie with 3 -> lower doc_id
+        3: (1, False),
+        10: (10, False),  # missing priority sorts below 11's 5.0
+        11: (10, True),
+    }
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """Exact dups collapse to the lowest id, near-dup clusters keep one
+    representative, unique docs pass through with all columns."""
+    from inverted_index_spark.pipelines.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 1
+            (3, "the quick brown fox jumps over the lazy dog today"),
+            (4, "the quick brown fox jumps over the lazy dog tonight"),  # near dup of 3
+            (5, "completely different words about spark shuffles here"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus(
+            docs, num_hashes=8, rows_per_band=2, k=3, threshold=0.5
+        ).collect()
+    )
+    assert kept == [1, 3, 5]
+
+
 def test_near_dup_candidate_only_verify_matches_full_verify(spark):
     """The candidate-only Jaccard verify must return exactly what the
     (non-scalable) corpus-wide verify + candidate semi-join returns."""

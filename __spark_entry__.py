@@ -377,6 +377,32 @@ def _q_dedup_clusters(spark, sf):
     return near_dup_clusters(pairs)
 
 
+def _q_incremental_neardup(spark, sf):
+    """Save a bucket index over 80% of the corpus, then dedup the other
+    20% against it incrementally — exercises save/load/partition-pruned
+    probe; the oracle is the from-scratch pair set restricted to pairs
+    touching a 'new' doc."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.dedup import (
+        build_dedup_index,
+        incremental_near_dup_pairs,
+        save_dedup_index,
+    )
+
+    docs = _docs(spark, sf)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="dedup_ix_")
+    save_dedup_index(
+        build_dedup_index(old, num_hashes=8, rows_per_band=2, k=2),
+        path, num_hashes=8, rows_per_band=2, k=2,
+    )
+    return incremental_near_dup_pairs(spark, path, new, old, threshold=0.3)
+
+
 def _q_dedup_keep_best(spark, sf):
     from pyspark.sql import functions as F
 
@@ -481,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,
+        "incremental_neardup": _q_incremental_neardup,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "dedup_corpus": _q_dedup_corpus,
@@ -1019,6 +1046,13 @@ def oracle_sql() -> dict[str, str]:
     # segment-served scale paths share their relational twins' oracles:
     # WAND is exact BM25; segment Match/And/Or/Prefix/Phrase reproduce
     # the engine's semantics bit-for-bit (asserted in tests)
+    # incremental dedup (saved bucket index + partition-pruned probe)
+    # must equal the from-scratch pair set restricted to pairs touching
+    # a doc of the 'new' batch (doc_id % 5 == 0 in the contract split)
+    out["incremental_neardup"] = (
+        "select * from (" + out["minhash_neardup"] + ") "
+        "where doc_a % 5 = 0 or doc_b % 5 = 0"
+    )
     out["wand_topk"] = out["bm25_topk"]
     out["phrase_seg"] = out["phrase_match"]
     out["match_seg"] = out["match_docs"]

@@ -300,6 +300,92 @@ def test_dedup_corpus_end_to_end(spark):
     assert kept == [1, 3, 5]
 
 
+def test_incremental_neardup_matches_from_scratch(spark, tmp_path):
+    """Batch dedup against a saved bucket index must return exactly the
+    from-scratch pairs that involve >= 1 new doc."""
+    from inverted_index_spark.pipelines.dedup import (
+        build_dedup_index,
+        incremental_near_dup_pairs,
+        save_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "dix")
+    save_dedup_index(
+        build_dedup_index(old, num_hashes=8, rows_per_band=2, k=2),
+        path, num_hashes=8, rows_per_band=2, k=2,
+    )
+    got = {
+        tuple(r)
+        for r in incremental_near_dup_pairs(
+            spark, path, new, old, threshold=0.2
+        ).collect()
+    }
+    full = near_dup_pairs(docs, num_hashes=8, rows_per_band=2, k=2, threshold=0.2)
+    want = {
+        tuple(r)
+        for r in full.collect()
+        if r["doc_a"] % 5 == 0 or r["doc_b"] % 5 == 0
+    }
+    assert got == want and len(got) > 0
+
+
+def test_incremental_neardup_prunes_bucket_partitions(spark, tmp_path):
+    """The saved bucket table read must carry a bp partition filter so a
+    small batch opens only the prefixes it touches."""
+    from inverted_index_spark.pipelines.dedup import (
+        build_dedup_index,
+        incremental_near_dup_pairs,
+        save_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") >= 3)
+    new = docs.filter(F.col("doc_id") < 3)
+    path = str(tmp_path / "dix")
+    save_dedup_index(
+        build_dedup_index(old, num_hashes=8, rows_per_band=2, k=2),
+        path, num_hashes=8, rows_per_band=2, k=2,
+    )
+    pairs = incremental_near_dup_pairs(spark, path, new, old, threshold=0.2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "bp" in ln]
+    assert pf, "bucket read must prune on the bp partition column"
+
+
+def test_extend_dedup_index_replay_idempotent(spark, tmp_path):
+    """Re-extending with the same batch id overwrites that batch's own
+    dir: row set unchanged, later batches see identical state."""
+    from inverted_index_spark.pipelines.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+        save_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    path = str(tmp_path / "dix")
+    save_dedup_index(
+        build_dedup_index(old, num_hashes=8, rows_per_band=2, k=2),
+        path, num_hashes=8, rows_per_band=2, k=2,
+    )
+    extend_dedup_index(b1, path, batch="b1")
+    once = {tuple(r) for r in spark.read.parquet(f"{path}/buckets").collect()}
+    extend_dedup_index(b1, path, batch="b1")  # replay
+    twice = {tuple(r) for r in spark.read.parquet(f"{path}/buckets").collect()}
+    assert once == twice
+    assert any(r for r in once if r[-2] == "b1" or "b1" in map(str, r))
+
+
 def test_near_dup_candidate_only_verify_matches_full_verify(spark):
     """The candidate-only Jaccard verify must return exactly what the
     (non-scalable) corpus-wide verify + candidate semi-join returns."""

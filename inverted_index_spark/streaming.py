@@ -147,7 +147,127 @@ def _registry_doc_ids(
     )
 
 
-def append_batch(index_path: str, ngrams: bool = False, id_mode: str = "hash"):
+def _corpus_docs_excluding(
+    spark: SparkSession, index_path: str, batch_id: int
+) -> DataFrame:
+    """(doc_id, text) of every ALREADY-ACCEPTED document: the base doc
+    store plus stream-delta doc batches, excluding the current batch's
+    own dir so a foreachBatch replay sees exactly the pre-batch state."""
+    from . import commitio
+
+    parts = []
+    base = commitio.table_path(index_path, "docs")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base).select("doc_id", "text"))
+    d = os.path.join(index_path, STREAM_DIR, "docs")
+    if os.path.isdir(d):
+        dirs = [
+            os.path.join(d, x)
+            for x in sorted(os.listdir(d))
+            if x.startswith("batch=") and x != f"batch={batch_id}"
+        ]
+        if dirs:
+            parts.append(
+                spark.read.option("basePath", d)
+                .parquet(*dirs)
+                .select("doc_id", "text")
+            )
+    if not parts:
+        return spark.createDataFrame([], "doc_id long, text string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dedup_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    dedup_index_path: str,
+    index_path: str,
+    batch_id: int,
+    threshold: float,
+    max_bucket_size,
+) -> DataFrame:
+    """Drop a micro-batch's near-dups before indexing: docs pairing with
+    an already-accepted corpus doc are rejected outright (corpus-first —
+    accepted data never loses to an arrival), then within-batch clusters
+    among the survivors keep one representative. Decisions are
+    deterministic and replay-safe: the bucket index and doc store are
+    both read excluding this batch's own dirs, and the index extension
+    overwrites only ``batch=<id>``."""
+    from .pipelines.dedup import (
+        extend_dedup_index,
+        incremental_near_dup_pairs,
+        near_dup_clusters,
+    )
+
+    corpus = _corpus_docs_excluding(spark, index_path, batch_id)
+    pairs = (
+        incremental_near_dup_pairs(
+            spark,
+            dedup_index_path,
+            docs,
+            corpus,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+            exclude_batches=(str(batch_id),),
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    flag = docs.select("doc_id", F.lit(True).alias("flag"))
+    p = (
+        pairs.join(
+            flag.select(
+                F.col("doc_id").alias("doc_a"), F.col("flag").alias("a_new")
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            flag.select(
+                F.col("doc_id").alias("doc_b"), F.col("flag").alias("b_new")
+            ),
+            "doc_b",
+            "left",
+        )
+        .fillna({"a_new": False, "b_new": False})
+    )
+    vs_corpus = (
+        p.filter(F.col("a_new") & ~F.col("b_new"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .union(
+            p.filter(F.col("b_new") & ~F.col("a_new")).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    both = (
+        p.filter(F.col("a_new") & F.col("b_new"))
+        .select("doc_a", "doc_b")
+        .join(vs_corpus.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti")
+        .join(vs_corpus.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+    )
+    batch_losers = (
+        near_dup_clusters(both).filter(~F.col("keep")).select("doc_id")
+    )
+    kept = docs.join(
+        vs_corpus.union(batch_losers).distinct(), "doc_id", "left_anti"
+    ).localCheckpoint()
+    extend_dedup_index(kept, dedup_index_path, batch=str(batch_id))
+    return kept
+
+
+def append_batch(
+    index_path: str,
+    ngrams: bool = False,
+    id_mode: str = "hash",
+    dedup_index_path: str | None = None,
+    dedup_threshold: float = 0.5,
+    dedup_max_bucket_size: int | None = None,
+):
     """Return a foreachBatch function that applies one micro-batch.
 
     Each call tokenizes the batch's turns and writes postings, docstats
@@ -155,6 +275,13 @@ def append_batch(index_path: str, ngrams: bool = False, id_mode: str = "hash"):
     overwrite — idempotent under foreachBatch replay (see module
     docstring). The doc-store delta carries only the base doc-store
     columns (doc_id, text) so the docs directory keeps one schema.
+
+    ``dedup_index_path`` switches on ingest-time dedup: each batch is
+    checked against the persisted LSH bucket index (built with
+    ``pipelines.dedup.save_dedup_index``) and near-dups are dropped
+    BEFORE tokenization — see ``_dedup_batch`` for the policy and the
+    replay-safety argument. The doc store must be enabled (candidate
+    verification reads corpus text).
     """
     tokenize = make_tokenize_udf(ngrams=ngrams)
 
@@ -165,6 +292,16 @@ def append_batch(index_path: str, ngrams: bool = False, id_mode: str = "hash"):
         else:
             with_ids = batch_df.withColumn("doc_id", streaming_doc_id())
         docs = with_ids.select("doc_id", "text")
+        if dedup_index_path is not None:
+            docs = _dedup_batch(
+                spark,
+                docs,
+                dedup_index_path,
+                index_path,
+                batch_id,
+                dedup_threshold,
+                dedup_max_bucket_size,
+            )
         tokens = docs.select(
             "doc_id", F.explode(tokenize(F.col("text"))).alias("t")
         ).select(
@@ -217,6 +354,9 @@ def stream_transcripts_to_index(
     trigger_once: bool = True,
     id_mode: str = "hash",
     expected_conversations: Optional[int] = None,
+    dedup_index_path: Optional[str] = None,
+    dedup_threshold: float = 0.5,
+    dedup_max_bucket_size: Optional[int] = None,
 ):
     """Wire a transcript readStream into the index (returns the query).
 
@@ -229,6 +369,9 @@ def stream_transcripts_to_index(
     1e-6, registry otherwise. An explicit ``id_mode="hash"`` with a
     stated scale above that bound warns instead of silently risking
     doc-id collisions.
+
+    ``dedup_index_path`` enables ingest-time near-dup filtering against
+    a persisted LSH bucket index (see ``append_batch``).
     """
     if id_mode == "auto":
         id_mode = choose_id_mode(expected_conversations)
@@ -245,7 +388,14 @@ def stream_transcripts_to_index(
             )
     writer = (
         transcripts_stream.writeStream.foreachBatch(
-            append_batch(index_path, ngrams=ngrams, id_mode=id_mode)
+            append_batch(
+                index_path,
+                ngrams=ngrams,
+                id_mode=id_mode,
+                dedup_index_path=dedup_index_path,
+                dedup_threshold=dedup_threshold,
+                dedup_max_bucket_size=dedup_max_bucket_size,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

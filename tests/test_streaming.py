@@ -378,3 +378,137 @@ def test_id_mode_selection_and_warning(spark, tmp_path):
     q2.awaitTermination(60)
     reg_dir = os.path.join(str(tmp_path / "idx2"), "stream_delta", "registry")
     assert os.path.isdir(reg_dir)
+
+
+def test_stream_ingest_dedup_drops_near_dups(spark, tmp_path):
+    """Ingest-time dedup: a streamed doc near-duping an ALREADY-ACCEPTED
+    corpus doc is rejected; within-batch twins keep one representative;
+    unique docs pass; the bucket index is extended with kept docs only."""
+    import datetime
+
+    from inverted_index_spark.pipelines.dedup import (
+        build_dedup_index,
+        save_dedup_index,
+    )
+
+    idx_path = str(tmp_path / "idx")
+    dix = str(tmp_path / "dix")
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime.datetime(2026, 1, 1)
+
+    boot_rows = [
+        ("boot-0", 0, "user",
+         "the quick brown fox jumps over the lazy dog today", None, ts),
+        ("boot-1", 0, "user",
+         "completely different words about spark shuffles here", None, ts),
+        ("boot-2", 0, "user",
+         "a third unrelated document mentioning merge scan pipelines", None, ts),
+    ]
+    boot = spark.createDataFrame(boot_rows, TRANSCRIPT_SCHEMA)
+    boot_docs = boot.withColumn("doc_id", streaming_doc_id()).select(
+        "doc_id", "text"
+    )
+    build_and_save(spark, boot_docs, idx_path, ngrams=False)
+    save_dedup_index(
+        build_dedup_index(boot_docs, num_hashes=8, rows_per_band=2, k=2),
+        dix, num_hashes=8, rows_per_band=2, k=2,
+    )
+
+    new_rows = [
+        # near-dup of boot-0 (J=0.8 on bigrams) -> rejected vs corpus
+        ("s-corpdup", 0, "user",
+         "the quick brown fox jumps over the lazy dog tonight", None, ts),
+        ("s-uniq", 0, "user",
+         "entirely novel sentence with no overlap to anything stored", None, ts),
+        # within-batch twins -> exactly one kept
+        ("s-twin-a", 0, "user",
+         "twin documents sharing almost every word in this sentence yes", None, ts),
+        ("s-twin-b", 0, "user",
+         "twin documents sharing almost every word in this sentence indeed", None, ts),
+    ]
+    spark.createDataFrame(new_rows, TRANSCRIPT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = stream_transcripts_to_index(
+        stream, idx_path, ckpt, ngrams=False,
+        dedup_index_path=dix, dedup_threshold=0.5,
+    )
+    q.awaitTermination(120)
+
+    idx = refresh_index(spark, idx_path)
+    texts = [r["text"] for r in idx.docs.collect()]
+    assert idx.n_docs == 5  # 3 boot + uniq + one twin
+    assert not any("tonight" in t for t in texts), "corpus near-dup ingested"
+    assert any("novel" in t for t in texts)
+    assert sum("twin documents" in t for t in texts) == 1
+    # the bucket index gained exactly the 2 kept docs' rows (4 bands each)
+    import pyspark.sql.functions as SF
+    added = (
+        spark.read.parquet(f"{dix}/buckets")
+        .filter(SF.col("batch") != "base")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert added == 2
+
+
+def test_stream_ingest_dedup_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay of a deduped batch must reproduce the ORIGINAL
+    decision: the replayed read excludes the batch's own bucket/doc
+    dirs, so previously-kept docs do not self-match and vanish."""
+    import datetime
+
+    from inverted_index_spark.streaming import append_batch
+    from inverted_index_spark.pipelines.dedup import (
+        build_dedup_index,
+        save_dedup_index,
+    )
+
+    idx_path = str(tmp_path / "idx")
+    dix = str(tmp_path / "dix")
+    ts = datetime.datetime(2026, 1, 1)
+    boot_rows = [
+        ("boot-0", 0, "user",
+         "the quick brown fox jumps over the lazy dog today", None, ts),
+        ("boot-1", 0, "user",
+         "completely different words about spark shuffles here", None, ts),
+    ]
+    boot = spark.createDataFrame(boot_rows, TRANSCRIPT_SCHEMA)
+    boot_docs = boot.withColumn("doc_id", streaming_doc_id()).select(
+        "doc_id", "text"
+    )
+    build_and_save(spark, boot_docs, idx_path, ngrams=False)
+    save_dedup_index(
+        build_dedup_index(boot_docs, num_hashes=8, rows_per_band=2, k=2),
+        dix, num_hashes=8, rows_per_band=2, k=2,
+    )
+    batch = spark.createDataFrame(
+        [
+            ("s-corpdup", 0, "user",
+             "the quick brown fox jumps over the lazy dog tonight", None, ts),
+            ("s-uniq", 0, "user",
+             "entirely novel sentence with no overlap to anything stored",
+             None, ts),
+        ],
+        TRANSCRIPT_SCHEMA,
+    )
+    fn = append_batch(idx_path, ngrams=False, dedup_index_path=dix,
+                      dedup_threshold=0.5)
+    fn(batch, 0)
+    once = refresh_index(spark, idx_path)
+    texts_once = sorted(r["text"] for r in once.docs.collect())
+    assert once.n_docs == 3  # 2 boot + uniq; corpdup rejected
+    fn(batch, 0)  # crash-replay: same batch id, index already extended
+    twice = refresh_index(spark, idx_path)
+    assert twice.n_docs == 3
+    assert sorted(r["text"] for r in twice.docs.collect()) == texts_once
+    import pyspark.sql.functions as SF
+    added = (
+        spark.read.parquet(f"{dix}/buckets")
+        .filter(SF.col("batch") != "base")
+        .select("doc_id").distinct().count()
+    )
+    assert added == 1  # only s-uniq, once

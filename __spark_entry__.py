@@ -437,6 +437,15 @@ def _q_image_features(spark, sf):
     )
 
 
+def _q_knn_join(spark, sf):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.similarity import knn_join
+
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return knn_join(embs.filter(F.col("vec_id") < 3), embs, k=5)
+
+
 def _q_cosine_topk(spark, sf):
     from inverted_index_spark.pipelines.similarity import cosine_topk
 
@@ -500,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
+        "knn_join": _q_knn_join,
         "sessions": _q_sessions,
         "hourly_events": _q_hourly_events,
         "token_counts": _q_token_counts,
@@ -995,6 +1005,38 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _COSINE_TOPK_SQL,
         "ivf_topk": _COSINE_TOPK_SQL,
         "neardup_cosine": _neardup_cosine_sql(),
+        # batch exact knn join: every query row's top-5 corpus neighbors
+        # (similarity.knn_join, broadcast-exact path)
+        "knn_join": """
+            with q as (
+              select vec_id as query_id, embedding as qe
+              from embeddings where vec_id < 3
+            ),
+            c as (select vec_id, embedding as ce from embeddings),
+            terms as (
+              select q.query_id, c.vec_id,
+                     unnest(q.qe)::double as x, unnest(c.ce)::double as y
+              from q cross join c
+            ),
+            sums as (
+              select query_id, vec_id,
+                     sum(x*y) as d, sum(x*x) as nx, sum(y*y) as ny
+              from terms group by 1, 2
+            ),
+            scored as (
+              select query_id, vec_id,
+                     round(d / (sqrt(nx) * sqrt(ny)), 4)::double as cos
+              from sums
+            ),
+            ranked as (
+              select query_id, vec_id, cos,
+                     row_number() over (
+                       partition by query_id order by cos desc, vec_id asc
+                     ) as rank
+              from scored
+            )
+            select query_id, vec_id, cos, rank from ranked where rank <= 5
+        """,
         "sessions": """
             with g as (
               select user_id,

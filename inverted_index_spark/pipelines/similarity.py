@@ -16,7 +16,7 @@ import hashlib
 import math
 from typing import List, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -370,6 +370,83 @@ def ivf_topk(
     reassigns per call and exists for small-data ergonomics only."""
     idx = build_ivf(embeddings, n_centroids, id_col, vec_col)
     return ivf_search(idx, query_vec, k=k, n_probe=n_probe)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    n_planes: int | None = None,
+    hamming: int = 1,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): top-k corpus neighbors for EVERY
+    query row — the batch ANN join a retrieval-mining / hard-negative
+    pipeline runs, where ``cosine_topk`` answers only one vector.
+
+    ``n_planes=None`` — exact: the query side is broadcast against the
+    corpus (one corpus scan, no corpus-side shuffle to form pairs),
+    then one window per query ranks candidates. The scored-pair shuffle
+    is |queries| x |corpus| rows, so this is the correctness baseline
+    and the small-query-batch path.
+
+    ``n_planes`` set — LSH-bucketed scale path: both sides are signed
+    with the same deterministic hyperplanes; each query is expanded to
+    every signature within ``hamming`` bit flips (probe expansion,
+    sum-of-binomials masks) and candidates come from an equi-join on
+    the signature — pair count is bucket-bounded, never q x c. Exact
+    cosine re-score + per-query top-k as above.
+    ``hamming == n_planes`` probes every bucket and equals the exact
+    path (pinned by test).
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    if n_planes is None:
+        pairs = c.crossJoin(F.broadcast(q))
+    else:
+        from itertools import combinations
+
+        dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = dim_row["d"] if dim_row else 0
+        planes = _hyperplanes(dim, n_planes)
+        masks = []
+        for h in range(min(hamming, n_planes) + 1):
+            for flips in combinations(range(n_planes), h):
+                m = 0
+                for b in flips:
+                    m |= 1 << b
+                masks.append(m)
+        csig = c.withColumn("sig", _sig_col(planes, F.col("cv")))
+        qsig = (
+            q.withColumn("sig0", _sig_col(planes, F.col("qv")))
+            .withColumn(
+                "mask", F.explode(F.array(*[F.lit(m) for m in masks]))
+            )
+            .withColumn("sig", F.col("sig0").bitwiseXOR(F.col("mask")))
+            .select("query_id", "qv", "sig")
+        )
+        pairs = csig.join(F.broadcast(qsig), "sig")
+    cos = _dot(F.col("cv"), F.col("qv")) / (
+        _norm(F.col("cv")) * _norm(F.col("qv"))
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", F.round(cos, 4).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
 
 
 def neardup_pairs_cosine(

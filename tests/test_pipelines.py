@@ -142,6 +142,74 @@ def test_ivf_saved_index_prunes_partitions(spark, embeddings, tmp_path):
     assert full == exact
 
 
+def test_knn_join_exact_matches_per_query_topk(spark, embeddings):
+    """The batch exact knn_join must equal running cosine_topk once per
+    query vector."""
+    from inverted_index_spark.pipelines.similarity import knn_join
+
+    qs = embeddings.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_join(qs, embeddings, k=5).collect()
+    }
+    for qrow in qs.collect():
+        want = cosine_topk(embeddings, list(qrow["embedding"]), k=5).collect()
+        for rank, r in enumerate(want, start=1):
+            assert got[(qrow["vec_id"], rank)] == r["vec_id"]
+
+
+def test_knn_join_exact_plan_broadcasts_queries(spark, embeddings):
+    """The exact path must broadcast the query side (corpus is never
+    shuffled to form pairs); the only exchange is the per-query window."""
+    from inverted_index_spark.pipelines.similarity import knn_join
+
+    qs = embeddings.filter(F.col("vec_id") < 3)
+    plan = (
+        knn_join(qs, embeddings, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_full_probe_equals_exact(spark, embeddings):
+    from inverted_index_spark.pipelines.similarity import knn_join
+
+    qs = embeddings.filter(F.col("vec_id") < 3)
+    exact = sorted(tuple(r) for r in knn_join(qs, embeddings, k=5).collect())
+    full = sorted(
+        tuple(r)
+        for r in knn_join(
+            qs, embeddings, k=5, n_planes=4, hamming=4
+        ).collect()
+    )
+    assert full == exact
+
+
+def test_knn_join_pruned_probe_finds_planted_neighbors(spark, embeddings):
+    """Planted perturbed copies of each query must be retrieved even at
+    hamming=1 — near-identical vectors share the signature bucket."""
+    from inverted_index_spark.pipelines.similarity import knn_join
+
+    base = embeddings.filter(F.col("vec_id") < 2)
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.0) + F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(planted)
+    got = knn_join(base, corpus, k=3, n_planes=4, hamming=1).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in (0, 1):
+        assert qid + 100000 in by_q[qid], "planted neighbor missed"
+        assert qid in by_q[qid], "query's own copy missed"
+
+
 def test_neardup_cosine_finds_planted_dup(spark, embeddings):
     # plant an exact duplicate of vec 0 with a new id
     v0 = embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[

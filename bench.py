@@ -167,6 +167,12 @@ def main() -> None:
         segment_query_batch,
         segment_search,
     )
+    from inverted_index_spark.pipelines.dedup import dedup_corpus
+    from inverted_index_spark.pipelines.similarity import knn_join
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
 
     # warm all query paths once (python workers, OS page cache for the
     # segment files, parquet footers) so per-query numbers measure the
@@ -230,6 +236,19 @@ def main() -> None:
             ["scan merge", "window stream", "group value", "join filter"] * 16,
             k=10,
         ).collect(),
+        # training-pipeline ops at the same amplified scale: corpus-level
+        # dedup (the amplification IS a planted exact-dup cluster per
+        # source doc — the exact-first pass collapses it before LSH ever
+        # sees a mega-bucket) and the LSH-bucketed batch ANN join
+        "dedup_corpus": lambda: dedup_corpus(
+            docs.select("doc_id", "text"),
+            num_hashes=8, rows_per_band=2, k=3, threshold=0.5,
+            max_bucket_size=64,
+        ).count(),
+        "knn_join64": lambda: knn_join(
+            embs.filter(F.col("vec_id") < 64), embs,
+            k=10, n_planes=8, hamming=1,
+        ).count(),
     }
     qtimes = {name: timed(fn) for name, fn in queries.items()}
 

@@ -403,6 +403,12 @@ def _q_incremental_neardup(spark, sf):
     return incremental_near_dup_pairs(spark, path, new, old, threshold=0.3)
 
 
+def _q_simhash_pairs(spark, sf):
+    from inverted_index_spark.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf), bits=32, max_hamming=8)
+
+
 def _q_dedup_keep_best(spark, sf):
     from pyspark.sql import functions as F
 
@@ -505,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_capped": _q_jaccard_capped,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -1088,6 +1095,15 @@ def oracle_sql() -> dict[str, str]:
     # segment-served scale paths share their relational twins' oracles:
     # WAND is exact BM25; segment Match/And/Or/Prefix/Phrase reproduce
     # the engine's semantics bit-for-bit (asserted in tests)
+    # simhash pairing: oracle is brute-force popcount over ALL pairs —
+    # the Spark side's band-blocking must lose nothing (pigeonhole)
+    out["simhash_pairs"] = (
+        "with fp as (" + out["simhash"] + ") "
+        "select a.doc_id as doc_a, b.doc_id as doc_b, "
+        "bit_count(xor(a.simhash, b.simhash)) as hamming "
+        "from fp a join fp b on a.doc_id < b.doc_id "
+        "where bit_count(xor(a.simhash, b.simhash)) <= 8"
+    )
     # incremental dedup (saved bucket index + partition-pruned probe)
     # must equal the from-scratch pair set restricted to pairs touching
     # a doc of the 'new' batch (doc_id % 5 == 0 in the contract split)

@@ -492,6 +492,46 @@ def test_near_dup_plan_has_no_corpus_shingle_self_join(spark):
     assert "LeftSemi" in plan
 
 
+def test_simhash_pairs_blocking_equals_brute_force(spark):
+    """Pigeonhole band-blocking must lose NOTHING: the blocked pair set
+    equals brute-force popcount over all pairs."""
+    from inverted_index_spark.pipelines.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {tuple(r) for r in simhash_pairs(docs, bits=32, max_hamming=8).collect()}
+    fps = simhash(docs, bits=32)
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"))
+    brute = {
+        tuple(r)
+        for r in fa.crossJoin(fb)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_simhash_pairs_planted_near_dup(spark):
+    from inverted_index_spark.pipelines.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different words about spark shuffles here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
 def test_exact_dup_rank(spark):
     docs = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]

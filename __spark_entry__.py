@@ -290,6 +290,18 @@ def _q_quality(spark, sf):
     return quality(_docs(spark, sf))
 
 
+def _q_repetition(spark, sf):
+    from inverted_index_spark.pipelines.textstats import repetition
+
+    return repetition(_docs(spark, sf), k=3)
+
+
+def _q_pattern_counts(spark, sf):
+    from inverted_index_spark.pipelines.textstats import pattern_counts
+
+    return pattern_counts(_docs(spark, sf))
+
+
 def _q_fingerprint(spark, sf):
     from inverted_index_spark.pipelines.textstats import fingerprint
 
@@ -514,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,
         "quality": _q_quality,
+        "repetition": _q_repetition,
+        "pattern_counts": _q_pattern_counts,
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "knn_join": _q_knn_join,
@@ -1095,6 +1109,44 @@ def oracle_sql() -> dict[str, str]:
     # segment-served scale paths share their relational twins' oracles:
     # WAND is exact BM25; segment Match/And/Or/Prefix/Phrase reproduce
     # the engine's semantics bit-for-bit (asserted in tests)
+    # Gopher-style repetition filters (textstats.repetition, k=3);
+    # non-distinct shingles, so the shingle2/3 fragments don't apply
+    out["repetition"] = """
+        with sh as (
+          select doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+            i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) as shingle
+          from documents
+        ),
+        per as (
+          select doc_id, shingle, count(*) as cnt from sh group by 1, 2
+        ),
+        stats as (
+          select doc_id, sum(cnt) as n_shingles, count(*) as n_distinct,
+                 max(cnt) as max_cnt
+          from per group by 1
+        )
+        select d.doc_id,
+               coalesce(n_shingles, 0)::bigint as n_shingles,
+               coalesce(round(1 - n_distinct / n_shingles, 4), 0.0)::double
+                 as dup_shingle_ratio,
+               coalesce(round(max_cnt / n_shingles, 4), 0.0)::double
+                 as top_shingle_ratio
+        from documents d left join stats using (doc_id)
+    """
+    # PII-ish pattern counts (textstats.pattern_counts); patterns kept in
+    # the subset Java regex and RE2 evaluate identically
+    out["pattern_counts"] = (
+        r"""
+        select doc_id,
+          len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::bigint
+            as n_emails,
+          len(regexp_extract_all(text, 'https?://[^\s]+'))::bigint as n_urls,
+          len(regexp_extract_all(text, '[0-9]+'))::bigint as n_digit_runs
+        from documents
+    """
+    )
     # simhash pairing: oracle is brute-force popcount over ALL pairs —
     # the Spark side's band-blocking must lose nothing (pigeonhole)
     out["simhash_pairs"] = (

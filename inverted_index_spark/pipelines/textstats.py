@@ -114,6 +114,73 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, dup_shingle_ratio, top_shingle_ratio):
+    Gopher-style repetition filters — documents dominated by repeated
+    word n-grams (boilerplate, keyword spam, template junk) show a high
+    duplicate-shingle fraction and/or one shingle owning a large share.
+
+    All JVM-side: non-distinct k-shingle explode, one (doc, shingle)
+    groupBy, one per-doc aggregate. Docs shorter than ``k`` tokens get
+    n_shingles=0 and 0.0 ratios (nothing to repeat).
+    """
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_shingles"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce(
+                F.round(1 - F.col("n_distinct") / F.col("n_shingles"), 4),
+                F.lit(0.0),
+            ).alias("dup_shingle_ratio"),
+            F.coalesce(
+                F.round(F.col("max_cnt") / F.col("n_shingles"), 4), F.lit(0.0)
+            ).alias("top_shingle_ratio"),
+        )
+    )
+
+
+def pattern_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_urls, n_digit_runs): per-doc counts of
+    PII-ish / markup-ish patterns used as quality and redaction signals
+    in training-data pipelines. Pure regexp over the text column (no
+    UDF); patterns stay in the POSIX-compatible subset both Java regex
+    and RE2 evaluate identically.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    digits = r"[0-9]+"
+    def n(pat):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast(
+            "bigint"
+        )
+    return docs.select(
+        "doc_id",
+        n(email).alias("n_emails"),
+        n(url).alias("n_urls"),
+        n(digits).alias("n_digit_runs"),
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
     """(doc_id, fp) — winnowing-style rolling-hash fingerprint.
 

@@ -551,6 +551,42 @@ def test_token_counts(spark):
     assert rows[2]["bpe_tokens"] > rows[2]["ws_tokens"]
 
 
+def test_repetition_flags_repeated_ngrams(spark):
+    from inverted_index_spark.pipelines.textstats import repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # one shingle repeated
+            (2, "every word here is different okay"),      # all distinct
+            (3, "ab"),                                      # shorter than k
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition(docs, k=3).collect()}
+    assert got[1]["n_shingles"] == 4
+    assert got[1]["dup_shingle_ratio"] == 0.75   # 1 distinct of 4
+    assert got[1]["top_shingle_ratio"] == 1.0
+    assert got[2]["dup_shingle_ratio"] == 0.0
+    assert got[3]["n_shingles"] == 0 and got[3]["top_shingle_ratio"] == 0.0
+
+
+def test_pattern_counts(spark):
+    from inverted_index_spark.pipelines.textstats import pattern_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.com or visit https://x.io/p?q=1 room 42"),
+            (2, "no patterns at all in this text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pattern_counts(docs).collect()}
+    assert got[1]["n_emails"] == 1
+    assert got[1]["n_urls"] == 1
+    assert got[1]["n_digit_runs"] == 2  # "1" in the url query + "42"
+    assert got[2]["n_emails"] == got[2]["n_urls"] == got[2]["n_digit_runs"] == 0
+
+
 def test_rolling_fingerprint_matches_pure_python(spark):
     import hashlib
 

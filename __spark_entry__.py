@@ -415,6 +415,21 @@ def _q_incremental_neardup(spark, sf):
     return incremental_near_dup_pairs(spark, path, new, old, threshold=0.3)
 
 
+def _q_contamination(spark, sf):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.corpus import ngram_contamination
+
+    docs = _docs(spark, sf)
+    return ngram_contamination(docs, docs.filter(F.col("doc_id") < 10), n=8)
+
+
+def _q_corpus_split(spark, sf):
+    from inverted_index_spark.pipelines.corpus import corpus_split
+
+    return corpus_split(_docs(spark, sf)).select("doc_id", "split")
+
+
 def _q_simhash_pairs(spark, sf):
     from inverted_index_spark.pipelines.dedup import simhash_pairs
 
@@ -524,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_capped": _q_jaccard_capped,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "contamination": _q_contamination,
+        "corpus_split": _q_corpus_split,
         "langid": _q_langid,
         "quality": _q_quality,
         "repetition": _q_repetition,
@@ -1109,6 +1126,41 @@ def oracle_sql() -> dict[str, str]:
     # segment-served scale paths share their relational twins' oracles:
     # WAND is exact BM25; segment Match/And/Or/Prefix/Phrase reproduce
     # the engine's semantics bit-for-bit (asserted in tests)
+    # eval-set decontamination (corpus.ngram_contamination, n=8):
+    # training docs sharing any 8-gram with the doc_id<10 "eval set"
+    out["contamination"] = """
+        with tr as (
+          select doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+            i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) as shingle
+          from documents
+        ),
+        ev as (
+          select distinct unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+            i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) as shingle
+          from documents where doc_id < 10
+        )
+        select t.doc_id, count(*)::bigint as n_hits
+        from tr t join ev using (shingle)
+        group by 1
+    """
+    # deterministic hash split (corpus.corpus_split, default weights,
+    # seed 'fts'); the 0.9500000000000001 threshold reproduces the
+    # Spark side's float accumulation of 0.9 + 0.05 exactly
+    out["corpus_split"] = """
+        with u as (
+          select doc_id,
+                 (('0x' || substr(md5('fts|' || doc_id::varchar), 1, 8))::bigint)::double
+                   / 4294967296.0 as u
+          from documents
+        )
+        select doc_id,
+               case when u < 0.9 then 'train'
+                    when u < 0.9500000000000001 then 'val'
+                    else 'test' end as split
+        from u
+    """
     # Gopher-style repetition filters (textstats.repetition, k=3);
     # non-distinct shingles, so the shingle2/3 fragments don't apply
     out["repetition"] = """

@@ -532,6 +532,53 @@ def test_simhash_pairs_planted_near_dup(spark):
     assert all(3 not in p for p in got)
 
 
+def test_ngram_contamination_and_decontaminate(spark):
+    from inverted_index_spark.pipelines.corpus import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally clean document with none of the benchmark text inside"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, "prefix words then alpha beta gamma delta epsilon zeta eta theta suffix")],
+        ["doc_id", "text"],
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in ngram_contamination(train, evals, n=8).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+    clean = [r["doc_id"] for r in decontaminate(train, evals, n=8).collect()]
+    assert clean == [2]
+
+
+def test_corpus_split_deterministic_and_proportional(spark):
+    from inverted_index_spark.pipelines.corpus import corpus_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = {r["doc_id"]: r["split"] for r in corpus_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in corpus_split(docs.repartition(13)).collect()
+    }
+    assert a == b, "split must not depend on partition layout"
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert 0.8 * n <= c["train"] <= 0.97 * n  # 0.9 nominal, 500 docs
+    # different seed -> different assignment (overwhelmingly)
+    d = {r["doc_id"]: r["split"] for r in corpus_split(docs, seed="other").collect()}
+    assert d != a
+
+
 def test_exact_dup_rank(spark):
     docs = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]

@@ -561,8 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": _q_dedup_corpus,
         "neardup_cosine": _q_neardup_cosine,
         "highlight": _q_highlight,
-        # rows-only contract entry (no SQL-expressible oracle):
-        # image_features decodes a synthetic binary format
+        # the synthetic media payload is md5-seeded, so even the binary
+        # decode -> feature chain is reproducible in SQL (oracled)
         "image_features": _q_image_features,
     }
 
@@ -1126,6 +1126,46 @@ def oracle_sql() -> dict[str, str]:
     # segment-served scale paths share their relational twins' oracles:
     # WAND is exact BM25; segment Match/And/Or/Prefix/Phrase reproduce
     # the engine's semantics bit-for-bit (asserted in tests)
+    # multimodal stub chain: synth_media payload = md5(text)-seeded
+    # bytes, so dims + the 8x8 mean-threshold phash are reproducible
+    # with pure SQL arithmetic (pixel k = digest byte k % 16; the 64
+    # sampled pixels are integer-exact, so no float-rounding risk)
+    out["image_features"] = """
+        with seed as (select doc_id, md5(text) as hx from documents),
+        dims as (
+          select doc_id, hx,
+                 16 + (('0x' || substr(hx, 1, 2))::int % 48) as w,
+                 16 + (('0x' || substr(hx, 3, 2))::int % 48) as h
+          from seed
+        ),
+        strides as (select *, h // 8 as sh, w // 8 as sw from dims),
+        bits as (
+          select doc_id, g.i as i,
+                 ('0x' || substr(hx,
+                    2 * ((((g.i // 8) * sh) * w + (g.i % 8) * sw) % 16) + 1,
+                    2))::int as px
+          from strides
+          cross join (select unnest(generate_series(0, 63)) as i) g
+        ),
+        means as (select doc_id, sum(px) / 64.0 as m from bits group by doc_id),
+        bitvals as (
+          select b.doc_id, b.i, case when b.px >= m.m then 1 else 0 end as bit
+          from bits b join means m using (doc_id)
+        ),
+        bytes as (
+          select doc_id, i // 8 as byte_idx,
+                 sum(bit << (7 - (i % 8)))::int as byte_val
+          from bitvals group by doc_id, i // 8
+        ),
+        ph as (
+          select doc_id,
+                 string_agg(right('0' || lower(to_hex(byte_val)), 2),
+                            '' order by byte_idx) as phash
+          from bytes group by doc_id
+        )
+        select d.doc_id, d.w as width, d.h as height, ph.phash
+        from dims d join ph using (doc_id)
+    """
     # eval-set decontamination (corpus.ngram_contamination, n=8):
     # training docs sharing any 8-gram with the doc_id<10 "eval set"
     out["contamination"] = """

@@ -43,8 +43,10 @@ _MAGIC = b"FAKEMEDIA"
 def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic synthetic media column derived from the text column.
 
-    Payload = magic || width:u16 || height:u16 || sha1(text)-seeded bytes.
-    Stands in for real image/audio blobs so the binary-column plumbing is
+    Payload = magic || width:u16 || height:u16 || md5(text)-seeded bytes
+    (md5 so an external SQL engine can reproduce the derived features —
+    the `image_features` contract entry is oracled in DuckDB). Stands in
+    for real image/audio blobs so the binary-column plumbing is
     exercised end-to-end without codec libraries.
     """
 
@@ -52,7 +54,7 @@ def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
         for pdf in batches:
             blobs, metas = [], []
             for text in pdf["text"]:
-                seed = hashlib.sha1(text.encode("utf-8")).digest()
+                seed = hashlib.md5(text.encode("utf-8")).digest()
                 w = 16 + seed[0] % 48
                 h = 16 + seed[1] % 48
                 body = (seed * ((w * h) // len(seed) + 1))[: w * h]

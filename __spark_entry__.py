@@ -479,6 +479,21 @@ def _q_knn_join(spark, sf):
     return knn_join(embs.filter(F.col("vec_id") < 3), embs, k=5)
 
 
+def _q_audio_features(spark, sf):
+    """Integer-exact audio features only: rms/duration are float paths
+    whose last-ulp/rounding-mode behavior differs across engines, so
+    the contract pins the deterministic columns and the float columns
+    are covered by unit tests."""
+    from inverted_index_spark.pipelines.multimodal import (
+        audio_features,
+        synth_audio,
+    )
+
+    return audio_features(synth_audio(_docs(spark, sf))).select(
+        "doc_id", "n_samples", "zero_crossings"
+    )
+
+
 def _q_cosine_topk(spark, sf):
     from inverted_index_spark.pipelines.similarity import cosine_topk
 
@@ -564,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the synthetic media payload is md5-seeded, so even the binary
         # decode -> feature chain is reproducible in SQL (oracled)
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -1165,6 +1181,32 @@ def oracle_sql() -> dict[str, str]:
         )
         select d.doc_id, d.w as width, d.h as height, ph.phash
         from dims d join ph using (doc_id)
+    """
+    # audio stub chain: PCM byte k = md5-digest byte (k % 16); sign of
+    # sample k is byte <= 127, so zero crossings are integer-exact
+    out["audio_features"] = """
+        with seed as (select doc_id, md5(text) as hx from documents),
+        dims as (
+          select doc_id, hx,
+                 256 + (('0x' || substr(hx, 5, 2))::int % 1024) as n
+          from seed
+        ),
+        pairs as (
+          select doc_id, g.k as k,
+                 ('0x' || substr(hx, 2 * (g.k % 16) + 1, 2))::int as b1,
+                 ('0x' || substr(hx, 2 * ((g.k - 1) % 16) + 1, 2))::int as b0
+          from dims
+          cross join (select unnest(generate_series(1, 1279)) as k) g
+          where g.k < n
+        ),
+        zc as (
+          select doc_id,
+                 sum(case when (b1 <= 127) <> (b0 <= 127) then 1 else 0
+                     end)::int as zero_crossings
+          from pairs group by doc_id
+        )
+        select d.doc_id, d.n::int as n_samples, zc.zero_crossings
+        from dims d join zc using (doc_id)
     """
     # eval-set decontamination (corpus.ngram_contamination, n=8):
     # training docs sharing any 8-gram with the doc_id<10 "eval set"

@@ -160,13 +160,14 @@ def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFram
 
 def synth_audio(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Synthetic audio-kind media: payload = magic || n:u32 || fake
-    8-bit PCM derived from the text (stands in for a wav/flac blob)."""
+    8-bit PCM derived from md5(text) (md5 so the derived features are
+    SQL-reproducible — see the `audio_features` contract oracle)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs, metas = [], []
             for text in pdf["text"]:
-                seed = hashlib.sha1(text.encode("utf-8")).digest()
+                seed = hashlib.md5(text.encode("utf-8")).digest()
                 n = 256 + seed[2] % 1024  # samples
                 pcm = (seed * (n // len(seed) + 1))[:n]
                 blobs.append(_MAGIC + struct.pack("<I", n) + pcm)

@@ -273,6 +273,45 @@ def test_near_dup_clusters_converges_on_long_chain(spark):
     assert [r["doc_id"] for r in got if r["keep"]] == [1]
 
 
+def test_near_dup_clusters_random_graphs_match_union_find(spark):
+    """Property check: on seeded random pair graphs the distributed
+    min-label propagation must equal a pure-Python union-find."""
+    import random
+
+    from inverted_index_spark.pipelines.dedup import near_dup_clusters
+
+    for seed in (7, 21, 99):
+        rnd = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rnd.sample(range(n), 2)))
+                for _ in range(rnd.randint(10, 80))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {
+            v: min(u for u in touched if find(u) == find(v)) for v in touched
+        }
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(
+                spark.createDataFrame(edges, ["doc_a", "doc_b"])
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
 def test_near_dup_clusters_end_to_end_planted(spark):
     """Planted triple: A~B and B~C pair up but A,C may not; the cluster
     step must still put all three in one component."""
@@ -425,6 +464,47 @@ def test_incremental_neardup_prunes_bucket_partitions(spark, tmp_path):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "bp" in ln]
     assert pf, "bucket read must prune on the bp partition column"
+
+
+def test_incremental_neardup_stale_index_is_safe(spark, tmp_path):
+    """Bucket rows for deleted/updated docs must never produce wrong
+    pairs: the verify recomputes from the CURRENT doc table, so a
+    deleted doc yields no pair and an updated doc is verified against
+    its new text."""
+    from inverted_index_spark.pipelines.dedup import (
+        build_dedup_index,
+        incremental_near_dup_pairs,
+        save_dedup_index,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about spark shuffles here"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "dix")
+    save_dedup_index(
+        build_dedup_index(old, num_hashes=8, rows_per_band=2, k=2),
+        path, num_hashes=8, rows_per_band=2, k=2,
+    )
+    # doc 1 deleted, doc 2 rewritten to something unrelated — the index
+    # still holds both docs' ORIGINAL bucket rows (stale)
+    current = spark.createDataFrame(
+        [(2, "now entirely rewritten content with zero fox overlap")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    pairs = incremental_near_dup_pairs(
+        spark, path, new, current, threshold=0.3
+    ).collect()
+    docs_in_pairs = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert 1 not in docs_in_pairs  # deleted doc cannot pair
+    assert 2 not in docs_in_pairs  # updated doc verified vs NEW text
 
 
 def test_extend_dedup_index_replay_idempotent(spark, tmp_path):

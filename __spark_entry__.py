@@ -529,6 +529,118 @@ def _q_hourly_events(spark, sf):
     return tumbling_counts(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def _q_session_spans(spark, sf):
+    from inverted_index_spark.pipelines.events import session_spans
+
+    return session_spans(
+        spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30
+    )
+
+
+def _events_stream_source(spark, sf, sentinel: bool):
+    """Stage the events table as a file-stream source directory.
+
+    One parquet file holds every real event (so the first micro-batch
+    sees them all — no real row can be watermark-late); with
+    ``sentinel`` a second file carries a single far-future row for
+    user_id -1, so the final watermark provably passes every real
+    session's last_event + gap and the event-time timeouts flush them.
+    """
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="events_stream_src_")
+    tbl = pq.read_table(f"{sf}/events.parquet")
+    f1 = os.path.join(src, "f1.parquet")
+    pq.write_table(tbl, f1)
+    os.utime(f1, (1_000_000, 1_000_000))
+    if sentinel:
+        max_us = pa.compute.max(tbl.column("ts")).cast(pa.int64()).as_py()
+        far = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [max_us + 400 * 86400 * 1_000_000],
+                    pa.timestamp(tbl.schema.field("ts").type.unit),
+                ),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([""], pa.string()),
+            }
+        ).cast(tbl.schema)
+        f2 = os.path.join(src, "f2.parquet")
+        pq.write_table(far, f2)
+        os.utime(f2, (1_000_010, 1_000_010))
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _run_to_memory(stream_df, mode: str):
+    import tempfile
+    import uuid
+
+    name = f"contract_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="events_stream_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return name
+
+
+def _q_stream_hourly(spark, sf):
+    """tumbling_counts served by Structured Streaming: the same
+    watermarked window aggregation the engine runs continuously, driven
+    to completion over the finite events table (complete mode emits
+    every window, so the result equals the batch/SQL aggregation)."""
+    from inverted_index_spark.pipelines.events_stream import (
+        stream_tumbling_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _events_stream_source(spark, sf, sentinel=False)
+    name = _run_to_memory(stream_tumbling_counts(stream), "complete")
+    return spark.table(name)
+
+
+def _q_stream_sessions(spark, sf):
+    """Custom stateful sessionization (applyInPandasWithState, event-
+    time timeout): all real events arrive in micro-batch 0, a sentinel
+    row (user_id -1) in batch 1 pushes the watermark past every real
+    session's last_event + gap, and the timeout flush emits them —
+    the emitted closed sessions must equal the batch gaps-and-islands
+    sessionization the oracle computes."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.events_stream import (
+        stream_sessionize,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _events_stream_source(spark, sf, sentinel=True)
+    name = _run_to_memory(
+        stream_sessionize(stream, gap_minutes=30), "append"
+    )
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
@@ -565,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "sessions": _q_sessions,
         "hourly_events": _q_hourly_events,
+        "session_spans": _q_session_spans,
+        "stream_hourly": _q_stream_hourly,
+        "stream_sessions": _q_stream_sessions,
         "token_counts": _q_token_counts,
         "rolling_fp": _q_rolling_fp,
         "lsh_topk": _q_lsh_topk,
@@ -661,6 +776,30 @@ def _neardup_cosine_sql() -> str:
         from sums
         where round(d / (sqrt(nx) * sqrt(ny)), 4) >= 0.3
     """
+
+
+# gaps-and-islands sessionization: one row per (user, session) with the
+# observed event extents — shared by the batch (session_spans) and
+# streaming (stream_sessions) contracts, which must converge to it
+_SESSION_SPANS_SQL = """
+    with g as (
+      select user_id, ts,
+             case when lag(ts) over w is null
+                  or epoch(ts) - epoch(lag(ts) over w) > 1800
+                  then 1 else 0 end as new_s
+      from events
+      window w as (partition by user_id order by ts)
+    ), s as (
+      select user_id, ts,
+             sum(new_s) over (partition by user_id order by ts
+                              rows between unbounded preceding
+                              and current row) as sid
+      from g
+    )
+    select user_id, min(ts) as session_start, max(ts) as session_end,
+           count(*)::bigint as n_events
+    from s group by user_id, sid
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1111,6 +1250,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) as total_value
             from events group by 1, 2
         """,
+        "session_spans": _SESSION_SPANS_SQL,
+        # the STREAMING paths must converge to the exact batch answers:
+        # complete-mode windowed aggregation == the hourly GROUP BY;
+        # watermark-flushed stateful sessionization == gaps-and-islands
+        "stream_hourly": """
+            select date_trunc('hour', ts) as hour, event_type,
+                   count(*)::bigint as n,
+                   round(sum(value), 4) as total_value
+            from events group by 1, 2
+        """,
+        "stream_sessions": _SESSION_SPANS_SQL,
     }
     # highlight: the engine wraps each coalesced position's byte range
     # (search_result.rs:54-66). Match('merge') positions are the first

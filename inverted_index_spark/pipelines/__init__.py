@@ -24,7 +24,12 @@ from .dedup import (  # noqa: F401
     simhash_pairs,
     with_text_hash,
 )
-from .events import sessionize, tumbling_counts  # noqa: F401
+from .events import sessionize, session_spans, tumbling_counts  # noqa: F401
+from .events_stream import (  # noqa: F401
+    stream_session_spans,
+    stream_sessionize,
+    stream_tumbling_counts,
+)
 from .similarity import (  # noqa: F401
     build_ivf,
     build_lsh,
@@ -60,5 +65,6 @@ __all__ = [
     "quality", "repetition", "pattern_counts", "token_counts",
     "langid", "fingerprint", "rolling_fingerprint",
     "ngram_contamination", "decontaminate", "corpus_split",
-    "sessionize", "tumbling_counts",
+    "sessionize", "session_spans", "tumbling_counts",
+    "stream_tumbling_counts", "stream_session_spans", "stream_sessionize",
 ]

@@ -500,7 +500,7 @@ def make_assemble_sorted_arrow(ngrams: bool = False):
     return kernel
 
 
-def make_write_index_arrow(ngrams: bool, path: str):
+def make_write_index_arrow(ngrams: bool, path: str, resume: bool = False):
     """Kernel-direct index writer: the sorted-assembly kernel writes its
     partition's postings parquet, final docstats rows, AND per-partition
     termdict partial aggregates itself, returning one stats row.
@@ -514,6 +514,21 @@ def make_write_index_arrow(ngrams: bool, path: str):
     need a downstream merge. Each file is written atomically via
     tmp+rename; retries/speculative duplicates produce identical bytes
     and the rename is idempotent.
+
+    Per-partition checkpoint + lineage (north rule: builds resumable
+    from per-partition checkpoints with per-task metrics): after its
+    data files, each task atomically writes a ``build_tasks/
+    part-<pid>.json`` sidecar recording what it wrote (file list) and
+    its build metrics (docs, postings, bytes, elapsed, postings/sec).
+    The sidecar is written LAST, so its existence certifies the
+    partition's data files are complete. With ``resume=True`` a task
+    whose sidecar (and every file it lists) already exists yields its
+    recorded stats row and returns WITHOUT consuming its input — the
+    corpus for that partition is never tokenized again. Partition ->
+    content assignment is deterministic (hash repartition on doc_id
+    with a fixed bucket count), so a resumed task's skipped work is
+    exactly the work its predecessor completed; build_and_save guards
+    the cross-run input-equality assumption with a corpus fingerprint.
     """
     import os
 
@@ -521,6 +536,7 @@ def make_write_index_arrow(ngrams: bool, path: str):
     post_dir = os.path.join(path, "postings")
     ds_dir = os.path.join(path, "docstats")
     tp_dir = os.path.join(path, "termdict_partials")
+    task_dir = os.path.join(path, "build_tasks")
 
     def _write(table: pa.Table, dirname: str, pid: int, **kw) -> None:
         import pyarrow.parquet as pq
@@ -531,16 +547,42 @@ def make_write_index_arrow(ngrams: bool, path: str):
         os.replace(tmp, fname)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import json
+        import time
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        sidecar = os.path.join(task_dir, f"part-{pid:05d}.json")
+        if resume and os.path.exists(sidecar):
+            with open(sidecar) as fh:
+                prev = json.load(fh)
+            if all(
+                os.path.exists(os.path.join(path, rel))
+                for rel in prev.get("files", ())
+            ):
+                # checkpoint hit: data files are complete (sidecar is
+                # written last) — skip without consuming the input
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "pid": pa.array([pid], pa.int32()),
+                        "rows": pa.array([int(prev["rows"])], pa.int64()),
+                    }
+                )
+                return
+        t_start = time.perf_counter()
         out = list(sorted_kernel(batches))
         n = 0
+        files: List[str] = []
+        n_docs = n_postings = post_bytes = 0
         if out:
             table = pa.Table.from_batches(out, schema=POSTINGS_ARROW_SCHEMA)
             n = table.num_rows
             _write(table, post_dir, pid, row_group_size=1 << 20,
                    compression="snappy")
+            part = f"part-{pid:05d}.parquet"
+            files.append(f"postings/{part}")
+            post_bytes = os.path.getsize(os.path.join(post_dir, part))
 
             term = table.column("term").combine_chunks()
             tf = table.column("tf").combine_chunks().to_numpy().astype(np.int64)
@@ -581,6 +623,9 @@ def make_write_index_arrow(ngrams: bool, path: str):
                 ds_dir,
                 pid,
             )
+            files.append(f"docstats/{part}")
+            n_docs = k
+            n_postings = int(pdoc.size)
 
             if pdoc.size:
                 d2 = pc.dictionary_encode(term.slice(k))
@@ -605,6 +650,25 @@ def make_write_index_arrow(ngrams: bool, path: str):
                     tp_dir,
                     pid,
                 )
+                files.append(f"termdict_partials/{part}")
+        if out:
+            # sidecar last: lineage + per-task metrics, and the resume
+            # checkpoint marker for this partition's data files
+            elapsed = time.perf_counter() - t_start
+            stats = {
+                "pid": pid,
+                "rows": n,
+                "files": files,
+                "n_docs": n_docs,
+                "n_postings": n_postings,
+                "postings_bytes": post_bytes,
+                "elapsed_sec": round(elapsed, 4),
+                "postings_per_sec": round(n_postings / max(elapsed, 1e-9), 1),
+            }
+            tmp = sidecar + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(stats, fh)
+            os.replace(tmp, sidecar)
         yield pa.RecordBatch.from_pydict(
             {
                 "pid": pa.array([pid], pa.int32()),

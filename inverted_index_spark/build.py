@@ -142,6 +142,113 @@ def build_index(
     )
 
 
+_BUILD_DIRS = ("postings", "docstats", "termdict_partials", "build_tasks")
+
+
+def _build_fingerprint(
+    docs: DataFrame, ngrams: bool, term_buckets: int, layout: str
+) -> Optional[str]:
+    """sha1 over the corpus input files (+ local size/mtime) and the
+    build parameters. None when the corpus has no file lineage (pure
+    in-memory DataFrame) — input equality across runs can't be
+    certified then, so resume is disabled and the build runs in full."""
+    import hashlib
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = sorted(docs.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        return None
+    h = hashlib.sha1()
+    for f in files:
+        h.update(f.encode())
+        if f.startswith("file:"):
+            p = unquote(urlparse(f).path)
+            try:
+                st = os.stat(p)
+                h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+            except OSError:
+                return None
+    h.update(
+        json.dumps(
+            [bool(ngrams), int(term_buckets), layout,
+             docs.schema.simpleString()]
+        ).encode()
+    )
+    return h.hexdigest()
+
+
+def _manifest_matches(path: str, fp: str) -> bool:
+    try:
+        with open(os.path.join(path, "build_manifest.json")) as fh:
+            return json.load(fh).get("fingerprint") == fp
+    except (OSError, ValueError):
+        return False
+
+
+def _write_build_manifest(
+    path: str,
+    fp: Optional[str],
+    job_start: float,
+    *,
+    ngrams: bool,
+    term_buckets: int,
+    layout: str,
+) -> None:
+    """Fold the per-task sidecars into ``build_manifest.json``: build
+    lineage (fingerprint, params, per-task file lists) + metrics
+    (postings/sec per task, bytes, skew_ratio). A sidecar older than
+    this job's start was a checkpoint hit (the task skipped)."""
+    task_dir = os.path.join(path, "build_tasks")
+    tasks = []
+    resumed = 0
+    for name in sorted(os.listdir(task_dir)):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(task_dir, name)
+        with open(p) as fh:
+            t = json.load(fh)
+        t["resumed"] = os.stat(p).st_mtime < job_start
+        resumed += int(t["resumed"])
+        tasks.append(t)
+    counts = [t["n_postings"] for t in tasks if t["n_postings"] > 0]
+    fresh = [t["elapsed_sec"] for t in tasks if not t["resumed"]]
+    manifest = {
+        "fingerprint": fp,
+        "ngrams": bool(ngrams),
+        "term_buckets": int(term_buckets),
+        "layout": layout,
+        "n_tasks": len(tasks),
+        "resumed_tasks": resumed,
+        "total_docs": sum(t["n_docs"] for t in tasks),
+        "total_postings": sum(t["n_postings"] for t in tasks),
+        "total_postings_bytes": sum(t["postings_bytes"] for t in tasks),
+        "skew_ratio": (
+            round(max(counts) / (sum(counts) / len(counts)), 3)
+            if counts
+            else 1.0
+        ),
+        "task_elapsed_max_sec": round(max(fresh), 4) if fresh else 0.0,
+        "tasks": tasks,
+    }
+    tmp = os.path.join(path, "build_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(path, "build_manifest.json"))
+
+
+def load_build_manifest(path: str) -> Optional[dict]:
+    """Per-task lineage + metrics of the last ``build_and_save`` at
+    ``path`` (kernel-direct builds only); None when absent."""
+    try:
+        with open(os.path.join(path, "build_manifest.json")) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
 def build_and_save(
     spark: SparkSession,
     docs: DataFrame,
@@ -151,6 +258,7 @@ def build_and_save(
     salt: int = 8,
     store_docs: bool = True,
     layout: str = "doc",
+    resume: bool = False,
 ) -> FtsIndex:
     """Build and persist the index with a SINGLE tokenize pass.
 
@@ -191,9 +299,27 @@ def build_and_save(
       straggler task or a giant file. Worth the shuffle when the
       postings table itself (not the compressed segments) serves
       latency-critical queries.
+
+    ``resume=True`` restarts a failed build from its per-partition
+    checkpoints (kernel-direct path only): tasks whose
+    ``build_tasks/part-<pid>.json`` sidecar certifies complete output
+    files skip without re-reading their slice of the corpus, so the
+    re-run costs O(unfinished partitions). A corpus fingerprint
+    (input files + sizes + build parameters, recorded in
+    ``build_manifest.json``) guards the assumption that the input is
+    unchanged — any mismatch falls back to a full rebuild. Every
+    direct-write build (resumed or not) records per-task lineage and
+    metrics (docs, postings, bytes, elapsed, postings/sec) plus
+    aggregate throughput and skew_ratio in ``build_manifest.json``.
     """
     if term_buckets is None:
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Resume decision BEFORE any write: the fingerprint certifies the
+    # corpus input files (and build params) are those of the
+    # checkpointed build recorded in build_manifest.json.
+    fp = _build_fingerprint(docs, ngrams, term_buckets, layout)
+    do_resume = resume and fp is not None and _manifest_matches(path, fp)
 
     # With store_docs, materialize the doc store FIRST and tokenize the
     # re-read files: if the incoming lineage contains evaluation-order
@@ -201,10 +327,18 @@ def build_and_save(
     # per derived table would let tables disagree on ids. Without
     # store_docs the corpus is scanned exactly once (postings write) and
     # every other table derives from that one materialization, so
-    # consistency holds either way.
+    # consistency holds either way. On a certified resume the store from
+    # the checkpointed run is reused as-is (its _SUCCESS marker proves
+    # the overwrite committed) — rewriting it would touch every file
+    # mtime and defeat the per-partition skip.
     if store_docs:
-        docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-        docs = spark.read.parquet(os.path.join(path, "docs"))
+        docs_dir = os.path.join(path, "docs")
+        if not (
+            do_resume
+            and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))
+        ):
+            docs.write.mode("overwrite").parquet(docs_dir)
+        docs = spark.read.parquet(docs_dir)
 
     # Tokenize AND assemble posting lists in one map pass: postings are
     # doc-local (all occurrences of a term in a doc sit in the same
@@ -255,14 +389,22 @@ def build_and_save(
 
         from .arrow_build import make_write_index_arrow
 
-        for name in ("postings", "docstats", "termdict_partials"):
-            d = os.path.join(path, name)
-            _shutil.rmtree(d, ignore_errors=True)
-            os.makedirs(d, exist_ok=True)
+        if not do_resume:
+            for name in _BUILD_DIRS:
+                _shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        for name in _BUILD_DIRS:
+            os.makedirs(os.path.join(path, name), exist_ok=True)
+        import time as _time
+
+        job_start = _time.time()
         src.mapInArrow(
-            make_write_index_arrow(ngrams, path),
+            make_write_index_arrow(ngrams, path, resume=do_resume),
             schema="pid int, rows long",
         ).collect()
+        _write_build_manifest(
+            path, fp, job_start,
+            ngrams=ngrams, term_buckets=term_buckets, layout=layout,
+        )
     elif kernel_sort:
         # doc layout keeps assembly output in its final partition, so
         # the (term, doc_id) sort can happen inside the kernel on
@@ -286,6 +428,16 @@ def build_and_save(
             )
         assembled = assembled.sortWithinPartitions("term", "doc_id")
     if not direct_write:
+        # JVM-writer paths rewrite the tables wholesale: drop any
+        # checkpoint state a previous direct-write build left behind so
+        # a later resume can never trust stale sidecars
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(path, "build_tasks"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(path, "build_manifest.json"))
+        except OSError:
+            pass
         assembled.write.mode("overwrite").parquet(
             os.path.join(path, "postings")
         )
@@ -298,20 +450,32 @@ def build_and_save(
         # term per partition — orders of magnitude smaller than the
         # postings scan the non-direct path aggregates over)
         tp_dir = os.path.join(path, "termdict_partials")
-        (
-            spark.read.parquet(tp_dir)
-            .groupBy("term")
-            .agg(
-                F.sum("df").cast("long").alias("df"),
-                F.sum("df_full").cast("long").alias("df_full"),
-                F.sum("cf").cast("long").alias("cf"),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "termdict"))
+        has_partials = os.path.isdir(tp_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(tp_dir)
         )
-        import shutil as _shutil
-
-        _shutil.rmtree(tp_dir, ignore_errors=True)
+        if has_partials:
+            (
+                spark.read.parquet(tp_dir)
+                .groupBy("term")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("df_full").cast("long").alias("df_full"),
+                    F.sum("cf").cast("long").alias("cf"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "termdict"))
+            )
+            # partials stay on disk: they are the termdict's
+            # per-partition checkpoint. A resume that re-runs a subset
+            # of tasks (crash, or repair of lost partition files)
+            # overwrites only those tasks' partial files and re-merges
+            # the full set — deleting them here would make any partial
+            # re-run unable to rebuild a complete termdict. Size is one
+            # row per (partition, distinct term): noise next to
+            # postings.
+        # else: resume of an index whose partials were merged by an
+        # older engine version and deleted — every task skipped
+        # (sidecars complete) and the previously merged termdict is live
     else:
         postings.groupBy("term").agg(
             F.count("*").cast("long").alias("df"),

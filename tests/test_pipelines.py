@@ -565,7 +565,22 @@ def test_near_dup_plan_has_no_corpus_shingle_self_join(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
     )
-    plan = near_dup_pairs(docs, num_hashes=8, rows_per_band=2, k=2)._jdf.queryExecution().toString()
+    # near_dup_pairs checkpoints its intermediates (cands, sh_c), which
+    # truncates the visible lineage — neutralize localCheckpoint so the
+    # WHOLE logical plan, including the subtrees that normally run
+    # inside checkpoint materialization, is inspectable
+    from unittest import mock
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; runtime objects override the method)
+    with mock.patch.object(
+        type(docs), "localCheckpoint", lambda self, *a, **k: self
+    ):
+        plan = (
+            near_dup_pairs(docs, num_hashes=8, rows_per_band=2, k=2)
+            ._jdf.queryExecution()
+            .toString()
+        )
     # the full-verify shape joined shingles-to-shingles with a doc_id <
     # doc_id condition and NO semi-join prune; candidate-only shape
     # always prunes the shingle table first

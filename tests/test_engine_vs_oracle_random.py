@@ -71,3 +71,44 @@ def test_random_corpus_parity(spark, seed):
             for r in eng.results(q).collect()
         ]
         assert got == expect, f"query {q} diverged on seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_random_corpus_segment_parity(spark, seed, tmp_path):
+    """The SCALE path under the same fuzz: random unicode corpus ->
+    kernel-direct build -> positional compressed segments ->
+    ``segment_query`` must agree with the pure-Python oracle on every
+    random query shape (doc sets, byte positions, rounded scores, rank
+    order). Exercises the whole codec chain (delta/varint encode ->
+    block decode -> numpy kernels) that test_segments_wand.py pins only
+    on a fixed corpus."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import segment_query
+
+    docs = _corpus(seed, n_docs=40)
+    path = str(tmp_path / "randseg")
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=True, term_buckets=4)
+    build_segments(spark, idx, path, shard_docs=16, block_docs=8,
+                   positions=True)
+    oracle = OracleIndex()
+    for doc_id, text in docs:
+        oracle.add(doc_id, text)
+
+    for q in _queries(seed):
+        expect = [
+            (r.doc_id, [tuple(p) for p in r.positions], round(r.score, 5))
+            for r in oracle.query(q)
+        ]
+        got = [
+            (
+                r["doc_id"],
+                [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+                round(r["score"], 5),
+            )
+            for r in segment_query(
+                spark, path, q, with_positions=True
+            ).collect()
+        ]
+        assert got == expect, f"segment query {q} diverged on seed {seed}"

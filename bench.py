@@ -30,6 +30,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def ambient_probe() -> dict:
+    """One-shot probe of the two co-tenant interference channels this VM
+    exhibits (documented in BENCH/BASELINE.md): memory bandwidth (128
+    MiB numpy copy — ~10+ GB/s clean, observed down to ~2 GB/s during
+    neighbor bandwidth burns) and CPU steal share over 1 s. Recorded in
+    the output JSON so a degraded sample is attributable to the
+    environment rather than a code regression."""
+    import numpy as np
+
+    a = np.ones(2 ** 24, dtype=np.float64)
+    t0 = time.perf_counter()
+    a.copy()
+    bw = 0.25 / (time.perf_counter() - t0)
+
+    def snap():
+        with open("/proc/stat") as fh:
+            v = list(map(int, fh.readline().split()[1:]))
+        return v[7], sum(v[:8])
+
+    try:
+        s0, t_0 = snap()
+        time.sleep(1)
+        s1, t_1 = snap()
+        steal = (s1 - s0) / max(t_1 - t_0, 1)
+    except OSError:
+        steal = -1.0
+    return {"mem_bw_gbps": round(bw, 2), "steal_share": round(steal, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -50,6 +79,7 @@ def main() -> None:
         transcripts_from_documents,
     )
 
+    probe_start = ambient_probe()
     spark = get_spark("fts-bench", cores=cores)
 
     # The input corpus is a MATERIALIZED table (per input_hint: the
@@ -138,6 +168,8 @@ def main() -> None:
                     "tokens_indexed_per_sec": round(n_tokens / build_sec, 1),
                     "build_started_epoch_ms": int(t_wall0 * 1000),
                     "build_ended_epoch_ms": int(t_wall1 * 1000),
+                    "ambient_start": probe_start,
+                    "ambient_end": ambient_probe(),
                 }
             )
         )
@@ -270,6 +302,8 @@ def main() -> None:
         "tokens_indexed_per_sec": round(n_tokens / build_sec, 1),
         "segment_compression_ratio": round(raw_bytes / max(enc_bytes, 1), 2),
         "n_segment_shards": len(manifest["shards"]),
+        "ambient_start": probe_start,
+        "ambient_end": ambient_probe(),
     }
     shutil.rmtree(idx_path, ignore_errors=True)
     print(json.dumps(out))

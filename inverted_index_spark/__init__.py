@@ -43,6 +43,7 @@ from .upsert import (  # noqa: F401
     upsert_saved,
 )
 from .segquery import (  # noqa: F401
+    explain_segment_query,
     segment_highlight,
     segment_phrase,
     segment_query,
@@ -76,6 +77,7 @@ __all__ = [
     "wand_topk",
     "wand_topk_batch",
     "segment_search",
+    "explain_segment_query",
     "segment_query",
     "segment_query_batch",
     "segment_phrase",

@@ -405,6 +405,77 @@ def _eval_node(node: tuple, matchers) -> Tuple[np.ndarray, tuple]:
     return member, _concat_rows([r for _, r in children])
 
 
+def _render_node(node: tuple, ranges: list) -> str:
+    kind = node[0]
+    if kind == "empty":
+        return "Empty"
+    if kind in ("match", "prefix", "phrase"):
+        spans = ",".join(ranges[i][0] for i in node[1])
+        return f"{kind.capitalize()}[{spans}]"
+    inner = ", ".join(_render_node(c, ranges) for c in node[1])
+    return f"{'And' if kind == 'and' else 'Or'}({inner})"
+
+
+def explain_segment_query(index_path: str, query: Query) -> dict:
+    """Driver-side plan preview for ``segment_query`` — zero Spark jobs.
+
+    Runs exactly the compile + metacache pruning ``segment_query``
+    performs and returns what the evaluator WOULD do: the analyzed term
+    range behind every leaf (with its df_full and term->shard fan-out),
+    the rendered evaluation tree, and the final pruned shard list.
+    Answers the capacity question "is this query O(df) file opens or a
+    full corpus-width scan?" before anything executes.
+
+    Keys: ``empty``, ``positional``, ``ngrams``, ``tree`` (rendered),
+    ``ranges`` (list of {lo, hi, df_full, shards: int|"all"}),
+    ``shards_total``, ``shards_open``, ``files``.
+    """
+    manifest = load_manifest(index_path)
+    ngrams = _index_ngrams(index_path)
+    out = {
+        "positional": bool(manifest.get("positional", False)),
+        "ngrams": ngrams,
+        "shards_total": len(manifest.get("shards", [])),
+    }
+    ranges: list = []
+    tree = _compile_node(query, ngrams, ranges)
+    if tree == ("empty",) or not ranges:
+        out.update(
+            empty=True, tree="Empty", ranges=[], shards_open=0, files=[]
+        )
+        return out
+
+    from . import metacache
+
+    sets = metacache.shard_sets_for_ranges(index_path, ranges)
+    dfs = metacache.term_dfs(index_path, [lo for lo, _ in ranges])
+    rinfo = []
+    for i, (lo, hi) in enumerate(ranges):
+        s = None if sets is None else sets[i]
+        rinfo.append(
+            {
+                "lo": lo,
+                "hi": hi,
+                "df_full": int(dfs.get(lo, 0)),
+                "shards": "all" if s is None else len(s),
+            }
+        )
+    want = None if sets is None else _node_shards(tree, sets)
+    shards = (
+        manifest["shards"]
+        if want is None
+        else [s for s in manifest["shards"] if s["shard_id"] in want]
+    )
+    out.update(
+        empty=False,
+        tree=_render_node(tree, ranges),
+        ranges=rinfo,
+        shards_open=len(shards),
+        files=[s["file"] for s in shards],
+    )
+    return out
+
+
 def segment_query(
     spark: SparkSession,
     index_path: str,

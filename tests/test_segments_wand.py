@@ -390,3 +390,46 @@ def test_segment_query_batch_matches_singles(spark, pos_indexed):
             [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
         )
         assert [key(r) for r in got] == [key(r) for r in single], qid
+
+
+def test_explain_segment_query_previews_the_pruned_plan(spark, tmp_path):
+    """explain_segment_query must report, without running any Spark job,
+    exactly the pruning segment_query performs: a rare-term And opens 1
+    shard, Or unions children, an unservable query is empty — and the
+    explained file list agrees with the docs the evaluator returns."""
+    from inverted_index_spark.qast import And, Match, Or, Phrase
+    from inverted_index_spark.segquery import (
+        explain_segment_query,
+        segment_query,
+    )
+
+    path = str(tmp_path / "explainidx")
+    rows = [(i, f"common words w{i % 7} everywhere") for i in range(300)]
+    rows.append((300, "common words zzzuniqueterm here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    manifest = build_segments(
+        spark, idx, path, shard_docs=16, block_docs=8, positions=True
+    )
+    total = len(manifest["shards"])
+
+    q = And(Match("zzzuniqueterm"), Match("common"))
+    plan = explain_segment_query(path, q)
+    assert not plan["empty"] and plan["positional"]
+    assert plan["shards_total"] == total
+    assert plan["shards_open"] == 1, "And must prune to the rare term"
+    assert plan["tree"] == "And(Match[zzzuniqueterm], Match[common])"
+    by_lo = {r["lo"]: r for r in plan["ranges"]}
+    assert by_lo["zzzuniqueterm"]["df_full"] == 1
+    assert by_lo["zzzuniqueterm"]["shards"] == 1
+    assert by_lo["common"]["df_full"] == 301
+
+    # the single explained file really is where the answer lives
+    got = segment_query(spark, path, q).collect()
+    assert [r["doc_id"] for r in got] == [300]
+
+    wide = explain_segment_query(path, Or(Match("zzzuniqueterm"), Match("common")))
+    assert wide["shards_open"] == total, "Or unions children"
+
+    empty = explain_segment_query(path, Phrase("zzzuniqueterm"))
+    assert empty["empty"] and empty["shards_open"] == 0

@@ -1,0 +1,169 @@
+"""String query language -> the reference ``Query`` AST.
+
+The reference constructs queries programmatically
+(/root/reference/src/query.rs:5-27); real users want to type them.
+This is engine-surface sugar only: the parser produces exactly the
+existing AST nodes, so every execution path (DataFrame engine,
+segment evaluator, explain) and every correctness oracle applies
+unchanged.
+
+Grammar (whitespace-insensitive between tokens):
+
+    expr    := and_expr ( OR and_expr )*
+    and_expr:= atom ( AND atom )*
+    atom    := '(' expr ')' | '"' words '"' | word '*' | words
+
+* ``OR`` / ``AND`` are case-sensitive keywords (uppercase), so the
+  lowercase English words "and" / "or" remain searchable terms.
+* A run of bare words is ONE ``Match`` bag ("scan merge" scores docs
+  containing either term, like the reference's multi-token Match) —
+  use explicit AND for intersection.
+* ``"..."`` is a ``Phrase`` (adjacent-pair positional semantics,
+  single-word phrase matches nothing — reference index.rs:88-107).
+* ``word*`` is a raw ``Prefix`` range scan of everything before the
+  ``*``. The star binds only at the end of a bare word.
+
+Examples::
+
+    parse_query('scan merge')                 -> Match('scan merge')
+    parse_query('scan AND merge')             -> And(Match, Match)
+    parse_query('a AND (b OR "c d") pre*')    -> And over a nested Or,
+                                                 the trailing atoms
+                                                 joining the AND bag
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from .qast import And, Match, Or, Phrase, Prefix, Query
+
+__all__ = ["parse_query", "QueryParseError"]
+
+
+class QueryParseError(ValueError):
+    """Raised for malformed query strings (position included)."""
+
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<phrase>"(?P<phrase_body>[^"]*)") |
+        (?P<word>[^\s()"*]+)(?P<star>\*)? |
+        (?P<badstar>\*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(s: str) -> List[Tuple[str, str, int]]:
+    out: List[Tuple[str, str, int]] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if m is None or m.end() == m.start():
+            if s[pos:].strip() == "":
+                break
+            raise QueryParseError(f"cannot tokenize at position {pos}: {s[pos:]!r}")
+        if m.group("lparen"):
+            out.append(("(", "(", m.start()))
+        elif m.group("rparen"):
+            out.append((")", ")", m.start()))
+        elif m.group("phrase") is not None:
+            out.append(("phrase", m.group("phrase_body"), m.start()))
+        elif m.group("word"):
+            if m.group("star"):
+                out.append(("prefix", m.group("word"), m.start()))
+            elif m.group("word") in ("AND", "OR"):
+                out.append((m.group("word"), m.group("word"), m.start()))
+            else:
+                out.append(("word", m.group("word"), m.start()))
+        elif m.group("badstar"):
+            raise QueryParseError(
+                f"dangling '*' at position {m.start()} (prefix form is word*)"
+            )
+        pos = m.end()
+    if '"' in s and s.count('"') % 2:
+        raise QueryParseError("unbalanced quote")
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: List[Tuple[str, str, int]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self):
+        t = self.peek()
+        if t is not None:
+            self.i += 1
+        return t
+
+    def expr(self) -> Query:
+        parts = [self.and_expr()]
+        while self.peek() is not None and self.peek()[0] == "OR":
+            self.take()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(*parts)
+
+    def and_expr(self) -> Query:
+        parts = [self.atom()]
+        while True:
+            t = self.peek()
+            if t is None or t[0] in (")", "OR"):
+                break
+            if t[0] == "AND":
+                self.take()
+                t = self.peek()
+                if t is None or t[0] in (")", "OR", "AND"):
+                    raise QueryParseError("AND missing right operand")
+            # juxtaposed atoms join the AND bag too ("a (b OR c)")
+            parts.append(self.atom())
+        return parts[0] if len(parts) == 1 else And(*parts)
+
+    def atom(self) -> Query:
+        t = self.take()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        kind, val, pos = t
+        if kind == "(":
+            inner = self.expr()
+            closing = self.take()
+            if closing is None or closing[0] != ")":
+                raise QueryParseError(f"unclosed '(' at position {pos}")
+            return inner
+        if kind == "phrase":
+            return Phrase(val)
+        if kind == "prefix":
+            return Prefix(val)
+        if kind == "word":
+            # greedily absorb following bare words into ONE Match bag
+            words = [val]
+            while self.peek() is not None and self.peek()[0] == "word":
+                words.append(self.take()[1])
+            return Match(" ".join(words))
+        raise QueryParseError(f"unexpected {val!r} at position {pos}")
+
+
+def parse_query(s: str) -> Query:
+    """Parse a query string into the reference ``Query`` AST.
+
+    Empty / whitespace-only input parses to ``Match("")`` (which the
+    engine evaluates to the empty result, matching the reference's
+    empty-query behavior)."""
+    tokens = _lex(s)
+    if not tokens:
+        return Match("")
+    p = _Parser(tokens)
+    q = p.expr()
+    left = p.peek()
+    if left is not None:
+        raise QueryParseError(
+            f"unexpected {left[1]!r} at position {left[2]}"
+        )
+    return q

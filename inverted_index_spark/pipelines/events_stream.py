@@ -15,7 +15,7 @@ event_type string, value double, props string``):
   is :func:`~.events.session_spans`.
 - :func:`stream_sessionize` — the same sessionization as a CUSTOM
   stateful operator via ``applyInPandasWithState`` with an event-time
-  timeout: per-user open-session state ``(start_ms, last_ms, n)``,
+  timeout: per-user open-session state ``(start_us, last_us, n)``,
   closed sessions emitted eagerly inside a batch, and the final open
   session flushed by the timeout when the watermark passes
   ``last_event + gap``. This is the template for stateful operators the
@@ -46,7 +46,7 @@ SESSION_SPAN_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint"
 )
-_SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
 
 
 def _with_event_time(events: DataFrame, watermark: str) -> DataFrame:
@@ -204,7 +204,7 @@ def stream_sessionize(
     CLOSED session: eagerly when a later in-batch event proves the gap,
     or via event-time timeout when the watermark passes
     ``last_event + gap``. Per-user state is the single open session
-    ``(start_ms, last_ms, n)`` — constant per active user, removed on
+    ``(start_us, last_us, n)`` — constant per active user, removed on
     flush, so total state is O(active users) regardless of history.
 
     Semantics vs the batch twin: any prefix of the stream whose

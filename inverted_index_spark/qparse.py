@@ -39,7 +39,7 @@ from typing import List, Tuple
 
 from .qast import And, Match, Or, Phrase, Prefix, Query
 
-__all__ = ["parse_query", "QueryParseError"]
+__all__ = ["parse_query", "render_query", "QueryParseError"]
 
 
 class QueryParseError(ValueError):
@@ -148,6 +148,61 @@ class _Parser:
                 words.append(self.take()[1])
             return Match(" ".join(words))
         raise QueryParseError(f"unexpected {val!r} at position {pos}")
+
+
+def render_query(q: Query) -> str:
+    """Inverse of :func:`parse_query`: render an AST back to the string
+    language, such that ``parse_query(render_query(q)) == q`` (pinned
+    by a hypothesis round-trip property).
+
+    Nested same-type And/Or children are parenthesized so the tree
+    SHAPE survives (``And(And(a,b),c)`` is not flattened), Or children
+    inside And get precedence parens, and a multi-word ``Match`` stays
+    one bag because operators are always explicit. Not renderable (no
+    escape syntax exists): terms containing whitespace-adjacent special
+    characters (``( ) " *``), the uppercase keywords AND/OR as terms,
+    an empty ``Prefix``, and zero-child And/Or — ``ValueError``.
+    """
+    def bad_word(w: str) -> bool:
+        return (
+            not w
+            or w in ("AND", "OR")
+            or any(c in w for c in '()"*')
+            or w != w.strip()
+        )
+
+    if isinstance(q, Match):
+        if not q.text.strip():
+            return ""
+        words = q.text.split()
+        if any(bad_word(w) for w in words):
+            raise ValueError(f"Match text not renderable: {q.text!r}")
+        return " ".join(words)
+    if isinstance(q, Phrase):
+        if '"' in q.text:
+            raise ValueError("Phrase text contains a quote")
+        return f'"{q.text}"'
+    if isinstance(q, Prefix):
+        if bad_word(q.text):
+            raise ValueError(f"Prefix not renderable: {q.text!r}")
+        return f"{q.text}*"
+    if isinstance(q, (And, Or)):
+        if not q.children:
+            raise ValueError("zero-child And/Or is not renderable")
+        op = " AND " if isinstance(q, And) else " OR "
+        parts = []
+        for c in q.children:
+            s = render_query(c)
+            need_parens = (
+                type(c) is type(q)  # preserve nesting shape
+                or (isinstance(q, And) and isinstance(c, Or))  # precedence
+                or s == ""  # empty Match needs explicit grouping... none exists
+            )
+            if s == "":
+                raise ValueError("empty Match inside a compound query")
+            parts.append(f"({s})" if need_parens else s)
+        return op.join(parts)
+    raise TypeError(f"unknown query node: {q!r}")
 
 
 def parse_query(s: str) -> Query:

@@ -81,3 +81,66 @@ def test_parsed_queries_answer_like_hand_built_asts():
         got = [(r.doc_id, r.score) for r in idx.query(parse_query(s))]
         expect = [(r.doc_id, r.score) for r in idx.query(ast)]
         assert got == expect and got, s
+
+
+def test_render_round_trips_hand_built_shapes():
+    from inverted_index_spark.qparse import render_query
+
+    cases = [
+        Match("scan merge"),
+        And(Match("a"), Match("b c")),
+        Or(And(Match("a"), Match("b")), Phrase("c d"), Prefix("pre")),
+        And(And(Match("a"), Match("b")), Match("c")),  # shape preserved
+        Or(Or(Match("a"), Match("b")), Match("c")),
+        And(Or(Match("a"), Match("b")), Match("c")),   # precedence parens
+        Phrase(""),
+        Match(""),
+    ]
+    for q in cases:
+        assert parse_query(render_query(q)) == q, q
+
+
+def test_render_rejects_unrenderable():
+    from inverted_index_spark.qparse import render_query
+
+    for q in [
+        Match("AND"),
+        Match('we"ird'),
+        Prefix(""),
+        And(),
+        And(Match(""), Match("a")),
+    ]:
+        with pytest.raises((ValueError, TypeError)):
+            render_query(q)
+
+
+def test_parse_render_round_trip_property():
+    """Hypothesis: any AST from the safe alphabet survives
+    parse(render(q)) == q exactly (tree shape included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inverted_index_spark.qparse import render_query
+
+    # lowercase "and"/"or" are deliberately in range: they are ordinary
+    # searchable terms (only uppercase AND/OR are keywords)
+    word = st.from_regex(r"[a-z][a-z0-9]{0,4}", fullmatch=True)
+    words = st.lists(word, min_size=1, max_size=3).map(" ".join)
+    leaf = st.one_of(
+        words.map(Match),
+        words.map(Phrase),
+        word.map(Prefix),
+    )
+
+    def compound(children):
+        two = st.lists(children, min_size=2, max_size=3)
+        return st.one_of(two.map(lambda c: And(*c)), two.map(lambda c: Or(*c)))
+
+    ast = st.recursive(leaf, compound, max_leaves=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(ast)
+    def check(q):
+        assert parse_query(render_query(q)) == q
+
+    check()

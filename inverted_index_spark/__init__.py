@@ -51,6 +51,7 @@ from .segquery import (  # noqa: F401
     segment_search,
 )
 from .streaming import compact_stream, refresh_index  # noqa: F401
+from .describe import describe_index  # noqa: F401
 from .qparse import QueryParseError, parse_query, render_query  # noqa: F401
 from .sqlapi import bm25_sql, register_index_views  # noqa: F401
 from .wand import wand_topk, wand_topk_batch  # noqa: F401
@@ -82,6 +83,7 @@ __all__ = [
     "render_query",
     "QueryParseError",
     "explain_segment_query",
+    "describe_index",
     "segment_query",
     "segment_query_batch",
     "segment_phrase",

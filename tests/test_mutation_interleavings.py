@@ -1,0 +1,115 @@
+"""Randomized mutation-interleaving fuzz: the saved-index lifecycle
+(upsert -> compact -> segment build/refresh, in ANY order) must keep
+the engine answer-identical to the pure-Python oracle after EVERY step.
+
+The round-2 advice bug class (upsert -> compact -> upsert overwriting a
+live commit dir) was an interleaving bug; the individual flows each had
+green tests. This fuzz executes random op sequences and re-checks full
+query parity (doc sets, byte positions, scores, rank order) after each
+mutation, with the engine routing freely between the relational
+generation-view and the segment paths as freshness flips."""
+
+import random
+
+import pytest
+
+from inverted_index_spark.build import build_and_save, load_index
+from inverted_index_spark.oracle import OracleIndex
+from inverted_index_spark.qast import And, Match, Phrase, Prefix
+from inverted_index_spark.query import FtsEngine
+
+WORDS = [
+    "scan", "merge", "join", "filter", "window", "stream", "batch",
+    "İstanbul", "mixé", "sort", "group",
+]
+
+
+def _text(rng):
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 8)))
+
+
+def _check(spark, path, mirror, rng, label):
+    oracle = OracleIndex()
+    for doc_id in sorted(mirror):
+        oracle.add(doc_id, mirror[doc_id])
+    idx = load_index(spark, path)
+    eng = FtsEngine(idx)
+    t1, t2 = rng.choice(WORDS).lower(), rng.choice(WORDS).lower()
+    for q in [
+        Match(t1),
+        And(Match(t1), Match(t2)),
+        Phrase(f"{t1} {t2}"),
+        Prefix(t1[:2]),
+    ]:
+        expect = [
+            (r.doc_id, [tuple(p) for p in r.positions], round(r.score, 5))
+            for r in oracle.query(q)
+        ]
+        got = [
+            (
+                r["doc_id"],
+                [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+                round(r["score"], 5),
+            )
+            for r in eng.results(q).collect()
+        ]
+        assert got == expect, f"{label}: {q} diverged"
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_random_mutation_interleavings(spark, tmp_path, seed):
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.upsert import compact_index, upsert_saved
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "idx")
+    mirror = {i: _text(rng) for i in range(24)}
+    docs = spark.createDataFrame(
+        sorted(mirror.items()), "doc_id long, text string"
+    )
+    build_and_save(spark, docs, path, ngrams=True, term_buckets=4)
+    _check(spark, path, mirror, rng, "initial")
+
+    next_id = len(mirror)
+    ops = ["upsert", "upsert", "segments", "upsert", "compact", "refresh"]
+    rng.shuffle(ops)
+    for step, op in enumerate(ops):
+        if op == "upsert":
+            changed = {}
+            for _ in range(rng.randint(1, 3)):
+                if rng.random() < 0.5 and mirror:
+                    doc_id = rng.choice(sorted(mirror))
+                else:
+                    doc_id, next_id = next_id, next_id + 1
+                changed[doc_id] = _text(rng)
+            mirror.update(changed)
+            upsert_saved(
+                spark,
+                path,
+                spark.createDataFrame(
+                    sorted(changed.items()), "doc_id long, text string"
+                ),
+            )
+        elif op == "compact":
+            compact_index(spark, path)
+        elif op == "segments":
+            build_segments(
+                spark, load_index(spark, path), path,
+                shard_docs=8, block_docs=4, positions=True,
+            )
+        elif op == "refresh":
+            import os
+
+            from inverted_index_spark.segments import (
+                MANIFEST_NAME,
+                refresh_segments,
+            )
+
+            # a real maintenance job refreshes only if segments exist;
+            # refresh-before-any-build raises by documented contract
+            if os.path.exists(os.path.join(path, MANIFEST_NAME)):
+                refresh_segments(spark, load_index(spark, path), path)
+            else:
+                with pytest.raises(FileNotFoundError):
+                    refresh_segments(spark, load_index(spark, path), path)
+        _check(spark, path, mirror, rng, f"step {step}: {op}")

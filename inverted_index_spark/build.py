@@ -63,6 +63,28 @@ class FtsIndex:
     path: Optional[str] = None
 
 
+def _validate_docs(docs: DataFrame, caller: str) -> None:
+    """Fail fast with a readable message instead of a deep Catalyst
+    analysis error when the corpus DataFrame has the wrong shape."""
+    fields = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    missing = [c for c in ("doc_id", "text") if c not in fields]
+    if missing:
+        raise ValueError(
+            f"{caller}: corpus is missing column(s) {missing}; "
+            f"need (doc_id: bigint, text: string), got {sorted(fields)}"
+        )
+    if fields["doc_id"] not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"{caller}: doc_id must be an integer type, got "
+            f"{fields['doc_id']} (cast it, e.g. "
+            "docs.withColumn('doc_id', col('doc_id').cast('long')))"
+        )
+    if fields["text"] != "string":
+        raise ValueError(
+            f"{caller}: text must be string, got {fields['text']}"
+        )
+
+
 def tokenize_docs(docs: DataFrame, ngrams: bool = True) -> DataFrame:
     """doc rows -> one row per analyzed term occurrence."""
     tokenize = make_tokenize_udf(ngrams=ngrams)
@@ -91,6 +113,7 @@ def build_index(
     along in the doc store. ``term_buckets`` controls the physical
     partitioning of the postings table (defaults to shuffle parallelism).
     """
+    _validate_docs(docs, "build_index")
     if term_buckets is None:
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -312,6 +335,7 @@ def build_and_save(
     metrics (docs, postings, bytes, elapsed, postings/sec) plus
     aggregate throughput and skew_ratio in ``build_manifest.json``.
     """
+    _validate_docs(docs, "build_and_save")
     if term_buckets is None:
         term_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 

@@ -182,3 +182,22 @@ def test_resume_with_store_docs_reuses_the_committed_doc_store(
         f: os.stat(f).st_mtime_ns
         for f in glob.glob(os.path.join(path, "docs", "*.parquet"))
     } == store, "resume must not rewrite the doc store"
+
+
+def test_corpus_validation_fails_fast(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from inverted_index_spark.build import build_index
+
+    good = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    bad_missing = good.select(F.col("doc_id").alias("id"), "text")
+    bad_type = good.select(F.col("doc_id").cast("string"), "text")
+    with _pytest.raises(ValueError, match="missing column"):
+        build_index(spark, bad_missing)
+    with _pytest.raises(ValueError, match="integer type"):
+        build_index(spark, bad_type)
+    with _pytest.raises(ValueError, match="text must be string"):
+        _ = build_index(
+            spark, good.select("doc_id", F.col("doc_id").alias("text"))
+        )

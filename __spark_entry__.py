@@ -620,6 +620,25 @@ def _q_stream_hourly(spark, sf):
     return spark.table(name)
 
 
+def _q_stream_spans(spark, sf):
+    """Built-in session_window sessionization driven to completion: the
+    sentinel row (user_id -1) pushes the final watermark past every real
+    session's last_event + gap, so every session is emitted — and must
+    equal the batch gaps-and-islands oracle exactly."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.events_stream import (
+        stream_session_spans,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _events_stream_source(spark, sf, sentinel=True)
+    name = _run_to_memory(
+        stream_session_spans(stream, gap_minutes=30), "append"
+    )
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
 def _q_stream_sessions(spark, sf):
     """Custom stateful sessionization (applyInPandasWithState, event-
     time timeout): all real events arrive in micro-batch 0, a sentinel
@@ -679,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": _q_hourly_events,
         "session_spans": _q_session_spans,
         "stream_hourly": _q_stream_hourly,
+        "stream_spans": _q_stream_spans,
         "stream_sessions": _q_stream_sessions,
         "token_counts": _q_token_counts,
         "rolling_fp": _q_rolling_fp,
@@ -1261,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
             from events group by 1, 2
         """,
         "stream_sessions": _SESSION_SPANS_SQL,
+        "stream_spans": _SESSION_SPANS_SQL,
     }
     # highlight: the engine wraps each coalesced position's byte range
     # (search_result.rs:54-66). Match('merge') positions are the first

@@ -66,8 +66,14 @@ def describe_index(path: str) -> dict:
         shards = m.get("shards", [])
         enc = sum(s.get("enc_bytes", 0) for s in shards)
         raw = sum(s.get("raw_bytes", 0) for s in shards)
+        try:
+            fresh = segments_fresh(path)
+        except OSError:
+            # half-deleted index (e.g. postings dir gone): a health
+            # probe should report, not throw
+            fresh = False
         seg = {
-            "fresh": segments_fresh(path),
+            "fresh": fresh,
             "positional": bool(m.get("positional", False)),
             "shards": len(shards),
             "enc_bytes": enc,

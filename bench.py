@@ -40,9 +40,14 @@ def ambient_probe() -> dict:
     import numpy as np
 
     a = np.ones(2 ** 24, dtype=np.float64)
-    t0 = time.perf_counter()
-    a.copy()
-    bw = 0.25 / (time.perf_counter() - t0)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a.copy()
+        samples.append(0.25 / (time.perf_counter() - t0))
+    # cold = first copy (includes fresh-page faulting — the path Spark's
+    # allocations take); warm = best of the re-used-allocation copies
+    bw_cold, bw_warm = samples[0], max(samples[1:])
 
     def snap():
         with open("/proc/stat") as fh:
@@ -56,7 +61,11 @@ def ambient_probe() -> dict:
         steal = (s1 - s0) / max(t_1 - t_0, 1)
     except OSError:
         steal = -1.0
-    return {"mem_bw_gbps": round(bw, 2), "steal_share": round(steal, 4)}
+    return {
+        "mem_bw_gbps": round(bw_cold, 2),
+        "mem_bw_warm_gbps": round(bw_warm, 2),
+        "steal_share": round(steal, 4),
+    }
 
 
 def main() -> None:

@@ -113,3 +113,110 @@ def test_random_mutation_interleavings(spark, tmp_path, seed):
                 with pytest.raises(FileNotFoundError):
                     refresh_segments(spark, load_index(spark, path), path)
         _check(spark, path, mirror, rng, f"step {step}: {op}")
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_random_interleavings_with_streaming(spark, tmp_path, seed):
+    """Streaming appends interleaved with batch upserts, stream/batch
+    compaction and segment maintenance: the merged live view
+    (refresh_index = base + generations + un-compacted stream deltas)
+    must stay oracle-identical after every op. Streamed docs use 43-bit
+    hash ids (disjoint from the small batch ids by construction — the
+    deployment convention that makes mixing the two sound)."""
+    import os
+
+    from inverted_index_spark.segments import (
+        MANIFEST_NAME,
+        build_segments,
+        refresh_segments,
+    )
+    from inverted_index_spark.streaming import (
+        append_batch,
+        compact_stream,
+        refresh_index,
+        streaming_doc_id,
+    )
+    from inverted_index_spark.upsert import compact_index, upsert_saved
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "idx")
+    mirror = {i: _text(rng) for i in range(16)}
+    docs = spark.createDataFrame(
+        sorted(mirror.items()), "doc_id long, text string"
+    )
+    build_and_save(spark, docs, path, ngrams=True, term_buckets=4)
+
+    def check(label):
+        oracle = OracleIndex()
+        for doc_id in sorted(mirror):
+            oracle.add(doc_id, mirror[doc_id])
+        eng = FtsEngine(refresh_index(spark, path))
+        t1, t2 = rng.choice(WORDS).lower(), rng.choice(WORDS).lower()
+        for q in [Match(t1), And(Match(t1), Match(t2)), Phrase(f"{t1} {t2}")]:
+            expect = [
+                (r.doc_id, [tuple(p) for p in r.positions],
+                 round(r.score, 5))
+                for r in oracle.query(q)
+            ]
+            got = [
+                (
+                    r["doc_id"],
+                    [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+                    round(r["score"], 5),
+                )
+                for r in eng.results(q).collect()
+            ]
+            assert got == expect, f"{label}: {q} diverged"
+
+    check("initial")
+    next_id, next_conv, batch_id = len(mirror), 0, 0
+    ops = ["stream", "upsert", "segments", "stream", "compact_stream",
+           "upsert", "compact", "refresh"]
+    rng.shuffle(ops)
+    for step, op in enumerate(ops):
+        if op == "upsert":
+            changed = {}
+            for _ in range(rng.randint(1, 2)):
+                if rng.random() < 0.5:
+                    doc_id = rng.choice(
+                        [d for d in mirror if d < 10_000] or [next_id]
+                    )
+                else:
+                    doc_id, next_id = next_id, next_id + 1
+                changed[doc_id] = _text(rng)
+            mirror.update(changed)
+            upsert_saved(
+                spark, path,
+                spark.createDataFrame(
+                    sorted(changed.items()), "doc_id long, text string"
+                ),
+            )
+        elif op == "stream":
+            rows = []
+            for _ in range(rng.randint(1, 2)):
+                conv, next_conv = f"fuzzconv-{next_conv}", next_conv + 1
+                for t in range(rng.randint(1, 2)):
+                    rows.append((conv, t, _text(rng)))
+            batch = spark.createDataFrame(
+                rows, "conv_id string, turn_idx int, text string"
+            )
+            for r in batch.withColumn(
+                "doc_id", streaming_doc_id()
+            ).collect():
+                mirror[r["doc_id"]] = r["text"]
+            append_batch(path, ngrams=True)(batch, batch_id)
+            batch_id += 1
+        elif op == "compact_stream":
+            if os.path.isdir(os.path.join(path, "stream_delta")):
+                compact_stream(spark, path)
+        elif op == "segments":
+            build_segments(
+                spark, refresh_index(spark, path), path,
+                shard_docs=8, block_docs=4, positions=True,
+            )
+        elif op == "compact":
+            compact_index(spark, path)
+        elif op == "refresh":
+            if os.path.exists(os.path.join(path, MANIFEST_NAME)):
+                refresh_segments(spark, load_index(spark, path), path)
+        check(f"step {step}: {op}")

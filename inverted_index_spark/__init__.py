@@ -48,13 +48,20 @@ from .segquery import (  # noqa: F401
     segment_phrase,
     segment_query,
     segment_query_batch,
+    segment_query_batch_pandas,
+    segment_query_pandas,
     segment_search,
 )
 from .streaming import compact_stream, refresh_index  # noqa: F401
 from .describe import describe_index  # noqa: F401
 from .qparse import QueryParseError, parse_query, render_query  # noqa: F401
 from .sqlapi import bm25_sql, register_index_views  # noqa: F401
-from .wand import wand_topk, wand_topk_batch  # noqa: F401
+from .wand import (  # noqa: F401
+    wand_topk,
+    wand_topk_batch,
+    wand_topk_batch_pandas,
+    wand_topk_pandas,
+)
 
 __all__ = [
     "FtsIndex",
@@ -78,6 +85,8 @@ __all__ = [
     "load_manifest",
     "wand_topk",
     "wand_topk_batch",
+    "wand_topk_pandas",
+    "wand_topk_batch_pandas",
     "segment_search",
     "parse_query",
     "render_query",
@@ -86,6 +95,8 @@ __all__ = [
     "describe_index",
     "segment_query",
     "segment_query_batch",
+    "segment_query_pandas",
+    "segment_query_batch_pandas",
     "segment_phrase",
     "segment_highlight",
     "register_index_views",

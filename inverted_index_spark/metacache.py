@@ -135,6 +135,55 @@ def shard_sets_for_ranges(
     return sets
 
 
+# -- local (coordinator) serving decision ------------------------------
+#
+# When shard pruning leaves a handful of small files, scheduling a
+# distributed job buys nothing: the dominant cost becomes Spark's fixed
+# task round-trip, not the decode. A real deployment splits exactly this
+# way — the query coordinator serves rare-term top-k by reading the
+# O(df) pruned shard files straight from the object store with the SAME
+# kernels the executors run, and fans out to the cluster only when the
+# pruned byte volume says the scan is worth distributing. enc_bytes is
+# the whole shard's encoded postings payload, an upper bound on what the
+# term-filtered read actually touches, so the threshold is conservative.
+
+LOCAL_MAX_BYTES = 32 << 20
+LOCAL_MAX_FILES = 16
+
+
+def serve_locally(shards: List[dict], mode: str = "auto") -> bool:
+    """True when the pruned shard set should be evaluated driver-side.
+
+    ``mode``: "local" forces it, "spark" forbids it, "auto" decides by
+    size — every shard's manifest row must carry ``enc_bytes`` and the
+    set must fit under SPARK_GRAFT_LOCAL_QUERY_MAX_BYTES /
+    _MAX_FILES (env-overridable; SPARK_GRAFT_LOCAL_QUERY=0 disables).
+    """
+    if mode == "local":
+        return True
+    if mode == "spark":
+        return False
+    if mode != "auto":
+        raise ValueError(f"mode must be auto|local|spark, got {mode!r}")
+    if os.environ.get("SPARK_GRAFT_LOCAL_QUERY", "1") in ("0", "false"):
+        return False
+    max_files = int(
+        os.environ.get("SPARK_GRAFT_LOCAL_QUERY_MAX_FILES", LOCAL_MAX_FILES)
+    )
+    max_bytes = int(
+        os.environ.get("SPARK_GRAFT_LOCAL_QUERY_MAX_BYTES", LOCAL_MAX_BYTES)
+    )
+    if len(shards) > max_files:
+        return False
+    total = 0
+    for s in shards:
+        enc = s.get("enc_bytes")
+        if not enc:  # unknown size (pre-v3 manifest) -> distribute
+            return False
+        total += int(enc)
+    return total <= max_bytes
+
+
 def invalidate(index_path: Optional[str] = None) -> None:
     """Drop memoized entries (tests / explicit refresh). The snapshot
     token makes this unnecessary after normal commits."""

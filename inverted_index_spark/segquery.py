@@ -476,24 +476,46 @@ def explain_segment_query(index_path: str, query: Query) -> dict:
     return out
 
 
-def segment_query(
-    spark: SparkSession,
-    index_path: str,
-    query: Query,
-    k: Optional[int] = None,
-    with_positions: bool = True,
-) -> DataFrame:
-    """Execute ANY reference Query AST from positional segments.
+def _rows_for_spark(pdf: pd.DataFrame) -> list:
+    """pandas result -> plain tuples createDataFrame verifies cleanly
+    (positions dicts -> struct tuples, numpy scalars -> python)."""
+    cols = list(pdf.columns)
+    out = []
+    for t in pdf.itertuples(index=False):
+        row = []
+        for c, v in zip(cols, t):
+            if c == "positions":
+                v = [
+                    (int(d["begin"]), int(d["end"]), int(d["pos"]))
+                    for d in v
+                ]
+            elif c == "score":
+                v = float(v)
+            else:
+                v = int(v)
+            row.append(v)
+        out.append(tuple(row))
+    return out
 
-    Rank-, score- and position-identical to
-    ``FtsEngine.results(query)`` (asserted in tests), without touching
-    the uncompressed postings table: compile the AST to a flat range
-    list + evaluation tree, prune shards structurally (And intersects
-    child shard sets, Or unions — driver-side metacache lookup, no
-    Spark job), then one mapInPandas task per surviving shard decodes
-    its file once and evaluates the whole tree vectorized.
-    """
-    schema = RESULT_POS_SCHEMA if with_positions else RESULT_SCHEMA
+
+def _map_files(fn, files: list) -> list:
+    """Run ``fn`` over shard files with a small thread pool (pyarrow
+    releases the GIL during read/decompress); drops None results."""
+    if len(files) <= 1:
+        parts = [fn(f) for f in files]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(files))) as ex:
+            parts = list(ex.map(fn, files))
+    return [p for p in parts if p is not None and len(p)]
+
+
+def _plan_query(index_path: str, query: Query):
+    """Compile + prune: (ranges, tree, surviving manifest shard rows).
+
+    Pure driver-side planning — manifest and metacache reads only, no
+    Spark. An empty/unsatisfiable query returns ([], tree, [])."""
     manifest = load_manifest(index_path)
     if not bool(manifest.get("positional", False)):
         raise ValueError(
@@ -503,7 +525,7 @@ def segment_query(
     ranges: list = []
     tree = _compile_node(query, _index_ngrams(index_path), ranges)
     if tree == ("empty",) or not ranges:
-        return spark.createDataFrame([], schema)
+        return [], tree, []
 
     from . import metacache
 
@@ -517,10 +539,116 @@ def segment_query(
             if want is None
             else [s for s in manifest["shards"] if s["shard_id"] in want]
         )
+    return ranges, tree, shards
+
+
+def _empty_pdf(with_positions: bool) -> pd.DataFrame:
+    cols = {"doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float32")}
+    if with_positions:
+        cols["positions"] = pd.Series([], dtype=object)
+    return pd.DataFrame(cols)
+
+
+def _local_eval_one(
+    index_path: str,
+    ranges: list,
+    tree: tuple,
+    shards: List[dict],
+    with_positions: bool,
+    k: Optional[int],
+) -> pd.DataFrame:
+    """Evaluate one compiled tree over the pruned shard files in this
+    process — identical kernels to the mapInPandas tasks, merged the
+    same way ((score desc, doc_id asc), head(k))."""
     seg_dir = os.path.join(index_path, "segments")
     files = [os.path.join(seg_dir, s["file"]) for s in shards]
-    if not files:
+
+    def one(f):
+        matchers, docbytes = _read_shard(f, ranges)
+        member, rows = _eval_node(tree, matchers)
+        if member.size == 0:
+            return None
+        return _score_rows(member, rows, docbytes, with_positions, k)
+
+    parts = _map_files(one, files)
+    if not parts:
+        return _empty_pdf(with_positions)
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf = pdf.sort_values(
+        ["score", "doc_id"],
+        ascending=[False, True],
+        kind="mergesort",
+        ignore_index=True,
+    )
+    if k is not None:
+        pdf = pdf.head(k).reset_index(drop=True)
+    return pdf
+
+
+def segment_query_pandas(
+    index_path: str,
+    query: Query,
+    k: Optional[int] = None,
+    with_positions: bool = True,
+) -> pd.DataFrame:
+    """QUERY-NODE serving: evaluate a Query AST straight from the
+    segment files in this process — no SparkSession, no JVM, no job.
+
+    Row-identical to ``segment_query(...).toPandas()`` (same kernels,
+    same merge). This is the low-latency half of a deployment: a
+    coordinator with the manifest + metacache serves rare-term top-k in
+    milliseconds by opening the O(df) pruned shard files directly
+    (local disk here, object-store ranged reads in production), while
+    broad scans go through Spark. The reference serves queries from
+    process memory (/root/reference/src/index.rs:72-74); this is the
+    same shape with the index out-of-process and compressed.
+    """
+    ranges, tree, shards = _plan_query(index_path, query)
+    if not shards:
+        return _empty_pdf(with_positions)
+    return _local_eval_one(index_path, ranges, tree, shards,
+                           with_positions, k)
+
+
+def segment_query(
+    spark: SparkSession,
+    index_path: str,
+    query: Query,
+    k: Optional[int] = None,
+    with_positions: bool = True,
+    mode: str = "auto",
+) -> DataFrame:
+    """Execute ANY reference Query AST from positional segments.
+
+    Rank-, score- and position-identical to
+    ``FtsEngine.results(query)`` (asserted in tests), without touching
+    the uncompressed postings table: compile the AST to a flat range
+    list + evaluation tree, prune shards structurally (And intersects
+    child shard sets, Or unions — driver-side metacache lookup, no
+    Spark job), then one mapInPandas task per surviving shard decodes
+    its file once and evaluates the whole tree vectorized.
+
+    ``mode="auto"`` short-circuits to COORDINATOR serving when pruning
+    left a small shard set (metacache.serve_locally): the driver runs
+    the identical kernels over the pruned files and returns a local
+    relation — zero Spark jobs end to end, the query-node half of a
+    search deployment. "spark"/"local" pin the path explicitly.
+    """
+    schema = RESULT_POS_SCHEMA if with_positions else RESULT_SCHEMA
+    ranges, tree, shards = _plan_query(index_path, query)
+    if not shards:
         return spark.createDataFrame([], schema)
+
+    from . import metacache
+
+    if metacache.serve_locally(shards, mode):
+        pdf = _local_eval_one(index_path, ranges, tree, shards,
+                              with_positions, k)
+        return spark.createDataFrame(_rows_for_spark(pdf), schema)
+
+    seg_dir = os.path.join(index_path, "segments")
+    files = [os.path.join(seg_dir, s["file"]) for s in shards]
     shards_df = spark.createDataFrame([(f,) for f in files], "file string")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -544,6 +672,7 @@ def segment_query_batch(
     queries: List[Query],
     k: int = 10,
     with_positions: bool = False,
+    mode: str = "auto",
 ) -> DataFrame:
     """Evaluate MANY Query ASTs in ONE pass over the segments.
 
@@ -560,38 +689,17 @@ def segment_query_batch(
     schema = (
         "query_id int, " + (RESULT_POS_SCHEMA if with_positions else RESULT_SCHEMA)
     )
-    manifest = load_manifest(index_path)
-    if not bool(manifest.get("positional", False)):
-        raise ValueError(
-            "segments were built without positions; rebuild with "
-            "build_segments(..., positions=True)"
-        )
-    ngrams = _index_ngrams(index_path)
-    ranges: list = []
-    trees = [_compile_node(q, ngrams, ranges) for q in queries]
-    live = [(i, t) for i, t in enumerate(trees) if t != ("empty",)]
     out_schema = schema + ", rank int"
-    if not live or not ranges:
+    ranges, trees, rows, used = _plan_batch(index_path, queries)
+    if not rows:
         return spark.createDataFrame([], out_schema)
 
     from . import metacache
 
-    sets = metacache.shard_sets_for_ranges(index_path, ranges)
-    all_ids = [s["shard_id"] for s in manifest["shards"]]
-    per_shard: Dict[int, List[int]] = {}
-    for qid, tree in live:
-        want = _node_shards(tree, sets) if sets is not None else None
-        for sid in all_ids if want is None else want:
-            per_shard.setdefault(sid, []).append(qid)
-    seg_dir = os.path.join(index_path, "segments")
-    by_id = {s["shard_id"]: s for s in manifest["shards"]}
-    rows = [
-        (os.path.join(seg_dir, by_id[sid]["file"]), qids)
-        for sid, qids in sorted(per_shard.items())
-        if sid in by_id
-    ]
-    if not rows:
-        return spark.createDataFrame([], out_schema)
+    if metacache.serve_locally(used, mode):
+        pdf = _local_eval_batch(ranges, trees, rows, with_positions, k)
+        return spark.createDataFrame(_rows_for_spark(pdf), out_schema)
+
     shards_df = spark.createDataFrame(rows, "file string, qids array<int>")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -621,17 +729,117 @@ def segment_query_batch(
     )
 
 
+def _plan_batch(index_path: str, queries: List[Query]):
+    """Compile + prune a query batch: (ranges, trees,
+    [(file, [qid, ...]), ...], used manifest shard rows). Driver-side
+    planning only — no Spark."""
+    manifest = load_manifest(index_path)
+    if not bool(manifest.get("positional", False)):
+        raise ValueError(
+            "segments were built without positions; rebuild with "
+            "build_segments(..., positions=True)"
+        )
+    ngrams = _index_ngrams(index_path)
+    ranges: list = []
+    trees = [_compile_node(q, ngrams, ranges) for q in queries]
+    live = [(i, t) for i, t in enumerate(trees) if t != ("empty",)]
+    if not live or not ranges:
+        return ranges, trees, [], []
+
+    from . import metacache
+
+    sets = metacache.shard_sets_for_ranges(index_path, ranges)
+    all_ids = [s["shard_id"] for s in manifest["shards"]]
+    per_shard: Dict[int, List[int]] = {}
+    for qid, tree in live:
+        want = _node_shards(tree, sets) if sets is not None else None
+        for sid in all_ids if want is None else want:
+            per_shard.setdefault(sid, []).append(qid)
+    seg_dir = os.path.join(index_path, "segments")
+    by_id = {s["shard_id"]: s for s in manifest["shards"]}
+    rows = [
+        (os.path.join(seg_dir, by_id[sid]["file"]), qids)
+        for sid, qids in sorted(per_shard.items())
+        if sid in by_id
+    ]
+    used = [by_id[sid] for sid in sorted(per_shard) if sid in by_id]
+    return ranges, trees, rows, used
+
+
+def _local_eval_batch(
+    ranges: list,
+    trees: List[tuple],
+    rows: list,
+    with_positions: bool,
+    k: int,
+) -> pd.DataFrame:
+    """In-process batch evaluation + per-query rank merge — identical
+    results to the mapInPandas path's window rank."""
+
+    def one(item):
+        f, qids = item
+        matchers, docbytes = _read_shard(f, ranges)
+        frames = []
+        for qid in qids:
+            member, qrows = _eval_node(trees[qid], matchers)
+            if member.size == 0:
+                continue
+            res = _score_rows(member, qrows, docbytes, with_positions, k)
+            res.insert(0, "query_id", int(qid))
+            frames.append(res)
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
+
+    parts = _map_files(one, rows)
+    if not parts:
+        pdf = _empty_pdf(with_positions)
+        pdf.insert(0, "query_id", pd.Series([], dtype="int32"))
+        pdf["rank"] = pd.Series([], dtype="int32")
+        return pdf
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf = pdf.sort_values(
+        ["query_id", "score", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+        ignore_index=True,
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pdf[pdf["rank"] <= k].reset_index(drop=True)
+
+
+def segment_query_batch_pandas(
+    index_path: str,
+    queries: List[Query],
+    k: int = 10,
+    with_positions: bool = False,
+) -> pd.DataFrame:
+    """Query-node batch serving: many ASTs, one in-process pass over
+    the pruned segment files, no SparkSession (cf.
+    segment_query_pandas). Row-identical to
+    ``segment_query_batch(...).toPandas()``."""
+    ranges, trees, rows, _ = _plan_batch(index_path, queries)
+    if not rows:
+        pdf = _empty_pdf(with_positions)
+        pdf.insert(0, "query_id", pd.Series([], dtype="int32"))
+        pdf["rank"] = pd.Series([], dtype="int32")
+        return pdf
+    return _local_eval_batch(ranges, trees, rows, with_positions, k)
+
+
 def segment_search(
     spark: SparkSession,
     index_path: str,
     text: str,
     k: Optional[int] = None,
     with_positions: bool = False,
+    mode: str = "auto",
 ) -> DataFrame:
     """Reference ``search`` (Match + parity score, index.rs:72-74)
     served entirely from positional segments."""
     return segment_query(
-        spark, index_path, Match(text), k=k, with_positions=with_positions
+        spark, index_path, Match(text), k=k,
+        with_positions=with_positions, mode=mode,
     )
 
 
@@ -641,12 +849,14 @@ def segment_phrase(
     text: str,
     k: Optional[int] = None,
     with_positions: bool = True,
+    mode: str = "auto",
 ) -> DataFrame:
     """Reference ``Phrase`` (pairwise positional intersection,
     postings.rs:66-112) served entirely from positional segments —
     rank- and position-identical to FtsEngine.results(Phrase(text))."""
     return segment_query(
-        spark, index_path, Phrase(text), k=k, with_positions=with_positions
+        spark, index_path, Phrase(text), k=k,
+        with_positions=with_positions, mode=mode,
     )
 
 

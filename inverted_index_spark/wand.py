@@ -237,12 +237,147 @@ def shards_for_terms(
     return [s for s in manifest["shards"] if s["shard_id"] in hit]
 
 
+def _empty_wand_pdf(batch: bool = False) -> pd.DataFrame:
+    cols = {}
+    if batch:
+        cols["query_id"] = pd.Series([], dtype="int32")
+    cols["doc_id"] = pd.Series([], dtype="int64")
+    cols["score"] = pd.Series([], dtype="float64")
+    if batch:
+        cols["rank"] = pd.Series([], dtype="int32")
+    return pd.DataFrame(cols)
+
+
+def _local_wand(
+    seg_dir: str, shards: List[dict], weights: Dict[str, float],
+    k: int, k1: float, b: float, avgdl: float,
+) -> pd.DataFrame:
+    """In-process block-max WAND over the pruned shard files — the same
+    _score_shard kernel the executors run, merged identically
+    ((score desc, doc_id asc), head(k))."""
+    from .segquery import _map_files
+
+    def one(shard_row):
+        f = os.path.join(seg_dir, shard_row["file"])
+        ids, scores = _score_shard(
+            f, weights, k, k1, b, avgdl,
+            float(_bound_scale(avgdl, shard_row)),
+        )
+        if ids.size == 0:
+            return None
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    parts = _map_files(one, shards)
+    if not parts:
+        return _empty_wand_pdf()
+    pdf = pd.concat(parts, ignore_index=True)
+    return (
+        pdf.sort_values(
+            ["score", "doc_id"],
+            ascending=[False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _local_wand_batch(
+    seg_dir: str, shards: List[dict], live, k: int,
+    k1: float, b: float, avgdl: float,
+) -> pd.DataFrame:
+    """In-process batched WAND + per-query rank merge (identical to the
+    mapInPandas path's window rank)."""
+    import pyarrow.parquet as pq
+
+    from .segquery import _map_files
+
+    union_terms = sorted({t for _, w in live for t in w})
+
+    def one(shard_row):
+        f = os.path.join(seg_dir, shard_row["file"])
+        sc = _bound_scale(avgdl, shard_row)
+        table = pq.read_table(
+            f,
+            columns=["term", "block_id", "n", "doc_ids", "tfs", "max_u"],
+            filters=[("term", "in", union_terms + [DOCSTATS_TERM])],
+        )
+        frames = []
+        for qid, w in live:
+            ids, scores = _score_shard_table(
+                table, w, k, k1, b, avgdl, float(sc)
+            )
+            if ids.size == 0:
+                continue
+            frames.append(
+                pd.DataFrame({"query_id": qid, "doc_id": ids, "score": scores})
+            )
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
+
+    parts = _map_files(one, shards)
+    if not parts:
+        return _empty_wand_pdf(batch=True)
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf = pdf.sort_values(
+        ["query_id", "score", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+        ignore_index=True,
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pdf[pdf["rank"] <= k].reset_index(drop=True)
+
+
+def wand_topk_pandas(index_path: str, text: str, k: int = 10) -> pd.DataFrame:
+    """QUERY-NODE BM25 serving: block-max WAND top-k straight from the
+    segment files in this process — no SparkSession, no JVM, no job.
+
+    Row-identical to ``wand_topk(...).toPandas()``: the same planning
+    (metacache term dfs + exact term->shard pruning), the same
+    _score_shard kernel, the same merge. A rare-term query costs the
+    O(df) pruned file opens and nothing else — milliseconds, the
+    distributed analogue of the reference's in-memory serve
+    (/root/reference/src/index.rs:149-160)."""
+    manifest = load_manifest(index_path)
+    seg_dir = os.path.join(index_path, "segments")
+    avgdl = float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    weights = _query_weights(None, index_path, [text], manifest, None)[0]
+    if not weights:
+        return _empty_wand_pdf()
+    shards = shards_for_terms(None, index_path, manifest, weights)
+    return _local_wand(seg_dir, shards, weights, k, k1, b, avgdl)
+
+
+def wand_topk_batch_pandas(
+    index_path: str, texts: List[str], k: int = 10
+) -> pd.DataFrame:
+    """Query-node batched BM25: many queries, one in-process pass over
+    the pruned segment files (cf. wand_topk_pandas). Row-identical to
+    ``wand_topk_batch(...).toPandas()``."""
+    manifest = load_manifest(index_path)
+    seg_dir = os.path.join(index_path, "segments")
+    avgdl = float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    weights = _query_weights(None, index_path, texts, manifest, None)
+    live = [(qid, w) for qid, w in enumerate(weights) if w]
+    if not live:
+        return _empty_wand_pdf(batch=True)
+    union_query_terms = {t for _, w in live for t in w}
+    shards = shards_for_terms(None, index_path, manifest, union_query_terms)
+    return _local_wand_batch(seg_dir, shards, live, k, k1, b, avgdl)
+
+
 def wand_topk_batch(
     spark: SparkSession,
     index_path: str,
     texts: List[str],
     k: int = 10,
     termdict: Optional[DataFrame] = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Block-max WAND for MANY queries in one pass over the segments.
 
@@ -265,6 +400,19 @@ def wand_topk_batch(
 
     union_query_terms = {t for _, w in live for t in w}
     shards = shards_for_terms(spark, index_path, manifest, union_query_terms)
+
+    from .metacache import serve_locally
+
+    if serve_locally(shards, mode):
+        pdf = _local_wand_batch(seg_dir, shards, live, k, k1, b, avgdl)
+        rows = [
+            (int(q), int(d), float(s), int(r))
+            for q, d, s, r in zip(
+                pdf["query_id"], pdf["doc_id"], pdf["score"], pdf["rank"]
+            )
+        ]
+        return spark.createDataFrame(rows, out_schema + ", rank int")
+
     shards_df = spark.createDataFrame(
         [
             (
@@ -314,9 +462,15 @@ def wand_topk(
     text: str,
     k: int = 10,
     termdict: Optional[DataFrame] = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Distributed BM25 top-k: driver analyzes the query + computes idf,
     executors run block-max WAND per shard, driver merges k*shards rows.
+
+    ``mode="auto"``: when term->shard pruning leaves a small shard set
+    (metacache.serve_locally) the driver scores the pruned files itself
+    with the same block-max kernel and returns a local relation — a
+    rare-term top-k costs zero Spark jobs, the query-node pattern.
     """
     manifest = load_manifest(index_path)
     seg_dir = os.path.join(index_path, "segments")
@@ -331,6 +485,16 @@ def wand_topk(
     # stage for no balance gain (a task scores files sequentially, and
     # shard files are uniform by construction)
     shards = shards_for_terms(spark, index_path, manifest, weights)
+
+    from .metacache import serve_locally
+
+    if serve_locally(shards, mode):
+        pdf = _local_wand(seg_dir, shards, weights, k, k1, b, avgdl)
+        rows = [
+            (int(d), float(s)) for d, s in zip(pdf["doc_id"], pdf["score"])
+        ]
+        return spark.createDataFrame(rows, RESULT_SCHEMA)
+
     shards_df = spark.createDataFrame(
         [
             (os.path.join(seg_dir, s["file"]), _bound_scale(avgdl, s))

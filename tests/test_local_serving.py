@@ -1,0 +1,147 @@
+"""Coordinator (query-node) serving: the mode="local" short-circuit and
+the no-Spark pandas APIs must be row-identical to the distributed
+mapInPandas paths — same kernels, same merge — and mode="auto" must
+respect the size thresholds (metacache.serve_locally)."""
+
+import pandas as pd
+import pytest
+
+from inverted_index_spark import metacache
+from inverted_index_spark.build import build_and_save
+from inverted_index_spark.qast import And, Match, Or, Phrase, Prefix
+from inverted_index_spark.segments import build_segments
+from inverted_index_spark.segquery import (
+    segment_query,
+    segment_query_batch,
+    segment_query_batch_pandas,
+    segment_query_pandas,
+)
+from inverted_index_spark.wand import (
+    wand_topk,
+    wand_topk_batch,
+    wand_topk_batch_pandas,
+    wand_topk_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("localserve"))
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=64, block_docs=16,
+                   positions=True)
+    return path
+
+
+ASTS = [
+    Match("scan merge"),
+    And(Match("scan"), Match("merge")),
+    Or(Match("window"), Match("stream")),
+    Phrase("batch batch"),
+    Prefix("mer"),
+    And(Or(Match("scan"), Phrase("batch batch")), Prefix("mer")),
+]
+
+
+def _pos_tuples(cell):
+    # positions arrive as list[dict] (pandas API / arrow toPandas) or
+    # list[Row] (non-arrow); normalize to (begin, end, pos) tuples
+    out = []
+    for r in cell:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        out.append((d["begin"], d["end"], d["pos"]))
+    return out
+
+
+@pytest.mark.parametrize("ast", ASTS, ids=[type(a).__name__ + str(i) for i, a in enumerate(ASTS)])
+def test_pandas_api_identical_to_spark_path(spark, indexed, ast):
+    p = segment_query_pandas(indexed, ast, k=10, with_positions=True)
+    s = segment_query(
+        spark, indexed, ast, k=10, with_positions=True, mode="spark"
+    ).toPandas()
+    assert [int(x) for x in p["doc_id"]] == [int(x) for x in s["doc_id"]]
+    assert [float(x) for x in p["score"]] == [float(x) for x in s["score"]]
+    assert [_pos_tuples(c) for c in p["positions"]] == [
+        _pos_tuples(c) for c in s["positions"]
+    ]
+
+
+@pytest.mark.parametrize("ast", ASTS[:3], ids=["m", "a", "o"])
+def test_local_mode_identical_to_spark_mode(spark, indexed, ast):
+    loc = segment_query(spark, indexed, ast, k=10, mode="local").collect()
+    spk = segment_query(spark, indexed, ast, k=10, mode="spark").collect()
+    assert [(r["doc_id"], r["score"]) for r in loc] == [
+        (r["doc_id"], r["score"]) for r in spk
+    ]
+
+
+def test_wand_pandas_identical(spark, indexed):
+    for text in ["scan merge join", "merge", "nonexistentterm scan"]:
+        p = wand_topk_pandas(indexed, text, k=10)
+        s = wand_topk(spark, indexed, text, k=10, mode="spark").toPandas()
+        assert [int(x) for x in p["doc_id"]] == [int(x) for x in s["doc_id"]]
+        assert [float(x) for x in p["score"]] == [float(x) for x in s["score"]]
+
+
+def test_wand_batch_pandas_identical(spark, indexed):
+    texts = ["scan merge", "window stream", "zzznotaterm", "batch"]
+    p = wand_topk_batch_pandas(indexed, texts, k=5)
+    s = wand_topk_batch(
+        spark, indexed, texts, k=5, mode="spark"
+    ).toPandas()
+    cols = ["query_id", "doc_id", "score", "rank"]
+    assert p[cols].values.tolist() == s[cols].values.tolist()
+
+
+def test_segment_batch_pandas_identical(spark, indexed):
+    p = segment_query_batch_pandas(indexed, ASTS, k=5)
+    s = segment_query_batch(
+        spark, indexed, ASTS, k=5, mode="spark"
+    ).toPandas()
+    cols = ["query_id", "doc_id", "score", "rank"]
+    assert p[cols].values.tolist() == s[cols].values.tolist()
+
+
+def test_no_hit_and_empty_queries(indexed):
+    assert len(wand_topk_pandas(indexed, "zzzznotaterm", k=5)) == 0
+    assert len(segment_query_pandas(indexed, Match(""), k=5)) == 0
+    # 1-term phrase -> empty (reference src/index.rs:94-106)
+    assert len(segment_query_pandas(indexed, Phrase("single"), k=5)) == 0
+    empty = wand_topk_batch_pandas(indexed, ["zzz1", ""], k=5)
+    assert list(empty.columns) == ["query_id", "doc_id", "score", "rank"]
+    assert len(empty) == 0
+
+
+def test_pandas_api_needs_no_spark_session(indexed):
+    """The serving call graph must not touch a SparkSession object —
+    the query-node half runs where no JVM exists."""
+    pdf = wand_topk_pandas(indexed, "scan merge", k=5)
+    assert isinstance(pdf, pd.DataFrame) and len(pdf) > 0
+    pdf2 = segment_query_pandas(indexed, Match("scan"), k=5)
+    assert isinstance(pdf2, pd.DataFrame) and len(pdf2) > 0
+
+
+def test_auto_mode_thresholds(spark, indexed, monkeypatch):
+    shards = [{"enc_bytes": 1 << 20} for _ in range(4)]
+    assert metacache.serve_locally(shards, "auto")
+    assert not metacache.serve_locally(shards, "spark")
+    assert metacache.serve_locally(shards, "local")
+    # too many files
+    many = [{"enc_bytes": 1} for _ in range(100)]
+    assert not metacache.serve_locally(many, "auto")
+    # too many bytes
+    big = [{"enc_bytes": metacache.LOCAL_MAX_BYTES}] * 2
+    assert not metacache.serve_locally(big, "auto")
+    # unknown size (pre-v3 manifest) -> distribute
+    assert not metacache.serve_locally([{"file": "x"}], "auto")
+    # env kill-switch
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_QUERY", "0")
+    assert not metacache.serve_locally(shards, "auto")
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_QUERY")
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_QUERY_MAX_FILES", "2")
+    assert not metacache.serve_locally(shards, "auto")
+    with pytest.raises(ValueError):
+        metacache.serve_locally(shards, "bogus")

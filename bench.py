@@ -206,8 +206,10 @@ def main() -> None:
         segment_phrase,
         segment_query,
         segment_query_batch,
+        segment_query_pandas,
         segment_search,
     )
+    from inverted_index_spark.wand import wand_topk_pandas
     from inverted_index_spark.pipelines.dedup import dedup_corpus
     from inverted_index_spark.pipelines.similarity import knn_join
 
@@ -221,6 +223,8 @@ def main() -> None:
     eng.bm25("scan", k=1).collect()
     wand_topk(spark, idx_path, "scan", k=1).collect()
     segment_search(spark, idx_path, "scan", k=1).collect()
+    wand_topk_pandas(idx_path, "scan", k=1)
+    segment_query_pandas(idx_path, Match("scan"), k=1, with_positions=False)
 
     queries = {
         "bm25_topk": lambda: eng.bm25("scan merge join", k=10).collect(),
@@ -236,28 +240,29 @@ def main() -> None:
             Prefix("mer"), k=10, with_positions=False
         ).collect(),
         "wand_bm25": lambda: wand_topk(
-            spark, idx_path, "scan merge join", k=10
+            spark, idx_path, "scan merge join", k=10, mode="spark"
         ).collect(),
         # positional-segment-served parity/phrase (scale path: the raw
         # postings parquet is not touched)
         "match_seg": lambda: segment_search(
-            spark, idx_path, "merge", k=10
+            spark, idx_path, "merge", k=10, mode="spark"
         ).collect(),
         "phrase_seg": lambda: segment_phrase(
-            spark, idx_path, "batch batch", k=10
+            spark, idx_path, "batch batch", k=10, mode="spark"
         ).collect(),
         # compound algebra served from segments (round 3): And prunes to
         # the intersection of child shard sets before opening any file
         "and_seg": lambda: segment_query(
             spark, idx_path, And(Match("scan"), Match("merge")), k=10,
-            with_positions=False,
+            with_positions=False, mode="spark",
         ).collect(),
         "or_seg": lambda: segment_query(
             spark, idx_path, Or(Match("window"), Match("stream")), k=10,
-            with_positions=False,
+            with_positions=False, mode="spark",
         ).collect(),
         "prefix_seg": lambda: segment_query(
-            spark, idx_path, Prefix("mer"), k=10, with_positions=False
+            spark, idx_path, Prefix("mer"), k=10, with_positions=False,
+            mode="spark",
         ).collect(),
         # amortized many-query paths: 64 queries, one job
         "seg_batch64": lambda: segment_query_batch(
@@ -265,7 +270,7 @@ def main() -> None:
             idx_path,
             [Match("scan merge"), Match("window stream"),
              Match("group value"), Match("join filter")] * 16,
-            k=10,
+            k=10, mode="spark",
         ).collect(),
         "bm25_batch64": lambda: eng.bm25_batch(
             ["scan merge", "window stream", "group value", "join filter"] * 16,
@@ -275,8 +280,17 @@ def main() -> None:
             spark,
             idx_path,
             ["scan merge", "window stream", "group value", "join filter"] * 16,
-            k=10,
+            k=10, mode="spark",
         ).collect(),
+        # query-node (coordinator) serving: same kernels, zero Spark
+        # jobs -- what a search frontend pays per query when pruning
+        # keeps the read small
+        "wand_serve": lambda: wand_topk_pandas(
+            idx_path, "scan merge join", k=10
+        ),
+        "seg_serve": lambda: segment_query_pandas(
+            idx_path, Match("merge"), k=10, with_positions=False
+        ),
         # training-pipeline ops at the same amplified scale: corpus-level
         # dedup (the amplification IS a planted exact-dup cluster per
         # source doc — the exact-first pass collapses it before LSH ever

@@ -428,7 +428,9 @@ def explain_segment_query(index_path: str, query: Query) -> dict:
 
     Keys: ``empty``, ``positional``, ``ngrams``, ``tree`` (rendered),
     ``ranges`` (list of {lo, hi, df_full, shards: int|"all"}),
-    ``shards_total``, ``shards_open``, ``files``.
+    ``shards_total``, ``shards_open``, ``files``, ``serving``
+    ("local" when mode=auto would evaluate the pruned set in-process,
+    else "spark"), ``pruned_enc_bytes``.
     """
     manifest = load_manifest(index_path)
     ngrams = _index_ngrams(index_path)
@@ -472,6 +474,8 @@ def explain_segment_query(index_path: str, query: Query) -> dict:
         ranges=rinfo,
         shards_open=len(shards),
         files=[s["file"] for s in shards],
+        serving="local" if metacache.serve_locally(shards, "auto") else "spark",
+        pruned_enc_bytes=sum(int(s.get("enc_bytes") or 0) for s in shards),
     )
     return out
 

@@ -428,6 +428,10 @@ def test_explain_segment_query_previews_the_pruned_plan(spark, tmp_path):
     got = segment_query(spark, path, q).collect()
     assert [r["doc_id"] for r in got] == [300]
 
+    # serving preview: one tiny pruned shard -> mode=auto serves locally
+    assert plan["serving"] == "local"
+    assert 0 < plan["pruned_enc_bytes"] <= 32 << 20
+
     wide = explain_segment_query(path, Or(Match("zzzuniqueterm"), Match("common")))
     assert wide["shards_open"] == total, "Or unions children"
 

@@ -45,6 +45,7 @@ from .upsert import (  # noqa: F401
 from .segquery import (  # noqa: F401
     explain_segment_query,
     segment_highlight,
+    segment_highlight_pandas,
     segment_phrase,
     segment_query,
     segment_query_batch,
@@ -99,6 +100,7 @@ __all__ = [
     "segment_query_batch_pandas",
     "segment_phrase",
     "segment_highlight",
+    "segment_highlight_pandas",
     "register_index_views",
     "bm25_sql",
     "compact_stream",

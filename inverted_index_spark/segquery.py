@@ -864,6 +864,81 @@ def segment_phrase(
     )
 
 
+def _load_doc_texts(index_path: str, doc_ids: List[int]) -> Dict[int, str]:
+    """doc_id -> text for the given ids, read in-process: the committed
+    base doc store plus any un-compacted stream delta batches (later
+    batches win per doc_id — the view compact_stream would fold in).
+    Raises FileNotFoundError when the index has no doc store
+    (store_docs=False builds)."""
+    import pyarrow.parquet as pq
+
+    from . import commitio
+
+    dirs: List[str] = []
+    base = commitio.table_path(index_path, "docs")
+    if os.path.isdir(base):
+        dirs.append(base)
+    stream_docs = os.path.join(index_path, "stream_delta", "docs")
+    if os.path.isdir(stream_docs):
+        dirs.extend(
+            os.path.join(stream_docs, x)
+            for x in sorted(os.listdir(stream_docs))
+            if x.startswith("batch=")
+        )
+    if not dirs:
+        raise FileNotFoundError(
+            f"no doc store under {index_path} (built with "
+            "store_docs=False?) — pass the corpus to segment_highlight "
+            "instead"
+        )
+    out: Dict[int, str] = {}
+    want = list({int(d) for d in doc_ids})
+    for d in dirs:  # later dirs overwrite: newest batch wins
+        t = pq.read_table(
+            d, columns=["doc_id", "text"], filters=[("doc_id", "in", want)]
+        )
+        out.update(
+            zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        )
+    return out
+
+
+def segment_highlight_pandas(
+    index_path: str,
+    query: Query,
+    before: str,
+    after: str,
+    k: Optional[int] = None,
+) -> pd.DataFrame:
+    """Query-node highlight serving: top-k + byte-range-wrapped text,
+    fully in-process (cf. segment_query_pandas) — evaluate the AST from
+    the pruned segment files, then fetch ONLY the k winners' documents
+    from the doc store with a pushed doc_id filter and wrap each
+    coalesced position's byte range (search_result.rs:54-66). Columns
+    (doc_id, score, positions, highlighted), ordered
+    (score desc, doc_id asc) like segment_highlight."""
+    from .oracle import highlight as _hl
+
+    res = segment_query_pandas(index_path, query, k=k, with_positions=True)
+    if res.empty:
+        res["highlighted"] = pd.Series([], dtype=object)
+        return res
+    texts = _load_doc_texts(index_path, [int(x) for x in res["doc_id"]])
+    res = res.copy()
+    res["highlighted"] = [
+        None
+        if texts.get(int(d)) is None
+        else _hl(
+            texts[int(d)],
+            [(int(p["begin"]), int(p["end"]), int(p["pos"])) for p in poss],
+            before,
+            after,
+        )
+        for d, poss in zip(res["doc_id"], res["positions"])
+    ]
+    return res
+
+
 def segment_highlight(
     results: DataFrame,
     docs: DataFrame,

@@ -84,7 +84,10 @@ def test_random_corpus_segment_parity(spark, seed, tmp_path):
     on a fixed corpus."""
     from inverted_index_spark.build import build_and_save
     from inverted_index_spark.segments import build_segments
-    from inverted_index_spark.segquery import segment_query
+    from inverted_index_spark.segquery import (
+        segment_query,
+        segment_query_pandas,
+    )
 
     docs = _corpus(seed, n_docs=40)
     path = str(tmp_path / "randseg")
@@ -108,7 +111,21 @@ def test_random_corpus_segment_parity(spark, seed, tmp_path):
                 round(r["score"], 5),
             )
             for r in segment_query(
-                spark, path, q, with_positions=True
+                spark, path, q, with_positions=True, mode="spark"
             ).collect()
         ]
         assert got == expect, f"segment query {q} diverged on seed {seed}"
+
+        # the query-node (no-Spark) serving path under the same fuzz
+        pdf = segment_query_pandas(path, q, with_positions=True)
+        served = [
+            (
+                int(d),
+                [(p["begin"], p["end"], p["pos"]) for p in poss],
+                round(float(s), 5),
+            )
+            for d, s, poss in zip(
+                pdf["doc_id"], pdf["score"], pdf["positions"]
+            )
+        ]
+        assert served == expect, f"pandas serving {q} diverged on seed {seed}"

@@ -124,6 +124,43 @@ def test_pandas_api_needs_no_spark_session(indexed):
     assert isinstance(pdf2, pd.DataFrame) and len(pdf2) > 0
 
 
+def test_highlight_pandas_identical_to_spark_join(spark, indexed):
+    from inverted_index_spark import commitio
+    from inverted_index_spark.segquery import (
+        segment_highlight,
+        segment_highlight_pandas,
+    )
+
+    q = Phrase("batch batch")
+    res = segment_query(
+        spark, indexed, q, k=5, with_positions=True, mode="spark"
+    )
+    docs = spark.read.parquet(commitio.table_path(indexed, "docs"))
+    want = [
+        (r["doc_id"], r["highlighted"])
+        for r in segment_highlight(res, docs, "<b>", "</b>")
+        .select("doc_id", "highlighted")
+        .collect()
+    ]
+    got = segment_highlight_pandas(indexed, q, "<b>", "</b>", k=5)
+    assert [(int(d), h) for d, h in zip(got["doc_id"], got["highlighted"])] == want
+    assert all("<b>" in h for h in got["highlighted"])
+
+
+def test_highlight_pandas_requires_doc_store(spark, tmp_path):
+    from inverted_index_spark.segquery import segment_highlight_pandas
+
+    path = str(tmp_path / "nodocs")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(40)], "doc_id long, text string"
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False, store_docs=False)
+    build_segments(spark, idx, path, shard_docs=16, block_docs=8,
+                   positions=True)
+    with pytest.raises(FileNotFoundError):
+        segment_highlight_pandas(path, Match("alpha"), "<b>", "</b>", k=3)
+
+
 def test_auto_mode_thresholds(spark, indexed, monkeypatch):
     shards = [{"enc_bytes": 1 << 20} for _ in range(4)]
     assert metacache.serve_locally(shards, "auto")

@@ -85,25 +85,31 @@ def term_dfs(index_path: str, terms: List[str]) -> Dict[str, int]:
     return out
 
 
-def shard_sets_for_ranges(
+def range_stats_for_ranges(
     index_path: str, ranges: List[Tuple[str, Optional[str]]]
-) -> Optional[List[Optional[Set[int]]]]:
-    """Per-range shard-id sets from the exact term->shard map.
+) -> Optional[List[Optional[dict]]]:
+    """Per-range shard sets + cost statistics from the term->shard map.
 
     ``ranges[i] = (lo, hi)`` selects terms in ``[lo, hi)`` (hi None =
-    unbounded). Returns one set per range, or None when the map is
-    absent (pre-v2 layout — caller scans every shard). An individual
-    range entry is None when it matched more than MAX_MATCHED_ROWS map
-    rows (caller treats it as "all shards").
+    unbounded). Returns one dict per range —
+    ``{"shards": set[int], "n_postings": int|None,
+    "n_positions": int|None}`` (counts None when any matched map row
+    predates the stats columns) — or None when the map itself is absent
+    (pre-v2 layout: caller scans every shard). An individual entry is
+    None when the range matched more than MAX_MATCHED_ROWS map rows
+    (caller treats it as "all shards", cost unknown).
 
     Per-range sets let compound queries prune structurally: And
     intersects its children's shard sets, Or unions them — a
-    one-rare-term And opens only the rare term's shards.
+    one-rare-term And opens only the rare term's shards. The counts
+    bound the pruned read volume (12 B/posting + 12 B/position raw —
+    encoding only shrinks), which drives the local-vs-distributed
+    serving decision.
     """
     snap = _snapshot(index_path, "term_shards")
     if snap is None:
         return None
-    key = (snap, "shards", tuple(ranges))
+    key = (snap, "stats", tuple(ranges))
     hit = _memo_get(key)
     if hit is not None:
         return hit  # type: ignore[return-value]
@@ -115,24 +121,89 @@ def shard_sets_for_ranges(
         if hi is not None:
             cl.append(("term", "<", hi))
         filters.append(cl)
-    table = pq.read_table(
-        snap[0], columns=["term", "shard_id"], filters=filters
+    schema_names = pq.read_schema(
+        _first_parquet_file(snap[0]) or snap[0]
+    ).names
+    has_stats = "n_postings" in schema_names
+    cols = ["term", "shard_id"] + (
+        ["n_postings", "n_positions"] if has_stats else []
     )
+    table = pq.read_table(snap[0], columns=cols, filters=filters)
+    import numpy as np
     import pandas as pd
 
     terms = pd.Series(table.column("term").to_pylist(), dtype=object)
     shard_ids = table.column("shard_id").to_numpy()
-    sets: List[Optional[Set[int]]] = []
+    if has_stats:
+        np_col = table.column("n_postings").to_pandas()
+        npos_col = table.column("n_positions").to_pandas()
+    out: List[Optional[dict]] = []
     for lo, hi in ranges:
         mask = terms >= lo
         if hi is not None:
             mask &= terms < hi
-        if int(mask.sum()) > MAX_MATCHED_ROWS:
-            sets.append(None)
-        else:
-            sets.append(set(int(x) for x in set(shard_ids[mask.to_numpy()])))
-    _memo_put(key, sets)
-    return sets
+        m = mask.to_numpy()
+        if int(m.sum()) > MAX_MATCHED_ROWS:
+            out.append(None)
+            continue
+        entry: dict = {
+            "shards": set(int(x) for x in set(shard_ids[m])),
+            "n_postings": None,
+            "n_positions": None,
+        }
+        if has_stats:
+            np_m, npos_m = np_col[m], npos_col[m]
+            if not (np_m.isna().any() or npos_m.isna().any()):
+                entry["n_postings"] = int(np_m.sum())
+                entry["n_positions"] = int(npos_m.sum())
+        out.append(entry)
+    _memo_put(key, out)
+    return out
+
+
+def _first_parquet_file(d: str) -> Optional[str]:
+    try:
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".parquet"):
+                return os.path.join(d, name)
+    except OSError:
+        pass
+    return None
+
+
+def shard_sets_for_ranges(
+    index_path: str, ranges: List[Tuple[str, Optional[str]]]
+) -> Optional[List[Optional[Set[int]]]]:
+    """Per-range shard-id sets (cost-free view of
+    range_stats_for_ranges — same semantics, sets only)."""
+    stats = range_stats_for_ranges(index_path, ranges)
+    if stats is None:
+        return None
+    return [None if s is None else s["shards"] for s in stats]
+
+
+# raw struct widths: 8B doc_id + 4B tf per posting, 3 x int32 per
+# position — upper bounds on the encoded read (delta/varint/FOR only
+# shrinks them)
+BYTES_PER_POSTING = 12
+BYTES_PER_POSITION = 12
+
+
+def estimate_read_bytes(
+    stats: Optional[List[Optional[dict]]], with_positions: bool
+) -> Optional[int]:
+    """Upper bound on the pruned read volume for a query's ranges, or
+    None when any range lacks counts (pre-stats map / overflow)."""
+    if stats is None:
+        return None
+    total = 0
+    for s in stats:
+        if s is None or s["n_postings"] is None:
+            return None
+        total += s["n_postings"] * BYTES_PER_POSTING
+        if with_positions:
+            total += s["n_positions"] * BYTES_PER_POSITION
+    return total
 
 
 # -- local (coordinator) serving decision ------------------------------
@@ -151,13 +222,20 @@ LOCAL_MAX_BYTES = 32 << 20
 LOCAL_MAX_FILES = 16
 
 
-def serve_locally(shards: List[dict], mode: str = "auto") -> bool:
+def serve_locally(
+    shards: List[dict],
+    mode: str = "auto",
+    est_bytes: Optional[int] = None,
+) -> bool:
     """True when the pruned shard set should be evaluated driver-side.
 
     ``mode``: "local" forces it, "spark" forbids it, "auto" decides by
-    size — every shard's manifest row must carry ``enc_bytes`` and the
-    set must fit under SPARK_GRAFT_LOCAL_QUERY_MAX_BYTES /
-    _MAX_FILES (env-overridable; SPARK_GRAFT_LOCAL_QUERY=0 disables).
+    COST: ``est_bytes`` (the per-term statistics bound from
+    estimate_read_bytes — what the filtered read actually touches) when
+    available, else the sum of whole-shard ``enc_bytes`` (conservative:
+    a rare term inside a large shard distributes unnecessarily without
+    stats). Thresholds SPARK_GRAFT_LOCAL_QUERY_MAX_BYTES / _MAX_FILES
+    (env-overridable; SPARK_GRAFT_LOCAL_QUERY=0 disables).
     """
     if mode == "local":
         return True
@@ -175,6 +253,8 @@ def serve_locally(shards: List[dict], mode: str = "auto") -> bool:
     )
     if len(shards) > max_files:
         return False
+    if est_bytes is not None:
+        return est_bytes <= max_bytes
     total = 0
     for s in shards:
         enc = s.get("enc_bytes")

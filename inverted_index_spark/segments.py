@@ -400,8 +400,33 @@ def _postings_src(index: FtsIndex, shard_docs: int, positions: bool):
     )
 
 
+def _term_shard_stats(src, positions: bool):
+    """(term, shard_id, n_postings, n_positions) rows for the
+    second-level map: exact per-(term, shard) posting/position counts.
+
+    The counts are the planner's cost statistics: a query's pruned read
+    volume is bounded by sum(n_postings)*12B + sum(n_positions)*12B
+    (raw struct widths — delta/varint encoding only shrinks them), which
+    is what decides coordinator-local vs distributed serving
+    (metacache.serve_locally). n_postings doubles as the term's
+    per-shard df for explain output."""
+    if positions:
+        npos = F.sum(
+            F.when(F.col("positions").isNull(), F.lit(0)).otherwise(
+                F.size("positions")
+            )
+        )
+    else:
+        npos = F.sum(F.lit(0))
+    return src.groupBy("term", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        npos.cast("long").alias("n_positions"),
+    )
+
+
 def _publish_term_shards(spark: SparkSession, path: str, pairs_df) -> None:
-    """Commit a (term, shard_id) map as a new catalog-managed version.
+    """Commit a (term, shard_id[, n_postings, n_positions]) map as a
+    new catalog-managed version.
 
     Sorted by term so a term-predicate read prunes row groups (min/max
     fences) on top of column pruning; versioned-dir + pointer swap so a
@@ -478,8 +503,9 @@ def build_segments(
         .collect()
     ]
 
-    # exact term->shard map (second-level inverted index)
-    _publish_term_shards(spark, path, src.select("term", "shard_id").distinct())
+    # exact term->shard map (second-level inverted index) with
+    # per-(term, shard) cost statistics
+    _publish_term_shards(spark, path, _term_shard_stats(src, positions))
 
     shards = sorted(
         list(done.values()) + new_rows, key=lambda r: r["shard_id"]
@@ -629,12 +655,14 @@ def refresh_segments(
     from . import commitio
 
     ts_dir = commitio.table_path(path, "term_shards")
-    pairs = src.select("term", "shard_id").distinct()
+    pairs = _term_shard_stats(src, positions)
     if os.path.isdir(ts_dir):
         old_pairs = spark.read.parquet(ts_dir).filter(
             ~F.col("shard_id").isin([int(s) for s in pending])
         )
-        pairs = old_pairs.unionByName(pairs)
+        # allowMissingColumns: surviving rows from a pre-stats map keep
+        # null counts — the planner treats those as unknown cost
+        pairs = old_pairs.unionByName(pairs, allowMissingColumns=True)
     _publish_term_shards(spark, path, pairs)
 
     manifest.update(

@@ -449,17 +449,24 @@ def explain_segment_query(index_path: str, query: Query) -> dict:
 
     from . import metacache
 
-    sets = metacache.shard_sets_for_ranges(index_path, ranges)
+    stats = metacache.range_stats_for_ranges(index_path, ranges)
+    est = metacache.estimate_read_bytes(stats, with_positions=True)
+    sets = None if stats is None else [
+        None if s is None else s["shards"] for s in stats
+    ]
     dfs = metacache.term_dfs(index_path, [lo for lo, _ in ranges])
     rinfo = []
     for i, (lo, hi) in enumerate(ranges):
         s = None if sets is None else sets[i]
+        st = None if stats is None else stats[i]
         rinfo.append(
             {
                 "lo": lo,
                 "hi": hi,
                 "df_full": int(dfs.get(lo, 0)),
                 "shards": "all" if s is None else len(s),
+                "n_postings": None if st is None else st["n_postings"],
+                "n_positions": None if st is None else st["n_positions"],
             }
         )
     want = None if sets is None else _node_shards(tree, sets)
@@ -474,8 +481,11 @@ def explain_segment_query(index_path: str, query: Query) -> dict:
         ranges=rinfo,
         shards_open=len(shards),
         files=[s["file"] for s in shards],
-        serving="local" if metacache.serve_locally(shards, "auto") else "spark",
+        serving="local"
+        if metacache.serve_locally(shards, "auto", est_bytes=est)
+        else "spark",
         pruned_enc_bytes=sum(int(s.get("enc_bytes") or 0) for s in shards),
+        est_read_bytes=est,
     )
     return out
 
@@ -516,10 +526,14 @@ def _map_files(fn, files: list) -> list:
 
 
 def _plan_query(index_path: str, query: Query):
-    """Compile + prune: (ranges, tree, surviving manifest shard rows).
+    """Compile + prune: (ranges, tree, surviving manifest shard rows,
+    est_read_bytes).
 
     Pure driver-side planning — manifest and metacache reads only, no
-    Spark. An empty/unsatisfiable query returns ([], tree, [])."""
+    Spark. An empty/unsatisfiable query returns ([], tree, [], None).
+    ``est_read_bytes`` bounds the pruned read volume from the map's
+    per-(term, shard) statistics (None when unavailable) — the input to
+    the local-vs-distributed serving decision."""
     manifest = load_manifest(index_path)
     if not bool(manifest.get("positional", False)):
         raise ValueError(
@@ -529,11 +543,15 @@ def _plan_query(index_path: str, query: Query):
     ranges: list = []
     tree = _compile_node(query, _index_ngrams(index_path), ranges)
     if tree == ("empty",) or not ranges:
-        return [], tree, []
+        return [], tree, [], None
 
     from . import metacache
 
-    sets = metacache.shard_sets_for_ranges(index_path, ranges)
+    stats = metacache.range_stats_for_ranges(index_path, ranges)
+    est = metacache.estimate_read_bytes(stats, with_positions=True)
+    sets = None if stats is None else [
+        None if s is None else s["shards"] for s in stats
+    ]
     if sets is None:
         shards = manifest["shards"]
     else:
@@ -543,7 +561,7 @@ def _plan_query(index_path: str, query: Query):
             if want is None
             else [s for s in manifest["shards"] if s["shard_id"] in want]
         )
-    return ranges, tree, shards
+    return ranges, tree, shards, est
 
 
 def _empty_pdf(with_positions: bool) -> pd.DataFrame:
@@ -608,7 +626,7 @@ def segment_query_pandas(
     process memory (/root/reference/src/index.rs:72-74); this is the
     same shape with the index out-of-process and compressed.
     """
-    ranges, tree, shards = _plan_query(index_path, query)
+    ranges, tree, shards, _ = _plan_query(index_path, query)
     if not shards:
         return _empty_pdf(with_positions)
     return _local_eval_one(index_path, ranges, tree, shards,
@@ -640,13 +658,13 @@ def segment_query(
     search deployment. "spark"/"local" pin the path explicitly.
     """
     schema = RESULT_POS_SCHEMA if with_positions else RESULT_SCHEMA
-    ranges, tree, shards = _plan_query(index_path, query)
+    ranges, tree, shards, est = _plan_query(index_path, query)
     if not shards:
         return spark.createDataFrame([], schema)
 
     from . import metacache
 
-    if metacache.serve_locally(shards, mode):
+    if metacache.serve_locally(shards, mode, est_bytes=est):
         pdf = _local_eval_one(index_path, ranges, tree, shards,
                               with_positions, k)
         return spark.createDataFrame(_rows_for_spark(pdf), schema)
@@ -694,13 +712,13 @@ def segment_query_batch(
         "query_id int, " + (RESULT_POS_SCHEMA if with_positions else RESULT_SCHEMA)
     )
     out_schema = schema + ", rank int"
-    ranges, trees, rows, used = _plan_batch(index_path, queries)
+    ranges, trees, rows, used, est = _plan_batch(index_path, queries)
     if not rows:
         return spark.createDataFrame([], out_schema)
 
     from . import metacache
 
-    if metacache.serve_locally(used, mode):
+    if metacache.serve_locally(used, mode, est_bytes=est):
         pdf = _local_eval_batch(ranges, trees, rows, with_positions, k)
         return spark.createDataFrame(_rows_for_spark(pdf), out_schema)
 
@@ -735,8 +753,8 @@ def segment_query_batch(
 
 def _plan_batch(index_path: str, queries: List[Query]):
     """Compile + prune a query batch: (ranges, trees,
-    [(file, [qid, ...]), ...], used manifest shard rows). Driver-side
-    planning only — no Spark."""
+    [(file, [qid, ...]), ...], used manifest shard rows,
+    est_read_bytes). Driver-side planning only — no Spark."""
     manifest = load_manifest(index_path)
     if not bool(manifest.get("positional", False)):
         raise ValueError(
@@ -748,11 +766,15 @@ def _plan_batch(index_path: str, queries: List[Query]):
     trees = [_compile_node(q, ngrams, ranges) for q in queries]
     live = [(i, t) for i, t in enumerate(trees) if t != ("empty",)]
     if not live or not ranges:
-        return ranges, trees, [], []
+        return ranges, trees, [], [], None
 
     from . import metacache
 
-    sets = metacache.shard_sets_for_ranges(index_path, ranges)
+    stats = metacache.range_stats_for_ranges(index_path, ranges)
+    est = metacache.estimate_read_bytes(stats, with_positions=True)
+    sets = None if stats is None else [
+        None if s is None else s["shards"] for s in stats
+    ]
     all_ids = [s["shard_id"] for s in manifest["shards"]]
     per_shard: Dict[int, List[int]] = {}
     for qid, tree in live:
@@ -767,7 +789,7 @@ def _plan_batch(index_path: str, queries: List[Query]):
         if sid in by_id
     ]
     used = [by_id[sid] for sid in sorted(per_shard) if sid in by_id]
-    return ranges, trees, rows, used
+    return ranges, trees, rows, used, est
 
 
 def _local_eval_batch(
@@ -822,7 +844,7 @@ def segment_query_batch_pandas(
     the pruned segment files, no SparkSession (cf.
     segment_query_pandas). Row-identical to
     ``segment_query_batch(...).toPandas()``."""
-    ranges, trees, rows, _ = _plan_batch(index_path, queries)
+    ranges, trees, rows, _, _ = _plan_batch(index_path, queries)
     if not rows:
         pdf = _empty_pdf(with_positions)
         pdf.insert(0, "query_id", pd.Series([], dtype="int32"))

@@ -222,19 +222,30 @@ def shards_for_terms(
     term lookup (/root/reference/src/index.rs:122-127). Falls back to
     every shard when the map is absent (pre-v2 layouts).
     """
-    from .metacache import shard_sets_for_ranges
+    return shards_and_cost_for_terms(spark, index_path, manifest, terms)[0]
+
+
+def shards_and_cost_for_terms(
+    spark, index_path: str, manifest: dict, terms
+) -> Tuple[List[dict], Optional[int]]:
+    """(pruned shard rows, est read bytes) — the cost is the per-term
+    statistics bound (postings only; WAND never reads positions), None
+    when the map predates the stats columns. Drives the
+    local-vs-distributed serving decision (metacache.serve_locally)."""
+    from .metacache import estimate_read_bytes, range_stats_for_ranges
 
     terms = list(terms)
     if not terms:
-        return manifest["shards"]
+        return manifest["shards"], None
     # exact terms = degenerate ranges [t, t + NUL)
-    sets = shard_sets_for_ranges(
+    stats = range_stats_for_ranges(
         index_path, [(t, t + "\x00") for t in terms]
     )
-    if sets is None or any(s is None for s in sets):
-        return manifest["shards"]
-    hit = set().union(*sets)
-    return [s for s in manifest["shards"] if s["shard_id"] in hit]
+    est = estimate_read_bytes(stats, with_positions=False)
+    if stats is None or any(s is None for s in stats):
+        return manifest["shards"], est
+    hit = set().union(*(s["shards"] for s in stats))
+    return [s for s in manifest["shards"] if s["shard_id"] in hit], est
 
 
 def _empty_wand_pdf(batch: bool = False) -> pd.DataFrame:
@@ -399,11 +410,13 @@ def wand_topk_batch(
         return spark.createDataFrame([], out_schema + ", rank int")
 
     union_query_terms = {t for _, w in live for t in w}
-    shards = shards_for_terms(spark, index_path, manifest, union_query_terms)
+    shards, est = shards_and_cost_for_terms(
+        spark, index_path, manifest, union_query_terms
+    )
 
     from .metacache import serve_locally
 
-    if serve_locally(shards, mode):
+    if serve_locally(shards, mode, est_bytes=est):
         pdf = _local_wand_batch(seg_dir, shards, live, k, k1, b, avgdl)
         rows = [
             (int(q), int(d), float(s), int(r))
@@ -484,11 +497,13 @@ def wand_topk(
     # parallelism already; an explicit repartition would add a shuffle
     # stage for no balance gain (a task scores files sequentially, and
     # shard files are uniform by construction)
-    shards = shards_for_terms(spark, index_path, manifest, weights)
+    shards, est = shards_and_cost_for_terms(
+        spark, index_path, manifest, weights
+    )
 
     from .metacache import serve_locally
 
-    if serve_locally(shards, mode):
+    if serve_locally(shards, mode, est_bytes=est):
         pdf = _local_wand(seg_dir, shards, weights, k, k1, b, avgdl)
         rows = [
             (int(d), float(s)) for d, s in zip(pdf["doc_id"], pdf["score"])

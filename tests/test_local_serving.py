@@ -182,3 +182,117 @@ def test_auto_mode_thresholds(spark, indexed, monkeypatch):
     assert not metacache.serve_locally(shards, "auto")
     with pytest.raises(ValueError):
         metacache.serve_locally(shards, "bogus")
+
+
+# -- cost model: per-(term, shard) statistics ---------------------------
+
+
+def test_term_shard_stats_match_postings(spark, indexed):
+    """The map's n_postings/n_positions are exact per-term counts —
+    verified against the raw postings table."""
+    from inverted_index_spark import commitio
+    from pyspark.sql import functions as F
+
+    posts = spark.read.parquet(commitio.table_path(indexed, "postings"))
+    want = (
+        posts.filter(F.col("term") == "merge")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(
+                F.when(F.col("positions").isNull(), F.lit(0)).otherwise(
+                    F.size("positions")
+                )
+            ).alias("npos"),
+        )
+        .collect()[0]
+    )
+    assert want["np"] > 0
+    stats = metacache.range_stats_for_ranges(indexed, [("merge", "merge\x00")])
+    assert stats is not None and stats[0] is not None
+    assert stats[0]["n_postings"] == want["np"]
+    assert stats[0]["n_positions"] == want["npos"]
+    est = metacache.estimate_read_bytes(stats, with_positions=True)
+    assert est == (
+        want["np"] * metacache.BYTES_PER_POSTING
+        + want["npos"] * metacache.BYTES_PER_POSITION
+    )
+    # WAND never reads positions: cheaper bound
+    assert metacache.estimate_read_bytes(stats, with_positions=False) == (
+        want["np"] * metacache.BYTES_PER_POSTING
+    )
+
+
+def test_est_bytes_overrides_whole_shard_size():
+    # rare term inside a huge shard: stats say the filtered read is tiny
+    huge = [{"enc_bytes": metacache.LOCAL_MAX_BYTES * 4}]
+    assert metacache.serve_locally(huge, "auto", est_bytes=1024)
+    # hot term in a small file count: stats say the read is big -> spark
+    small = [{"enc_bytes": 1024}]
+    assert not metacache.serve_locally(
+        small, "auto", est_bytes=metacache.LOCAL_MAX_BYTES + 1
+    )
+    # no stats -> conservative whole-shard fallback
+    assert metacache.serve_locally(small, "auto", est_bytes=None)
+    assert not metacache.serve_locally(huge, "auto", est_bytes=None)
+
+
+def test_explain_reports_cost(indexed):
+    from inverted_index_spark.segquery import explain_segment_query
+
+    out = explain_segment_query(indexed, And(Match("scan"), Match("merge")))
+    assert out["est_read_bytes"] is not None and out["est_read_bytes"] > 0
+    assert out["serving"] in ("local", "spark")
+    for r in out["ranges"]:
+        assert r["n_postings"] is not None and r["n_postings"] > 0
+        assert r["n_positions"] is not None
+
+
+def test_pre_stats_map_and_refresh_merge(spark, tmp_path):
+    """A map that predates the stats columns still plans correctly
+    (unknown cost -> conservative fallback), and an incremental refresh
+    over it merges via allowMissingColumns: surviving old rows keep
+    null counts, refreshed shards gain exact ones."""
+    from inverted_index_spark import commitio
+    from inverted_index_spark.segments import (
+        _publish_term_shards,
+        refresh_segments,
+    )
+    from inverted_index_spark.upsert import load_index_merged, upsert_saved
+
+    path = str(tmp_path / "prestats")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5}") for i in range(96)],
+        "doc_id long, text string",
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=32, block_docs=8,
+                   positions=True)
+    # simulate a pre-stats layout: republish the map without counts
+    ts = spark.read.parquet(commitio.table_path(path, "term_shards"))
+    _publish_term_shards(spark, path, ts.select("term", "shard_id"))
+    metacache.invalidate()
+
+    stats = metacache.range_stats_for_ranges(path, [("alpha", "alpha\x00")])
+    assert stats[0]["shards"] and stats[0]["n_postings"] is None
+    assert metacache.estimate_read_bytes(stats, True) is None
+    # queries still serve correctly without cost statistics
+    assert len(segment_query_pandas(path, Match("alpha"), k=5)) == 5
+
+    # upsert docs into the LAST doc-range shard only, then refresh
+    upd = spark.createDataFrame(
+        [(95, "alpha zulu refreshed")], "doc_id long, text string"
+    )
+    upsert_saved(spark, path, upd)
+    refresh_segments(spark, load_index_merged(spark, path), path)
+    metacache.invalidate()
+
+    # term only in the refreshed shard: exact stats present
+    znew = metacache.range_stats_for_ranges(path, [("zulu", "zulu\x00")])
+    assert znew[0]["n_postings"] == 1
+    # term spanning untouched (null-stat) shards: cost unknown
+    mixed = metacache.range_stats_for_ranges(path, [("alpha", "alpha\x00")])
+    assert mixed[0]["n_postings"] is None
+    assert metacache.estimate_read_bytes(mixed, True) is None
+    # and the merged map still prunes/serves correctly
+    pdf = segment_query_pandas(path, Match("zulu"), k=5)
+    assert [int(d) for d in pdf["doc_id"]] == [95]

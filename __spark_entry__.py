@@ -85,6 +85,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # -- Spark-side queries ----------------------------------------------------
 
 
+def _q_delete_docs(spark, sf):
+    """Build a saved index, DELETE doc_id % 7 == 0 (tombstone-only
+    generation, upsert.delete_saved), return the surviving docstats —
+    exercises the merged view, derived-table refresh and meta restamp
+    end-to-end."""
+    import tempfile
+
+    from inverted_index_spark import commitio
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.session import ship_package
+    from inverted_index_spark.upsert import delete_saved
+
+    key = (id(spark), sf, "delidx")
+    if key not in _ENGINES:
+        ship_package(spark)
+        path = tempfile.mkdtemp(prefix="fts_contract_del")
+        docs = _docs(spark, sf).select("doc_id", "text")
+        build_and_save(spark, docs, path, ngrams=False, store_docs=False)
+        delete_saved(
+            spark, path, docs.select("doc_id").filter(F.col("doc_id") % 7 == 0)
+        )
+        _ENGINES[key] = path
+    return spark.read.parquet(
+        commitio.table_path(_ENGINES[key], "docstats")
+    ).select(
+        "doc_id",
+        F.col("doclen_bytes").cast("bigint").alias("doclen_bytes"),
+        F.col("doclen_tokens").cast("bigint").alias("doclen_tokens"),
+    )
+
+
 def _q_doc_stats(spark, sf):
     from inverted_index_spark.pipelines.textstats import doc_stats
 
@@ -663,6 +694,7 @@ def _q_stream_sessions(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
+        "delete_docs": _q_delete_docs,
         "term_tf": _q_term_tf,
         "term_df": _q_term_df,
         "term_positions": _q_term_positions,
@@ -900,6 +932,15 @@ def oracle_sql() -> dict[str, str]:
                    strlen(text)::bigint as doclen_bytes,
                    len(string_split(text, ' '))::bigint as doclen_tokens
             from documents
+        """,
+        # delete_saved(doc_id % 7 == 0) leaves exactly the other docs'
+        # stats — single-space ASCII corpus, so the whitespace token
+        # count equals the indexer's
+        "delete_docs": """
+            select doc_id,
+                   strlen(text)::bigint as doclen_bytes,
+                   len(string_split(text, ' '))::bigint as doclen_tokens
+            from documents where doc_id % 7 != 0
         """,
         "term_tf": f"""
             select term, doc_id, count(*)::bigint as tf

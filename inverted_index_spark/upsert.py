@@ -70,9 +70,15 @@ def merged_postings(spark: SparkSession, path: str) -> DataFrame:
         delta = spark.read.parquet(delta_path).select(*base.columns)
         allp = base.unionByName(delta)
     else:
-        return base.drop("gen")
+        allp = base
+    tomb_path = os.path.join(path, TOMB_DIR)
+    if not (os.path.isdir(tomb_path) and os.listdir(tomb_path)):
+        # no tombstones -> nothing to supersede (delete_saved can write a
+        # tombstone-only generation with NO delta, so tombstones must
+        # apply even when the delta dir is absent)
+        return allp.drop("gen")
     tombs = (
-        spark.read.parquet(os.path.join(path, TOMB_DIR))
+        spark.read.parquet(tomb_path)
         .groupBy("doc_id")
         .agg(F.max("gen").alias("tomb_gen"))
     )
@@ -122,13 +128,65 @@ def upsert_saved(
         .parquet(os.path.join(path, TOMB_DIR, f"gen={gen}"))
     )
 
-    # derived tables are rewritten into NEW versioned directories and
-    # committed with a single catalog-pointer swap (commitio.py) —
-    # object-store-safe: no in-place rename/delete of live data.
-    # Versions come from commitio.next_version, NOT the meta generation:
-    # compact_index resets the generation counter to 0, so a meta-derived
-    # version could collide with a live directory (overwrite-in-place,
-    # then gc of the directory the catalog points at).
+    return _refresh_after_mutation(
+        spark, path, meta, gen, changed_docs, new_docs=changed_docs, docs=docs
+    )
+
+
+def delete_saved(
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame,
+    docs: Optional[DataFrame] = None,
+) -> FtsIndex:
+    """Remove documents from a saved index (the reference has no
+    standalone delete — upsert supersedes in place — but a corpus
+    pipeline needs one: GDPR erasure, dedup-driven pruning).
+
+    ``doc_ids``: a one-column (doc_id) DataFrame. The batch is a
+    tombstone-ONLY generation — no delta postings, no base rewrite; the
+    merged view drops every posting, stat row and doc-store row of the
+    deleted ids, the small derived tables are refreshed, and the segment
+    shards covering those ids are invalidated for the next
+    ``refresh_segments``. Deleting ids absent from the index is a no-op
+    for them. ``compact_index`` later reclaims the space physically.
+    """
+    meta = _meta(path)
+    gen = int(meta.get("generation", 0)) + 1
+    (
+        doc_ids.select("doc_id")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, TOMB_DIR, f"gen={gen}"))
+    )
+    return _refresh_after_mutation(
+        spark, path, meta, gen, doc_ids.select("doc_id"), new_docs=None,
+        docs=docs,
+    )
+
+
+def _refresh_after_mutation(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    gen: int,
+    touched_docs: DataFrame,
+    new_docs: Optional[DataFrame],
+    docs: Optional[DataFrame],
+) -> FtsIndex:
+    """Post-mutation bookkeeping shared by upsert_saved / delete_saved:
+    re-derive termdict + docstats from the merged view, sync the doc
+    store (anti-join out touched ids, union ``new_docs`` back in when
+    the mutation carries replacements), publish with one catalog-pointer
+    swap, invalidate touched segment shards, re-stamp meta.
+
+    Derived tables are rewritten into NEW versioned directories —
+    object-store-safe: no in-place rename/delete of live data. Versions
+    come from commitio.next_version, NOT the meta generation:
+    compact_index resets the generation counter to 0, so a meta-derived
+    version could collide with a live directory (overwrite-in-place,
+    then gc of the directory the catalog points at)."""
+    ngrams = bool(meta.get("ngrams", False))
     merged = merged_postings(spark, path)
     postings = merged.filter(F.col("term") != "")
     updates = {
@@ -163,13 +221,13 @@ def upsert_saved(
     if os.path.isdir(docs_dir):
         base_docs = spark.read.parquet(docs_dir)
         updates["docs"] = commitio.next_version(path, "docs")
-        (
-            base_docs.join(
-                changed_docs.select("doc_id").distinct(), "doc_id", "left_anti"
-            )
-            .unionByName(changed_docs, allowMissingColumns=True)
-            .write.mode("overwrite")
-            .parquet(commitio.version_dir(path, "docs", updates["docs"]))
+        kept = base_docs.join(
+            touched_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        if new_docs is not None:
+            kept = kept.unionByName(new_docs, allowMissingColumns=True)
+        kept.write.mode("overwrite").parquet(
+            commitio.version_dir(path, "docs", updates["docs"])
         )
 
     superseded = commitio.publish(path, updates)
@@ -177,7 +235,7 @@ def upsert_saved(
     if "docs" in updates and docs is None:
         docs = spark.read.parquet(commitio.table_path(path, "docs"))
 
-    _invalidate_segments(spark, path, changed_docs)
+    _invalidate_segments(spark, path, touched_docs)
 
     docstats = spark.read.parquet(commitio.table_path(path, "docstats"))
     stats = docstats.agg(

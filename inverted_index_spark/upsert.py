@@ -138,6 +138,7 @@ def delete_saved(
     path: str,
     doc_ids: DataFrame,
     docs: Optional[DataFrame] = None,
+    fold_stream: bool = True,
 ) -> FtsIndex:
     """Remove documents from a saved index (the reference has no
     standalone delete — upsert supersedes in place — but a corpus
@@ -150,7 +151,22 @@ def delete_saved(
     shards covering those ids are invalidated for the next
     ``refresh_segments``. Deleting ids absent from the index is a no-op
     for them. ``compact_index`` later reclaims the space physically.
-    """
+
+    Deletes apply to everything visible at delete time, INCLUDING
+    streamed docs whose deltas are not yet compacted: uncompacted stream
+    deltas bypass the generation filter (streaming.refresh_index unions
+    them verbatim), so they are first folded into a generation
+    (``streaming.compact_stream`` — delta-sized, base untouched) and the
+    tombstone generation written after it supersedes them.
+    ``fold_stream=False`` skips that (delete then only affects
+    base + generation docs until the next compaction)."""
+    if fold_stream:
+        from .streaming import STREAM_DIR, compact_stream
+
+        sd = os.path.join(path, STREAM_DIR)
+        if os.path.isdir(sd) and os.listdir(sd):
+            compact_stream(spark, path)
+    # meta read AFTER the fold — compaction bumps the generation
     meta = _meta(path)
     gen = int(meta.get("generation", 0)) + 1
     (

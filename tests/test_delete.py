@@ -192,3 +192,51 @@ def test_delete_store_docs_false(spark, tmp_path):
     idx = delete_saved(spark, path, _ids(spark, [0, 1]))
     assert idx.n_docs == 18
     assert _match_ids(spark, path, "alpha") == list(range(2, 20))
+
+
+def test_delete_streamed_uncompacted_doc(spark, tmp_path):
+    """Uncompacted stream deltas bypass the generation filter, so
+    delete_saved folds them into a generation first — a streamed doc is
+    deletable the moment it is visible."""
+    from inverted_index_spark.streaming import (
+        append_batch,
+        refresh_index,
+        streaming_doc_id,
+    )
+
+    path = str(tmp_path / "idx")
+    build_and_save(spark, _corpus(spark, 10), path, ngrams=False)
+    batch = spark.createDataFrame(
+        [("conv-a", 0, "alpha streamed gone"),
+         ("conv-b", 0, "alpha streamed kept")],
+        "conv_id string, turn_idx int, text string",
+    )
+    ids = {
+        r["conv_id"]: r["doc_id"]
+        for r in batch.withColumn("doc_id", streaming_doc_id()).collect()
+    }
+    append_batch(path, ngrams=False)(batch, 0)
+
+    eng = FtsEngine(refresh_index(spark, path), use_segments=False)
+    assert {r["doc_id"] for r in eng.search("streamed", k=None).collect()} == set(
+        ids.values()
+    )
+
+    delete_saved(spark, path, _ids(spark, [ids["conv-a"]]))
+    # fold happened: no stream batches remain
+    assert not any(
+        x.startswith("batch=")
+        for t in ("postings", "docstats", "docs")
+        for x in (
+            os.listdir(os.path.join(path, "stream_delta", t))
+            if os.path.isdir(os.path.join(path, "stream_delta", t))
+            else []
+        )
+    )
+    eng2 = FtsEngine(refresh_index(spark, path), use_segments=False)
+    assert {r["doc_id"] for r in eng2.search("streamed", k=None).collect()} == {
+        ids["conv-b"]
+    }
+    assert {r["doc_id"] for r in eng2.search("alpha", k=None).collect()} == (
+        set(range(10)) | {ids["conv-b"]}
+    )

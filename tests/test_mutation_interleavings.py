@@ -71,10 +71,23 @@ def test_random_mutation_interleavings(spark, tmp_path, seed):
     _check(spark, path, mirror, rng, "initial")
 
     next_id = len(mirror)
-    ops = ["upsert", "upsert", "segments", "upsert", "compact", "refresh"]
+    ops = ["upsert", "upsert", "segments", "upsert", "compact", "refresh",
+           "delete", "delete"]
     rng.shuffle(ops)
     for step, op in enumerate(ops):
-        if op == "upsert":
+        if op == "delete":
+            from inverted_index_spark.upsert import delete_saved
+
+            victims = rng.sample(sorted(mirror), min(2, len(mirror)))
+            for d in victims:
+                del mirror[d]
+            delete_saved(
+                spark,
+                path,
+                spark.createDataFrame([(int(d),) for d in victims],
+                                      "doc_id long"),
+            )
+        elif op == "upsert":
             changed = {}
             for _ in range(rng.randint(1, 3)):
                 if rng.random() < 0.5 and mirror:
@@ -171,10 +184,25 @@ def test_random_interleavings_with_streaming(spark, tmp_path, seed):
     check("initial")
     next_id, next_conv, batch_id = len(mirror), 0, 0
     ops = ["stream", "upsert", "segments", "stream", "compact_stream",
-           "upsert", "compact", "refresh"]
+           "upsert", "compact", "refresh", "delete"]
     rng.shuffle(ops)
     for step, op in enumerate(ops):
-        if op == "upsert":
+        if op == "delete":
+            # streamed (43-bit hash) ids are deletable too: delete_saved
+            # folds uncompacted stream deltas first so the tombstone
+            # supersedes them
+            from inverted_index_spark.upsert import delete_saved
+
+            victims = rng.sample(sorted(mirror), min(2, len(mirror)))
+            for d in victims:
+                del mirror[d]
+            delete_saved(
+                spark,
+                path,
+                spark.createDataFrame([(int(d),) for d in victims],
+                                      "doc_id long"),
+            )
+        elif op == "upsert":
             changed = {}
             for _ in range(rng.randint(1, 2)):
                 if rng.random() < 0.5:

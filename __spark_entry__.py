@@ -242,6 +242,31 @@ def _q_match_seg(spark, sf):
     )
 
 
+def _q_andnot_docs(spark, sf):
+    """Boolean negation (engine extension): docs matching 'merge' minus
+    docs matching 'scan' — anti-join on the positive's doc set."""
+    from inverted_index_spark.qast import AndNot, Match
+
+    eng = _engine(spark, sf)
+    return eng.results(
+        AndNot(Match("merge"), Match("scan")), with_positions=False
+    ).select("doc_id")
+
+
+def _q_andnot_seg(spark, sf):
+    """Scale-path AndNot: negation served from compressed segments
+    (doc-sliced layout keeps the subtraction shard-local; the negative
+    never widens the pruned shard set)."""
+    from inverted_index_spark.qast import AndNot, Match
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, AndNot(Match("merge"), Match("scan")),
+        with_positions=False,
+    ).select("doc_id")
+
+
 def _q_and_seg(spark, sf):
     """Scale-path And: compound algebra served from segments (And
     intersects child shard sets before opening files)."""
@@ -708,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand_topk,
         "phrase_seg": _q_phrase_seg,
         "match_seg": _q_match_seg,
+        "andnot_docs": _q_andnot_docs,
+        "andnot_seg": _q_andnot_seg,
         "and_seg": _q_and_seg,
         "or_seg": _q_or_seg,
         "prefix_seg": _q_prefix_seg,
@@ -969,6 +996,12 @@ def oracle_sql() -> dict[str, str]:
         "or_docs": f"""
             select distinct doc_id from ({_TOKS})
             where term like 'window%' or term like 'stream%'
+        """,
+        "andnot_docs": f"""
+            select doc_id from ({_TOKS})
+            group by doc_id
+            having bool_or(term like 'merge%')
+               and not bool_or(term like 'scan%')
         """,
         "prefix_docs": f"""
             select distinct doc_id from ({_TOKS}) where term like 'mer%'
@@ -1513,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
     out["phrase_seg"] = out["phrase_match"]
     out["match_seg"] = out["match_docs"]
     out["and_seg"] = out["and_docs"]
+    out["andnot_seg"] = out["andnot_docs"]
     out["or_seg"] = out["or_docs"]
     out["prefix_seg"] = out["prefix_docs"]
     return out

@@ -28,7 +28,7 @@ from .build import (  # noqa: F401
     save_index,
     upsert_docs,
 )
-from .qast import And, Match, Or, Phrase, Prefix, Query  # noqa: F401
+from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query  # noqa: F401
 from .query import FtsEngine  # noqa: F401
 from .segments import build_segments, load_manifest, refresh_segments  # noqa: F401
 from .session import get_spark  # noqa: F401

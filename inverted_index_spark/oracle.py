@@ -144,7 +144,7 @@ def intersect_positionally(
 # ---------------------------------------------------------------------------
 # query AST (shared with the Spark compiler; mirrors reference query.rs:5-27)
 
-from .qast import And, Match, Or, Phrase, Prefix, Query  # noqa: E402,F401
+from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +276,10 @@ class OracleIndex:
             return self._phrase(query.text)
         if isinstance(query, Prefix):
             return self._prefix(query.text)
+        if isinstance(query, AndNot):
+            pos = self.postings_for(query.positive)
+            neg = self.postings_for(query.negative)
+            return {d: list(ps) for d, ps in pos.items() if d not in neg}
         raise TypeError(f"unknown query node: {query!r}")
 
     def query(self, query: Query) -> List[SearchResult]:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
-__all__ = ["Query", "Match", "And", "Or", "Phrase", "Prefix"]
+__all__ = ["Query", "Match", "And", "Or", "Phrase", "Prefix", "AndNot"]
 
 
 @dataclass(frozen=True)
@@ -54,6 +54,21 @@ class Phrase(Query):
     single-token phrase is empty — reference index.rs:88-107)."""
 
     text: str
+
+
+@dataclass(frozen=True)
+class AndNot(Query):
+    """Docs matching ``positive`` minus docs matching ``negative``;
+    positions/score come from ``positive`` alone.
+
+    Engine EXTENSION — the reference's algebra has no negation
+    (query.rs:5-27 is Match|And|Or|Phrase|Prefix); boolean search users
+    expect MUST_NOT, and a bounded difference (negation only ever
+    subtracts from a positive match set) keeps it computable without a
+    corpus scan. String form: ``a AND NOT b``."""
+
+    positive: Query
+    negative: Query
 
 
 @dataclass(frozen=True)

@@ -10,11 +10,17 @@ unchanged.
 Grammar (whitespace-insensitive between tokens):
 
     expr    := and_expr ( OR and_expr )*
-    and_expr:= atom ( AND atom )*
+    and_expr:= ( atom | NOT atom )+ with optional AND separators,
+               at least one positive atom required
     atom    := '(' expr ')' | '"' words '"' | word '*' | words
 
-* ``OR`` / ``AND`` are case-sensitive keywords (uppercase), so the
-  lowercase English words "and" / "or" remain searchable terms.
+* ``OR`` / ``AND`` / ``NOT`` are case-sensitive keywords (uppercase),
+  so the lowercase English words "and" / "or" / "not" remain
+  searchable terms.
+* ``NOT atom`` subtracts the atom's doc set from the surrounding AND
+  group (``a AND NOT b`` -> ``AndNot(a, b)``; several NOT atoms union:
+  ``a NOT b NOT c`` -> ``AndNot(a, Or(b, c))``). A group of only NOT
+  atoms is an error — negation is bounded, never a corpus scan.
 * A run of bare words is ONE ``Match`` bag ("scan merge" scores docs
   containing either term, like the reference's multi-token Match) —
   use explicit AND for intersection.
@@ -37,7 +43,7 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-from .qast import And, Match, Or, Phrase, Prefix, Query
+from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query
 
 __all__ = ["parse_query", "render_query", "QueryParseError"]
 
@@ -76,7 +82,7 @@ def _lex(s: str) -> List[Tuple[str, str, int]]:
         elif m.group("word"):
             if m.group("star"):
                 out.append(("prefix", m.group("word"), m.start()))
-            elif m.group("word") in ("AND", "OR"):
+            elif m.group("word") in ("AND", "OR", "NOT"):
                 out.append((m.group("word"), m.group("word"), m.start()))
             else:
                 out.append(("word", m.group("word"), m.start()))
@@ -112,19 +118,38 @@ class _Parser:
         return parts[0] if len(parts) == 1 else Or(*parts)
 
     def and_expr(self) -> Query:
-        parts = [self.atom()]
+        parts: List[Query] = []
+        negs: List[Query] = []
+        first = True
         while True:
             t = self.peek()
             if t is None or t[0] in (")", "OR"):
                 break
-            if t[0] == "AND":
+            if not first and t[0] == "AND":
                 self.take()
                 t = self.peek()
                 if t is None or t[0] in (")", "OR", "AND"):
                     raise QueryParseError("AND missing right operand")
-            # juxtaposed atoms join the AND bag too ("a (b OR c)")
-            parts.append(self.atom())
-        return parts[0] if len(parts) == 1 else And(*parts)
+            if t is not None and t[0] == "NOT":
+                self.take()
+                t = self.peek()
+                if t is None or t[0] in (")", "OR", "AND", "NOT"):
+                    raise QueryParseError("NOT missing operand")
+                negs.append(self.atom())
+            else:
+                # juxtaposed atoms join the AND bag too ("a (b OR c)")
+                parts.append(self.atom())
+            first = False
+        if not parts:
+            if negs:
+                raise QueryParseError(
+                    "NOT needs a positive operand to subtract from"
+                )
+            raise QueryParseError("unexpected end of query")
+        pos = parts[0] if len(parts) == 1 else And(*parts)
+        if not negs:
+            return pos
+        return AndNot(pos, negs[0] if len(negs) == 1 else Or(*negs))
 
     def atom(self) -> Query:
         t = self.take()
@@ -166,7 +191,7 @@ def render_query(q: Query) -> str:
     def bad_word(w: str) -> bool:
         return (
             not w
-            or w in ("AND", "OR")
+            or w in ("AND", "OR", "NOT")
             or any(c in w for c in '()"*')
             or w != w.strip()
         )
@@ -186,6 +211,21 @@ def render_query(q: Query) -> str:
         if bad_word(q.text):
             raise ValueError(f"Prefix not renderable: {q.text!r}")
         return f"{q.text}*"
+    if isinstance(q, AndNot):
+        ps = render_query(q.positive)
+        if ps == "":
+            raise ValueError("empty Match inside a compound query")
+        # Or positive needs precedence parens; AndNot positive needs
+        # shape parens (an unparenthesized chain of NOTs re-associates
+        # into one AndNot with an Or negative)
+        if isinstance(q.positive, (Or, AndNot)):
+            ps = f"({ps})"
+        ns = render_query(q.negative)
+        if ns == "":
+            raise ValueError("empty Match inside a compound query")
+        if isinstance(q.negative, (And, Or, AndNot)):
+            ns = f"({ns})"
+        return f"{ps} AND NOT {ns}"
     if isinstance(q, (And, Or)):
         if not q.children:
             raise ValueError("zero-child And/Or is not renderable")
@@ -196,6 +236,9 @@ def render_query(q: Query) -> str:
             need_parens = (
                 type(c) is type(q)  # preserve nesting shape
                 or (isinstance(q, And) and isinstance(c, Or))  # precedence
+                # a bare NOT inside an And re-associates to the whole
+                # group ("a AND NOT b AND c" parses as (a AND c) NOT b)
+                or (isinstance(q, And) and isinstance(c, AndNot))
                 or s == ""  # empty Match needs explicit grouping... none exists
             )
             if s == "":

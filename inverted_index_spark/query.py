@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from .analysis import analyze_query
 from .build import FtsIndex
-from .qast import And, Match, Or, Phrase, Prefix, Query
+from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query
 from .udfs import byte_slice_highlight
 
 K1 = 1.2
@@ -301,6 +301,26 @@ class FtsEngine:
             pairs.append(PlanResult(docs=docs, rows=rows))
         return self._intersect(pairs)
 
+    def _subtract(self, pos: PlanResult, neg: PlanResult) -> PlanResult:
+        """AndNot: positive's docs/rows minus the negative's doc set.
+
+        One anti-join on doc_id (left to Catalyst/AQE to pick the
+        strategy — the negative of a hot term can be far too large to
+        broadcast). Positions and score stay the positive's; complete
+        is inherited because removing whole docs can't orphan members.
+        """
+        docs = pos.docs.join(neg.docs, "doc_id", "left_anti")
+        if pos.raw is not None:
+            raw = pos.raw.join(neg.docs, "doc_id", "left_anti")
+            return PlanResult(
+                docs=docs,
+                rows=self._explode_raw(raw),
+                complete=pos.complete,
+                raw=raw,
+            )
+        rows = pos.rows.join(neg.docs, "doc_id", "left_anti")
+        return PlanResult(docs=docs, rows=rows, complete=pos.complete)
+
     def compile(self, query: Query) -> PlanResult:
         if isinstance(query, Match):
             return self._match(query.text)
@@ -312,6 +332,10 @@ class FtsEngine:
             return self._intersect([self.compile(q) for q in query.children])
         if isinstance(query, Or):
             return self._union([self.compile(q) for q in query.children])
+        if isinstance(query, AndNot):
+            return self._subtract(
+                self.compile(query.positive), self.compile(query.negative)
+            )
         raise TypeError(f"unknown query node: {query!r}")
 
     # ------------------------------------------------------------------

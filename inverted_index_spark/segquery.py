@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from .analysis import analyze_query
 from .codecs import decode_doc_ids, decode_pos_block, varint_decode
 from .oracle import prefix_upper_bound
-from .qast import And, Match, Or, Phrase, Prefix, Query
+from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query
 from .segments import DOCSTATS_TERM, load_manifest
 
 RESULT_SCHEMA = "doc_id long, score float"
@@ -145,6 +145,14 @@ def _compile_node(q: Query, ngrams: bool, ranges: list) -> tuple:
         if len(children) == 1:
             return children[0]
         return ("or", children)
+    if isinstance(q, AndNot):
+        pos = _compile_node(q.positive, ngrams, ranges)
+        neg = _compile_node(q.negative, ngrams, ranges)
+        if pos == ("empty",):
+            return ("empty",)
+        if neg == ("empty",):
+            return pos
+        return ("not", pos, neg)
     raise TypeError(f"unknown query node: {q!r}")
 
 
@@ -181,6 +189,11 @@ def _node_shards(node: tuple, sets) -> Optional[set]:
                 continue
             inter = set(s) if inter is None else (inter & s)
         return inter
+    if kind == "not":
+        # doc-sliced layout: every posting of a doc lives in exactly one
+        # shard, so the negative's postings for the positive's docs are
+        # IN the positive's shards — the negative never widens the scan
+        return _node_shards(node[1], sets)
     # or
     out = set()
     for c in node[1]:
@@ -390,6 +403,12 @@ def _eval_node(node: tuple, matchers) -> Tuple[np.ndarray, tuple]:
         return np.unique(rows[0]), rows
     if kind == "phrase":
         return _phrase_member_rows([matchers[i] for i in node[1]])
+    if kind == "not":
+        member, (d, b, e, p) = _eval_node(node[1], matchers)
+        neg_member, _ = _eval_node(node[2], matchers)
+        member = np.setdiff1d(member, neg_member)
+        keep = np.isin(d, member)
+        return member, (d[keep], b[keep], e[keep], p[keep])
     children = [_eval_node(c, matchers) for c in node[1]]
     if kind == "and":
         member = children[0][0]
@@ -412,6 +431,11 @@ def _render_node(node: tuple, ranges: list) -> str:
     if kind in ("match", "prefix", "phrase"):
         spans = ",".join(ranges[i][0] for i in node[1])
         return f"{kind.capitalize()}[{spans}]"
+    if kind == "not":
+        return (
+            f"AndNot({_render_node(node[1], ranges)}, "
+            f"{_render_node(node[2], ranges)})"
+        )
     inner = ", ".join(_render_node(c, ranges) for c in node[1])
     return f"{'And' if kind == 'and' else 'Or'}({inner})"
 

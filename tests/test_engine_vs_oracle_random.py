@@ -8,7 +8,7 @@ import random
 import pytest
 
 from inverted_index_spark.oracle import OracleIndex
-from inverted_index_spark.qast import And, Match, Or, Phrase, Prefix
+from inverted_index_spark.qast import And, AndNot, Match, Or, Phrase, Prefix
 from tests.conftest import build_engine
 
 WORDS = [
@@ -44,6 +44,9 @@ def _queries(seed: int):
                 Phrase(f"{t1} {t2}"),
                 Prefix(t1[: max(1, len(t1) - 1)]),
                 And(Or(Match(t1), Phrase(f"{t2} {t1}")), Match(t2)),
+                AndNot(Match(t1), Match(t2)),
+                AndNot(Or(Match(t1), Match(t2)), Phrase(f"{t1} {t2}")),
+                AndNot(Match(t1), Prefix(t2[: max(1, len(t2) - 1)])),
             ]
         )
     return qs

@@ -8,7 +8,7 @@ import pytest
 
 from inverted_index_spark import metacache
 from inverted_index_spark.build import build_and_save
-from inverted_index_spark.qast import And, Match, Or, Phrase, Prefix
+from inverted_index_spark.qast import And, AndNot, Match, Or, Phrase, Prefix
 from inverted_index_spark.segments import build_segments
 from inverted_index_spark.segquery import (
     segment_query,
@@ -43,6 +43,8 @@ ASTS = [
     Phrase("batch batch"),
     Prefix("mer"),
     And(Or(Match("scan"), Phrase("batch batch")), Prefix("mer")),
+    AndNot(Match("scan"), Match("merge")),
+    AndNot(Or(Match("scan"), Match("merge")), Phrase("batch batch")),
 ]
 
 

@@ -132,9 +132,15 @@ def test_parse_render_round_trip_property():
         word.map(Prefix),
     )
 
+    from inverted_index_spark.qast import AndNot
+
     def compound(children):
         two = st.lists(children, min_size=2, max_size=3)
-        return st.one_of(two.map(lambda c: And(*c)), two.map(lambda c: Or(*c)))
+        return st.one_of(
+            two.map(lambda c: And(*c)),
+            two.map(lambda c: Or(*c)),
+            st.tuples(children, children).map(lambda pn: AndNot(*pn)),
+        )
 
     ast = st.recursive(leaf, compound, max_leaves=8)
 
@@ -144,3 +150,35 @@ def test_parse_render_round_trip_property():
         assert parse_query(render_query(q)) == q
 
     check()
+
+
+def test_parse_not():
+    from inverted_index_spark.qast import AndNot
+    from inverted_index_spark.qparse import render_query
+
+    assert parse_query("a AND NOT b") == AndNot(Match("a"), Match("b"))
+    assert parse_query("a NOT b") == AndNot(Match("a"), Match("b"))
+    assert parse_query("a NOT b NOT c") == AndNot(
+        Match("a"), Or(Match("b"), Match("c"))
+    )
+    assert parse_query('a AND NOT ("b c" OR d*)') == AndNot(
+        Match("a"), Or(Phrase("b c"), Prefix("d"))
+    )
+    assert parse_query("a AND b NOT c AND d") == AndNot(
+        And(Match("a"), Match("b"), Match("d")), Match("c")
+    )
+    # lowercase 'not' stays a searchable term
+    assert parse_query("not a") == Match("not a")
+    # pure negation is unbounded -> error
+    for bad in ["NOT a", "NOT", "a AND NOT", "a OR NOT b"]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+    # round-trips incl. shape/precedence parens
+    for q in [
+        AndNot(Match("a"), Match("b c")),
+        AndNot(And(Match("a"), Match("b")), Or(Match("c"), Prefix("d"))),
+        AndNot(AndNot(Match("a"), Match("b")), Match("c")),
+        And(AndNot(Match("a"), Match("b")), Match("c")),
+        Or(AndNot(Match("a"), Match("b")), Match("c")),
+    ]:
+        assert parse_query(render_query(q)) == q

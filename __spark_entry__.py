@@ -196,6 +196,39 @@ def _q_bm25_topk(spark, sf):
     )
 
 
+def _q_bm25_filtered(spark, sf):
+    """Metadata-filtered BM25: candidates restricted to lang='en' docs,
+    idf/avgdl/N stay corpus-global (the standard filter-query
+    contract)."""
+    eng = _engine(spark, sf)
+    allowed = _docs(spark, sf).filter(F.col("lang") == "en").select("doc_id")
+    return eng.bm25("scan merge join", k=10, filter_docs=allowed).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score_r4")
+    )
+
+
+def _q_conv_topk(spark, sf):
+    """Conversation-level ranking (transcripts payload): aggregate
+    turn-level BM25 to conversations (agg=max = best turn), top-10
+    conversations. conv structure derives deterministically from doc_id
+    (8 turns per conversation, as transcripts_from_documents)."""
+    from inverted_index_spark.transcripts import conversation_topk
+
+    eng = _engine(spark, sf)
+    conv_map = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("conv-"),
+            F.lpad(F.expr("doc_id DIV 8").cast("string"), 8, "0"),
+        ).alias("conv_id"),
+    )
+    return conversation_topk(eng, conv_map, "scan merge join", k=10).select(
+        "conv_id",
+        F.round(F.col("score"), 4).alias("score_r4"),
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+    )
+
+
 def _q_bm25_batch(spark, sf):
     eng = _engine_fulltoken(spark, sf)
     return eng.bm25_batch(["scan merge join", "window stream", "group value"], k=5) \
@@ -729,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_docs": _q_prefix_docs,
         "phrase_match": _q_phrase_match,
         "bm25_topk": _q_bm25_topk,
+        "bm25_filtered": _q_bm25_filtered,
+        "conv_topk": _q_conv_topk,
         "bm25_batch": _q_bm25_batch,
         "wand_topk": _q_wand_topk,
         "phrase_seg": _q_phrase_seg,
@@ -1049,6 +1084,62 @@ def oracle_sql() -> dict[str, str]:
               cross join stats
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
+        """,
+        # same BM25 CTEs; the filter restricts the SCORED set only —
+        # df/stats stay corpus-global, matching the engine's contract
+        "bm25_filtered": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term)
+            select doc_id, round(score, 4) as score_r4 from (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              join documents d on d.doc_id = tf.doc_id
+              cross join stats
+              where d.lang = 'en'
+              group by tf.doc_id
+            ) order by score desc, doc_id asc limit 10
+        """,
+        "conv_topk": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            scored as (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            )
+            select 'conv-' || lpad(cast(doc_id // 8 as varchar), 8, '0')
+                     as conv_id,
+                   round(max(score), 4) as score_r4,
+                   count(*)::bigint as n_turns
+            from scored
+            group by 1
+            order by max(score) desc, conv_id asc
+            limit 10
         """,
         "bm25_batch": f"""
             with toks as ({_TOKS}),

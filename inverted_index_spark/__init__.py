@@ -34,11 +34,13 @@ from .segments import build_segments, load_manifest, refresh_segments  # noqa: F
 from .session import get_spark  # noqa: F401
 from .transcripts import (  # noqa: F401
     assign_doc_ids,
+    conversation_topk,
     synthetic_transcripts,
     transcript_docs,
 )
 from .upsert import (  # noqa: F401
     compact_index,
+    delete_saved,
     load_index_merged,
     upsert_saved,
 )

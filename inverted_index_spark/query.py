@@ -379,11 +379,34 @@ class FtsEngine:
             F.min("pos").alias("pos"),
         ).select(*ROW_COLS)
 
+    def _restrict(
+        self, plan: PlanResult, filter_docs: DataFrame
+    ) -> PlanResult:
+        """Metadata filter: keep only docs present in ``filter_docs``.
+
+        One semi-join per branch on doc_id; scoring statistics (idf,
+        avgdl, N) stay GLOBAL — the filter restricts candidates, it does
+        not re-weight the corpus (the standard filter-query contract:
+        Lucene filters, SQL WHERE over a ranked subquery)."""
+        allowed = filter_docs.select("doc_id").distinct()
+        raw = (
+            plan.raw.join(allowed, "doc_id", "left_semi")
+            if plan.raw is not None
+            else None
+        )
+        return PlanResult(
+            docs=plan.docs.join(allowed, "doc_id", "left_semi"),
+            rows=plan.rows.join(allowed, "doc_id", "left_semi"),
+            complete=plan.complete,
+            raw=raw,
+        )
+
     def results(
         self,
         query: Query,
         k: Optional[int] = None,
         with_positions: bool = True,
+        filter_docs: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Execute a query -> (doc_id, score, [positions]).
 
@@ -410,8 +433,18 @@ class FtsEngine:
         ``segquery.segment_query`` — bit-identical results (scores,
         order, position arrays; asserted in tests) served from the
         compressed shards without touching the postings parquet.
+
+        ``filter_docs`` (optional, one doc_id column) restricts results
+        to those docs — derive it from any metadata predicate
+        (``docs.filter(...).select("doc_id")``). Filtered queries pin
+        the relational plan: exact filtered top-k needs the filter
+        applied before the limit, which the segment kernels don't see.
         """
-        seg = self._segment_path(positional=True)
+        seg = (
+            self._segment_path(positional=True)
+            if filter_docs is None
+            else None
+        )
         if seg is not None:
             from .segquery import segment_query
 
@@ -423,6 +456,8 @@ class FtsEngine:
                 with_positions=with_positions,
             )
         plan = self.compile(query)
+        if filter_docs is not None:
+            plan = self._restrict(plan, filter_docs)
         two_pass = with_positions and k is not None and plan.complete
         coalesced = self.coalesce_rows(plan.rows)
         # ONE aggregation produces width AND (single-pass only) the
@@ -504,9 +539,14 @@ class FtsEngine:
             F.coalesce(F.col("positions"), empty_pos).alias("positions"),
         )
 
-    def search(self, text: str, k: Optional[int] = None) -> DataFrame:
+    def search(
+        self,
+        text: str,
+        k: Optional[int] = None,
+        filter_docs: Optional[DataFrame] = None,
+    ) -> DataFrame:
         """Reference ``search`` = query(Match(text)) (index.rs:72-74)."""
-        return self.results(Match(text), k=k)
+        return self.results(Match(text), k=k, filter_docs=filter_docs)
 
     def highlight(
         self, results: DataFrame, before: str, after: str
@@ -535,7 +575,12 @@ class FtsEngine:
     # ------------------------------------------------------------------
     # production scorer: BM25 over full tokens
 
-    def bm25_batch(self, texts: List[str], k: int = 10) -> DataFrame:
+    def bm25_batch(
+        self,
+        texts: List[str],
+        k: int = 10,
+        filter_docs: Optional[DataFrame] = None,
+    ) -> DataFrame:
         """Top-k BM25 for MANY queries in one job.
 
         Returns (query_id, doc_id, score, rank) with rank 1..k per
@@ -548,9 +593,11 @@ class FtsEngine:
         With fresh segments the batch routes to ``wand_topk_batch``
         (one segment pass for the whole batch, no docstats shuffle —
         doc lengths are baked into the shard files); the DataFrame plan
-        below is the fallback for segment-less indexes.
+        below is the fallback for segment-less indexes. ``filter_docs``
+        restricts candidates (global idf/avgdl, relational plan pinned —
+        see :meth:`bm25`).
         """
-        seg = self._segment_path()
+        seg = self._segment_path() if filter_docs is None else None
         if seg is not None:
             from .wand import wand_topk_batch
 
@@ -575,6 +622,10 @@ class FtsEngine:
         matched = self.index.postings.filter(
             F.col("term").isin(all_terms) & (F.col("tf") > 0)
         ).select("term", "doc_id", "tf")
+        if filter_docs is not None:
+            matched = matched.join(
+                filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
         df_tbl = self.index.termdict.filter(
             F.col("term").isin(all_terms)
         ).select("term", F.col("df_full").alias("df"))
@@ -606,7 +657,12 @@ class FtsEngine:
             .orderBy("query_id", "rank")
         )
 
-    def bm25(self, text: str, k: int = 10) -> DataFrame:
+    def bm25(
+        self,
+        text: str,
+        k: Optional[int] = 10,
+        filter_docs: Optional[DataFrame] = None,
+    ) -> DataFrame:
         """BM25 top-k (k1=1.2, b=0.75) over full-token postings.
 
         idf = ln((N - df + 0.5)/(df + 0.5) + 1); dl = tokens per doc;
@@ -615,8 +671,19 @@ class FtsEngine:
         TakeOrderedAndProject. Routes to block-max WAND over the
         compressed segments when they are fresh (exact, and skips
         everything the threshold proves can't rank).
+
+        ``filter_docs`` (one doc_id column) restricts CANDIDATES to
+        those docs; idf/avgdl/N stay corpus-global (the standard
+        filter-query contract). ``k=None`` scores every matching doc —
+        the shape downstream aggregations want (e.g.
+        transcripts.conversation_topk). Both pin the relational plan:
+        WAND's threshold pruning assumes an unfiltered complete top-k.
         """
-        seg = self._segment_path()
+        seg = (
+            self._segment_path()
+            if filter_docs is None and k is not None
+            else None
+        )
         if seg is not None:
             from .wand import wand_topk
 
@@ -637,6 +704,10 @@ class FtsEngine:
         matched = self.index.postings.filter(
             F.col("term").isin(terms) & (F.col("tf") > 0)
         ).select("term", "doc_id", "tf")
+        if filter_docs is not None:
+            matched = matched.join(
+                filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
         df_tbl = (
             self.index.termdict.filter(F.col("term").isin(terms))
             .select("term", F.col("df_full").alias("df"))
@@ -657,9 +728,9 @@ class FtsEngine:
                 ),
             )
         )
-        return (
+        scored = (
             per_term.groupBy("doc_id")
             .agg(F.sum("s").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
         )
+        return scored.limit(k) if k is not None else scored

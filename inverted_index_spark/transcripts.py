@@ -178,6 +178,43 @@ def transcript_docs(transcripts: DataFrame) -> DataFrame:
     return assign_doc_ids(transcripts).select("doc_id", *TRANSCRIPT_COLS)
 
 
+def conversation_topk(
+    engine,
+    conv_map: DataFrame,
+    text: str,
+    k: int = 10,
+    agg: str = "max",
+    filter_docs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Top-k CONVERSATIONS for a BM25 query over turn-level docs.
+
+    Transcript search users ask "which conversations are about X", not
+    "which turns": score every matching turn (``engine.bm25(text,
+    k=None)`` — no per-turn limit, a turn outside the turn-level top-k
+    can still carry its conversation), join the (doc_id, conv_id) map,
+    aggregate per conversation — ``agg="max"`` ranks by the best turn
+    (robust to conversation length), ``"sum"`` by total evidence — and
+    take the top-k by (score desc, conv_id asc).
+
+    Returns (conv_id, score, n_turns) with n_turns = matching turns.
+    The conv_map join runs on doc_id (shuffle hash under AQE — the map
+    is corpus-sized, the matched side is query-sized; Spark picks);
+    the aggregation is one combinable groupBy. ``filter_docs`` composes
+    (e.g. restrict to role='user' turns before ranking).
+    """
+    if agg not in ("max", "sum"):
+        raise ValueError(f"agg must be max|sum, got {agg!r}")
+    per_doc = engine.bm25(text, k=None, filter_docs=filter_docs)
+    aggf = (F.max if agg == "max" else F.sum)("score")
+    return (
+        per_doc.join(conv_map.select("doc_id", "conv_id"), "doc_id")
+        .groupBy("conv_id")
+        .agg(aggf.alias("score"), F.count(F.lit(1)).alias("n_turns"))
+        .orderBy(F.desc("score"), F.asc("conv_id"))
+        .limit(k)
+    )
+
+
 TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"

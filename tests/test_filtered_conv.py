@@ -1,0 +1,171 @@
+"""Metadata-filtered scoring + conversation-level ranking.
+
+The filter-query contract: ``filter_docs`` restricts CANDIDATES while
+idf/avgdl/N stay corpus-global (Lucene filter semantics — a filter must
+not re-weight the corpus). conversation_topk aggregates turn-level BM25
+to conversations (payload: multi-turn transcripts)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_spark.build import build_and_save
+from inverted_index_spark.qast import And, Match
+from inverted_index_spark.query import FtsEngine
+from inverted_index_spark.transcripts import conversation_topk
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("filteridx"))
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    # segments deliberately NOT built: the relational plan is the object
+    # under test (filtered queries pin it anyway)
+    return FtsEngine(idx, use_segments=False)
+
+
+def _allowed(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("lang") == "en").select("doc_id")
+
+
+def test_filtered_bm25_is_global_stats_restriction(spark, eng):
+    """Filtered top-k == unfiltered full ranking restricted to allowed
+    ids, then cut at k — scores IDENTICAL (global idf/avgdl), no
+    re-ranking within the filtered set."""
+    allowed = {r["doc_id"] for r in _allowed(spark).collect()}
+    full = [
+        (r["doc_id"], r["score"])
+        for r in eng.bm25("scan merge join", k=None).collect()
+    ]
+    expect = [(d, s) for d, s in full if d in allowed][:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng.bm25(
+            "scan merge join", k=10, filter_docs=_allowed(spark)
+        ).collect()
+    ]
+    assert got == expect and len(got) == 10
+
+
+def test_filtered_results_and_search(spark, eng):
+    allowed = {r["doc_id"] for r in _allowed(spark).collect()}
+    q = And(Match("scan"), Match("merge"))
+    full = eng.results(q, with_positions=True).collect()
+    expect = [
+        (r["doc_id"], r["score"], [tuple(p) for p in r["positions"]])
+        for r in full
+        if r["doc_id"] in allowed
+    ]
+    got = [
+        (r["doc_id"], r["score"], [tuple(p) for p in r["positions"]])
+        for r in eng.results(
+            q, with_positions=True, filter_docs=_allowed(spark)
+        ).collect()
+    ]
+    assert got == expect and got
+    # two-pass positional top-k composes with the filter
+    got_k = [
+        (r["doc_id"], r["score"], [tuple(p) for p in r["positions"]])
+        for r in eng.results(
+            q, k=3, with_positions=True, filter_docs=_allowed(spark)
+        ).collect()
+    ]
+    assert got_k == expect[:3]
+
+
+def test_filtered_bm25_batch(spark, eng):
+    allowed = {r["doc_id"] for r in _allowed(spark).collect()}
+    got = eng.bm25_batch(
+        ["scan merge", "window stream"], k=5, filter_docs=_allowed(spark)
+    ).collect()
+    assert got and all(r["doc_id"] in allowed for r in got)
+    # per query: equals the unfiltered ranking restricted then cut
+    for qid, text in [(0, "scan merge"), (1, "window stream")]:
+        full = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in eng.bm25(text, k=None).collect()
+            if r["doc_id"] in allowed
+        ][:5]
+        batch = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in got
+            if r["query_id"] == qid
+        ]
+        assert batch == full
+
+
+def test_filter_pins_relational_path_on_segmented_index(spark, tmp_path):
+    """A fresh-segments index must still answer filtered queries
+    correctly (routing falls back to the relational plan — WAND's
+    threshold pruning assumes an unfiltered top-k)."""
+    from inverted_index_spark.segments import build_segments, segments_fresh
+
+    path = str(tmp_path / "segidx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 4}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=16, positions=True)
+    assert segments_fresh(path)
+    eng = FtsEngine(idx)  # segments would route unfiltered calls
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(0, 64, 2)], "doc_id long"
+    )
+    got = {r["doc_id"] for r in eng.bm25("alpha", k=64,
+                                         filter_docs=allowed).collect()}
+    assert got == set(range(0, 64, 2))
+    got2 = {
+        r["doc_id"]
+        for r in eng.results(Match("w1"), filter_docs=allowed).collect()
+    }
+    assert got2 == {i for i in range(64) if i % 4 == 1 and i % 2 == 0}
+
+
+def test_conversation_topk(spark, eng):
+    conv_map = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("conv-"), F.expr("doc_id DIV 8").cast("string")
+        ).alias("conv_id"),
+    )
+    per_doc = {
+        r["doc_id"]: r["score"]
+        for r in eng.bm25("scan merge join", k=None).collect()
+    }
+    # expected: max turn score per conversation, ties -> conv_id asc
+    best: dict = {}
+    n_turns: dict = {}
+    for d, s in per_doc.items():
+        c = f"conv-{d // 8}"
+        best[c] = max(best.get(c, float("-inf")), s)
+        n_turns[c] = n_turns.get(c, 0) + 1
+    expect = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    got = conversation_topk(
+        eng, conv_map, "scan merge join", k=5, agg="max"
+    ).collect()
+    assert [(r["conv_id"], r["score"]) for r in got] == expect
+    assert all(r["n_turns"] == n_turns[r["conv_id"]] for r in got)
+
+    # sum aggregation ranks by total evidence
+    total: dict = {}
+    for d, s in per_doc.items():
+        c = f"conv-{d // 8}"
+        total[c] = total.get(c, 0.0) + s
+    expect_sum = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got_sum = conversation_topk(
+        eng, conv_map, "scan merge join", k=5, agg="sum"
+    ).collect()
+    assert [r["conv_id"] for r in got_sum] == [c for c, _ in expect_sum]
+    for r, (_, s) in zip(got_sum, expect_sum):
+        assert r["score"] == pytest.approx(s)
+
+    with pytest.raises(ValueError):
+        conversation_topk(eng, conv_map, "scan", agg="median")

@@ -80,10 +80,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from inverted_index_spark.build import build_and_save, load_index
-    from inverted_index_spark.qast import And, Match, Or, Phrase, Prefix
+    from inverted_index_spark.qast import And, AndNot, Match, Or, Phrase, Prefix
     from inverted_index_spark.query import FtsEngine
     from inverted_index_spark.session import get_spark
     from inverted_index_spark.transcripts import (
+        conversation_topk,
         transcript_docs,
         transcripts_from_documents,
     )
@@ -263,6 +264,22 @@ def main() -> None:
         "prefix_seg": lambda: segment_query(
             spark, idx_path, Prefix("mer"), k=10, with_positions=False,
             mode="spark",
+        ).collect(),
+        # bounded negation (engine extension): shard-local subtraction,
+        # the negative never widens the pruned shard set
+        "andnot_seg": lambda: segment_query(
+            spark, idx_path, AndNot(Match("merge"), Match("scan")), k=10,
+            with_positions=False, mode="spark",
+        ).collect(),
+        # metadata-filtered BM25 (relational plan pinned by contract)
+        "bm25_filtered": lambda: eng_df.bm25(
+            "scan merge join", k=10,
+            filter_docs=docs.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
+        ).collect(),
+        # conversation-level ranking over the real transcript structure
+        "conv_topk": lambda: conversation_topk(
+            eng_df, docs.select("doc_id", "conv_id"),
+            "scan merge join", k=10,
         ).collect(),
         # amortized many-query paths: 64 queries, one job
         "seg_batch64": lambda: segment_query_batch(

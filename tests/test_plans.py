@@ -127,3 +127,30 @@ def test_topk_positions_match_full_results(spark, engine):
             [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
         )
         assert [key(r) for r in topk] == [key(r) for r in full[:4]]
+
+
+def test_filtered_bm25_plan_keeps_pushdown(spark, engine):
+    """The metadata filter must not break term pushdown, column pruning
+    or the top-k: the semi-join restricts candidates on doc_id while
+    In(term) still reaches the scan."""
+    allowed = spark.range(100).withColumnRenamed("id", "doc_id")
+    df = engine.bm25("scan merge join", k=10, filter_docs=allowed)
+    plan = _formatted(df)
+    assert "In(term, [join,merge,scan])" in plan
+    assert "LeftSemi" in plan
+    assert "positions" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_andnot_plan_is_anti_join_with_pushdown(engine):
+    from inverted_index_spark.qast import And, AndNot
+
+    df = engine.results(
+        AndNot(Match("merge"), Match("scan")), with_positions=False
+    )
+    plan = _formatted(df)
+    assert "LeftAnti" in plan
+    # both term ranges still pushed to the scans (full-token layout:
+    # prefix-expansion range predicates)
+    assert "GreaterThanOrEqual(term,merge)" in plan
+    assert "GreaterThanOrEqual(term,scan)" in plan

@@ -229,6 +229,32 @@ def _q_conv_topk(spark, sf):
     )
 
 
+def _q_conv_context(spark, sf):
+    """Context-window retrieval: every turn within +/-1 of a top-5 hit's
+    turn in the same conversation (8-turn convs derived from doc_id)."""
+    from inverted_index_spark.transcripts import conversation_context
+
+    eng = _engine(spark, sf)
+    turn_docs = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("conv-"),
+            F.lpad(F.expr("doc_id DIV 8").cast("string"), 8, "0"),
+        ).alias("conv_id"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("turn_idx"),
+    )
+    hits = eng.bm25("scan merge join", k=5)
+    ctx = conversation_context(turn_docs, hits, window=1)
+    return ctx.select(
+        "doc_id",
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "hit_doc_id",
+        F.col("hit_turn_idx").cast("int").alias("hit_turn_idx"),
+        F.col("offset").cast("int").alias("turn_offset"),
+    )
+
+
 def _q_bm25_batch(spark, sf):
     eng = _engine_fulltoken(spark, sf)
     return eng.bm25_batch(["scan merge join", "window stream", "group value"], k=5) \
@@ -764,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_filtered": _q_bm25_filtered,
         "conv_topk": _q_conv_topk,
+        "conv_context": _q_conv_context,
         "bm25_batch": _q_bm25_batch,
         "wand_topk": _q_wand_topk,
         "phrase_seg": _q_phrase_seg,
@@ -1110,6 +1137,41 @@ def oracle_sql() -> dict[str, str]:
               where d.lang = 'en'
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
+        """,
+        "conv_context": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            scored as (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ),
+            top5 as (select doc_id from scored
+                     order by score desc, doc_id asc limit 5)
+            select d.doc_id,
+                   'conv-' || lpad(cast(d.doc_id // 8 as varchar), 8, '0')
+                     as conv_id,
+                   cast(d.doc_id % 8 as int) as turn_idx,
+                   h.doc_id as hit_doc_id,
+                   cast(h.doc_id % 8 as int) as hit_turn_idx,
+                   cast(d.doc_id % 8 - h.doc_id % 8 as int) as turn_offset
+            from top5 h
+            join documents d
+              on d.doc_id // 8 = h.doc_id // 8
+             and abs(d.doc_id % 8 - h.doc_id % 8) <= 1
         """,
         "conv_topk": f"""
             with toks as ({_TOKS}),

@@ -215,6 +215,56 @@ def conversation_topk(
     )
 
 
+def conversation_context(
+    turn_docs: DataFrame,
+    results: DataFrame,
+    window: int = 1,
+) -> DataFrame:
+    """Surrounding turns for each search hit — the retrieval primitive
+    over transcripts (a matched turn is rarely useful without the turns
+    around it).
+
+    ``turn_docs``: the turn-level document table with its conversation
+    structure (doc_id, conv_id, turn_idx, + any payload columns, e.g.
+    ``transcript_docs`` output). ``results``: any frame with a doc_id
+    column (e.g. ``FtsEngine.bm25(...)`` / ``results(...)``).
+
+    Returns every turn of a hit's conversation within ``window`` of the
+    hit's turn_idx — all ``turn_docs`` columns plus (hit_doc_id,
+    hit_turn_idx, offset). A turn inside two hits' windows appears once
+    per hit (context is per-hit by design; dropDuplicates on doc_id if
+    a flat set is wanted).
+
+    Scale shape: the hit list is query-sized (top-k), so it broadcasts;
+    the equi-join key is conv_id (hash lookup into the corpus-sized
+    turn table) with the turn range as a residual filter — never a
+    corpus shuffle.
+    """
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    hits = (
+        results.select("doc_id")
+        .join(turn_docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .select(
+            F.col("conv_id").alias("_h_conv"),
+            F.col("turn_idx").alias("hit_turn_idx"),
+            F.col("doc_id").alias("hit_doc_id"),
+        )
+    )
+    joined = turn_docs.join(
+        F.broadcast(hits),
+        (F.col("conv_id") == F.col("_h_conv"))
+        & (F.col("turn_idx") >= F.col("hit_turn_idx") - window)
+        & (F.col("turn_idx") <= F.col("hit_turn_idx") + window),
+    )
+    return joined.select(
+        *turn_docs.columns,
+        "hit_doc_id",
+        "hit_turn_idx",
+        (F.col("turn_idx") - F.col("hit_turn_idx")).alias("offset"),
+    )
+
+
 TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"

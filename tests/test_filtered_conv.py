@@ -169,3 +169,37 @@ def test_conversation_topk(spark, eng):
 
     with pytest.raises(ValueError):
         conversation_topk(eng, conv_map, "scan", agg="median")
+
+
+def test_conversation_context(spark, eng):
+    from inverted_index_spark.transcripts import conversation_context
+
+    turn_docs = spark.createDataFrame(
+        [(c * 4 + t, f"c{c}", t, f"text-{c}-{t}")
+         for c in range(3) for t in range(4)],
+        "doc_id long, conv_id string, turn_idx int, text string",
+    )
+    # hits: turn 0 of conv c0 (window clips below) and turn 2 of c1
+    hits = spark.createDataFrame([(0,), (6,)], "doc_id long")
+    got = sorted(
+        (r["hit_doc_id"], r["doc_id"], r["offset"])
+        for r in conversation_context(turn_docs, hits, window=1).collect()
+    )
+    assert got == [
+        (0, 0, 0), (0, 1, 1),            # clipped at the conv start
+        (6, 5, -1), (6, 6, 0), (6, 7, 1),
+    ]
+    # payload columns ride along
+    row = conversation_context(turn_docs, hits, window=0).collect()[0]
+    assert row["text"].startswith("text-")
+    # window=0 is just the hits themselves
+    assert {
+        r["doc_id"]
+        for r in conversation_context(turn_docs, hits, window=0).collect()
+    } == {0, 6}
+    # a turn in two hits' windows appears once PER HIT
+    hits2 = spark.createDataFrame([(5,), (7,)], "doc_id long")
+    per_hit = conversation_context(turn_docs, hits2, window=1).collect()
+    assert sum(1 for r in per_hit if r["doc_id"] == 6) == 2
+    with pytest.raises(ValueError):
+        conversation_context(turn_docs, hits, window=-1)

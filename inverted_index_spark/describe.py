@@ -109,6 +109,17 @@ def describe_index(path: str) -> dict:
             )
     out["stream_delta_batches"] = delta
 
+    # un-compacted mutation generations: upsert deltas + tombstones
+    # (a tombstone gen with no matching delta gen is a pure delete)
+    muts = {}
+    for name in ("postings_delta", "tombstones"):
+        d = os.path.join(path, name)
+        if os.path.isdir(d):
+            muts[name] = sorted(
+                x for x in os.listdir(d) if x.startswith("gen=")
+            )
+    out["mutation_generations"] = muts
+
     gens = {}
     for entry in sorted(os.listdir(path)) if os.path.isdir(path) else []:
         if ".v" in entry and os.path.isdir(os.path.join(path, entry)):

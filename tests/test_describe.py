@@ -55,3 +55,27 @@ def test_describe_flags_staleness_after_mutation(spark, tmp_path):
         "the touched shard must be queued for incremental refresh"
     )
     assert d["versioned_dirs"], "upsert publishes catalog-versioned dirs"
+
+
+def test_describe_reports_mutation_generations(spark, tmp_path):
+    from inverted_index_spark.upsert import delete_saved, upsert_saved
+
+    path = str(tmp_path / "idx3")
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i}") for i in range(20)], "doc_id long, text string"
+    )
+    build_and_save(spark, docs, path, ngrams=False)
+    assert describe_index(path)["mutation_generations"] == {}
+
+    upsert_saved(
+        spark, path,
+        spark.createDataFrame([(0, "alpha changed")],
+                              "doc_id long, text string"),
+    )
+    delete_saved(
+        spark, path, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    m = describe_index(path)["mutation_generations"]
+    assert m["postings_delta"] == ["gen=1"]
+    # gen=2 is a tombstone-ONLY generation (the pure delete)
+    assert m["tombstones"] == ["gen=1", "gen=2"]

@@ -548,6 +548,54 @@ class FtsEngine:
         """Reference ``search`` = query(Match(text)) (index.rs:72-74)."""
         return self.results(Match(text), k=k, filter_docs=filter_docs)
 
+    def explain(
+        self,
+        query,
+        k: Optional[int] = None,
+        with_positions: bool = True,
+        filtered: bool = False,
+    ) -> dict:
+        """Routing + plan preview for a query — zero Spark jobs.
+
+        Accepts a ``Query`` AST or a query STRING (parsed with the query
+        language). Reports which path :meth:`results` would take
+        (``route``: "segments" | "relational" and why), and for the
+        segment route embeds ``segquery.explain_segment_query``'s full
+        preview (pruned shard list, per-range df/fan-out/cost, the
+        local-vs-spark serving decision). ``filtered=True`` previews a
+        call that will pass ``filter_docs`` (which pins the relational
+        plan) without needing the frame itself.
+        """
+        from .qparse import parse_query
+
+        q = parse_query(query) if isinstance(query, str) else query
+        out: dict = {"query": repr(q)}
+        if filtered:
+            out.update(
+                route="relational",
+                reason="filter_docs pins the relational plan (exact "
+                "filtered top-k needs the filter before the limit)",
+            )
+            return out
+        seg = self._segment_path(positional=True)
+        if seg is None:
+            path = getattr(self.index, "path", None)
+            out.update(
+                route="relational",
+                reason=(
+                    "use_segments=False" if not self.use_segments
+                    else "index has no path (in-memory build)" if not path
+                    else "segments missing or stale (run build_segments/"
+                    "refresh_segments)"
+                ),
+            )
+            return out
+        from .segquery import explain_segment_query
+
+        out.update(route="segments", reason="fresh positional segments")
+        out.update(explain_segment_query(seg, q))
+        return out
+
     def highlight(
         self, results: DataFrame, before: str, after: str
     ) -> DataFrame:

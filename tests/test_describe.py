@@ -79,3 +79,40 @@ def test_describe_reports_mutation_generations(spark, tmp_path):
     assert m["postings_delta"] == ["gen=1"]
     # gen=2 is a tombstone-ONLY generation (the pure delete)
     assert m["tombstones"] == ["gen=1", "gen=2"]
+
+
+def test_engine_explain_routing(spark, tmp_path):
+    """FtsEngine.explain: zero-job routing preview — segments when
+    fresh, relational when stale/pinned/filtered, string queries parsed."""
+    from inverted_index_spark.build import load_index
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.upsert import upsert_saved
+
+    path = str(tmp_path / "idx4")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    eng = FtsEngine(idx)
+    e0 = eng.explain("alpha AND NOT w1")
+    assert e0["route"] == "relational" and "stale" in e0["reason"]
+
+    build_segments(spark, idx, path, shard_docs=16, positions=True)
+    e1 = FtsEngine(load_index(spark, path)).explain("alpha AND NOT w1")
+    assert e1["route"] == "segments"
+    assert e1["shards_open"] >= 1 and e1["serving"] in ("local", "spark")
+    assert "AndNot" in e1["tree"]
+
+    # pinned relational / filtered preview
+    eng2 = FtsEngine(load_index(spark, path), use_segments=False)
+    assert eng2.explain("alpha")["route"] == "relational"
+    assert eng2.explain("alpha", filtered=True)["route"] == "relational"
+
+    # mutation flips the route back
+    upsert_saved(
+        spark, path,
+        spark.createDataFrame([(0, "gamma")], "doc_id long, text string"),
+    )
+    e2 = FtsEngine(load_index(spark, path)).explain("alpha")
+    assert e2["route"] == "relational"

@@ -116,6 +116,43 @@ def _q_delete_docs(spark, sf):
     )
 
 
+def _q_merge_docs(spark, sf):
+    """Split the corpus into two doc-range indexes, merge_indexes them
+    (file-link union + termdict re-aggregation), return the merged
+    docstats — end-to-end proof the merged index equals one built over
+    the whole corpus."""
+    import tempfile
+
+    from inverted_index_spark import commitio
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.merge import merge_indexes
+    from inverted_index_spark.session import ship_package
+
+    key = (id(spark), sf, "mergeidx")
+    if key not in _ENGINES:
+        ship_package(spark)
+        root = tempfile.mkdtemp(prefix="fts_contract_merge")
+        docs = _docs(spark, sf).select("doc_id", "text")
+        cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        build_and_save(
+            spark, docs.filter(F.col("doc_id") <= cut), f"{root}/a",
+            ngrams=False, store_docs=False,
+        )
+        build_and_save(
+            spark, docs.filter(F.col("doc_id") > cut), f"{root}/b",
+            ngrams=False, store_docs=False,
+        )
+        merge_indexes(spark, [f"{root}/a", f"{root}/b"], f"{root}/m")
+        _ENGINES[key] = f"{root}/m"
+    return spark.read.parquet(
+        commitio.table_path(_ENGINES[key], "docstats")
+    ).select(
+        "doc_id",
+        F.col("doclen_bytes").cast("bigint").alias("doclen_bytes"),
+        F.col("doclen_tokens").cast("bigint").alias("doclen_tokens"),
+    )
+
+
 def _q_doc_stats(spark, sf):
     from inverted_index_spark.pipelines.textstats import doc_stats
 
@@ -779,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": _q_doc_stats,
         "delete_docs": _q_delete_docs,
+        "merge_docs": _q_merge_docs,
         "term_tf": _q_term_tf,
         "term_df": _q_term_df,
         "term_positions": _q_term_positions,
@@ -1017,6 +1055,14 @@ def oracle_sql() -> dict[str, str]:
 
     out = {
         "doc_stats": """
+            select doc_id,
+                   strlen(text)::bigint as doclen_bytes,
+                   len(string_split(text, ' '))::bigint as doclen_tokens
+            from documents
+        """,
+        # two disjoint doc-range indexes merged == one index over the
+        # whole corpus: the merged docstats are simply every doc's stats
+        "merge_docs": """
             select doc_id,
                    strlen(text)::bigint as doclen_bytes,
                    len(string_split(text, ' '))::bigint as doclen_tokens

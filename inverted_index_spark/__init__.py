@@ -38,6 +38,7 @@ from .transcripts import (  # noqa: F401
     synthetic_transcripts,
     transcript_docs,
 )
+from .merge import merge_indexes  # noqa: F401
 from .upsert import (  # noqa: F401
     compact_index,
     delete_saved,

@@ -64,6 +64,7 @@ from .wand import (  # noqa: F401
     wand_topk,
     wand_topk_batch,
     wand_topk_batch_pandas,
+    wand_topk_federated,
     wand_topk_pandas,
 )
 

@@ -531,3 +531,116 @@ def wand_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+FED_SCHEMA = "index_id int, doc_id long, score double"
+
+
+def wand_topk_federated(
+    spark: SparkSession,
+    paths: List[str],
+    text: str,
+    k: int = 10,
+    mode: str = "auto",
+) -> DataFrame:
+    """BM25 top-k across SEVERAL indexes with globally consistent
+    scoring — the serving shape for time-partitioned deployments whose
+    windows aren't merged yet (cf. merge.merge_indexes for the folded
+    form).
+
+    Global statistics combine driver-side with zero Spark jobs: N and
+    total token mass from each manifest, per-term df summed from each
+    index's termdict via metacache. Every shard then scores with the
+    SAME global idf and global avgdl, so scores are comparable across
+    indexes; per-shard block-max bounds stay sound under the global
+    avgdl via the usual max(1, avgdl_live/avgdl_built) rescale (bounds
+    computed under a larger avgdl only over-estimate — the refresh-drift
+    argument).
+
+    Returns (index_id, doc_id, score) ordered (score desc, doc_id asc,
+    index_id asc) — unmerged indexes may share doc ids, so the index
+    tag is part of the result identity. ``k1``/``b`` must match across
+    inputs. ``mode`` as in wand_topk: "auto" serves the union of pruned
+    shard sets in-process when the summed cost bound is small.
+    """
+    if not paths:
+        raise ValueError("wand_topk_federated needs at least one index")
+    manifests = [load_manifest(p) for p in paths]
+    kb = {(float(m["k1"]), float(m["b"])) for m in manifests}
+    if len(kb) != 1:
+        raise ValueError("indexes were built with different k1/b")
+    k1, b = kb.pop()
+    n = float(sum(int(m["n_docs"]) for m in manifests))
+    tokens = sum(int(m["n_docs"]) * float(m["avgdl"]) for m in manifests)
+    avgdl = tokens / max(n, 1.0)
+
+    terms: List[str] = []
+    for tok in analyze_query(text):
+        if tok.term not in terms:
+            terms.append(tok.term)
+    from .metacache import serve_locally, term_dfs
+
+    dfs: Dict[str, int] = {}
+    for p in paths:
+        for t, d in term_dfs(p, terms).items():
+            dfs[t] = dfs.get(t, 0) + int(d)
+    weights = {
+        t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+        for t in terms
+        if dfs.get(t, 0) > 0
+    }
+    if not weights:
+        return spark.createDataFrame([], FED_SCHEMA)
+
+    rows: List[tuple] = []  # (index_id, file, mu_scale)
+    all_shards: List[dict] = []
+    est_total: Optional[int] = 0
+    for i, (p, m) in enumerate(zip(paths, manifests)):
+        shards, est = shards_and_cost_for_terms(spark, p, m, weights)
+        all_shards.extend(shards)
+        est_total = (
+            None if (est_total is None or est is None) else est_total + est
+        )
+        seg_dir = os.path.join(p, "segments")
+        rows.extend(
+            (i, os.path.join(seg_dir, s["file"]), _bound_scale(avgdl, s))
+            for s in shards
+        )
+    if not rows:
+        return spark.createDataFrame([], FED_SCHEMA)
+
+    if serve_locally(all_shards, mode, est_bytes=est_total):
+        parts = []
+        for i, f, sc in rows:
+            ids, scores = _score_shard(f, weights, k, k1, b, avgdl, float(sc))
+            if ids.size:
+                parts.append((i, ids, scores))
+        flat = [
+            (int(i), int(d), float(s))
+            for i, ids, scores in parts
+            for d, s in zip(ids, scores)
+        ]
+        flat.sort(key=lambda r: (-r[2], r[1], r[0]))
+        return spark.createDataFrame(flat[:k], FED_SCHEMA)
+
+    shards_df = spark.createDataFrame(rows, "index_id int, file string, mu_scale double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i, f, sc in zip(pdf["index_id"], pdf["file"], pdf["mu_scale"]):
+                ids, scores = _score_shard(
+                    f, weights, k, k1, b, avgdl, float(sc)
+                )
+                yield pd.DataFrame(
+                    {
+                        "index_id": np.full(ids.size, int(i), dtype="int32"),
+                        "doc_id": ids,
+                        "score": scores,
+                    }
+                )
+
+    return (
+        shards_df.mapInPandas(run, schema=FED_SCHEMA)
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("index_id"))
+        .limit(k)
+    )

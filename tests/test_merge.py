@@ -180,3 +180,41 @@ def test_merged_index_keeps_mutating(spark, tmp_path):
     assert 70 not in ranks and 5 in ranks
     got = segment_query(spark, out, Match("fresh5"), k=5, mode="spark").collect()
     assert [r["doc_id"] for r in got] == [5]
+
+
+def test_federated_equals_merged(spark, tmp_path):
+    """Cross-index serving with global idf/avgdl must equal querying
+    the physically merged index — same statistics, same kernel."""
+    from inverted_index_spark.wand import wand_topk_federated
+
+    p1, p2, out = (str(tmp_path / x) for x in ("a", "b", "m"))
+    _build(spark, p1, 0, 64)
+    _build(spark, p2, 64, 128)
+    merge_indexes(spark, [p1, p2], out)
+
+    for text in ["alpha", "w3 alpha", "tok100"]:
+        fed = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in wand_topk_federated(
+                spark, [p1, p2], text, k=25, mode="spark"
+            ).collect()
+        ]
+        mer = _wand_rank(spark, out, text, k=25)
+        assert fed == mer, text
+        loc = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in wand_topk_federated(
+                spark, [p1, p2], text, k=25, mode="local"
+            ).collect()
+        ]
+        assert loc == mer, text
+
+    # index tag identifies the source window
+    rows = wand_topk_federated(spark, [p1, p2], "tok100", k=3).collect()
+    assert rows and all(r["index_id"] == 1 for r in rows if r["doc_id"] >= 64)
+    # no-hit query -> empty frame with the federated schema
+    empty = wand_topk_federated(spark, [p1, p2], "zzznothere", k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["index_id", "doc_id", "score"]
+    with pytest.raises(ValueError, match="at least one"):
+        wand_topk_federated(spark, [], "alpha")

@@ -52,6 +52,7 @@ def _score_shard(
     b: float,
     avgdl: float,
     mu_scale: float = 1.0,
+    doc_range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k of one shard via block-max skipping. Returns (ids, scores)."""
     import pyarrow.parquet as pq
@@ -62,7 +63,9 @@ def _score_shard(
         columns=["term", "block_id", "n", "doc_ids", "tfs", "max_u"],
         filters=[("term", "in", terms + [DOCSTATS_TERM])],
     )
-    return _score_shard_table(table, weights, k, k1, b, avgdl, mu_scale)
+    return _score_shard_table(
+        table, weights, k, k1, b, avgdl, mu_scale, doc_range
+    )
 
 
 def _score_shard_table(
@@ -73,6 +76,7 @@ def _score_shard_table(
     b: float,
     avgdl: float,
     mu_scale: float = 1.0,
+    doc_range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Block-max scorer over an in-memory shard table (rows may cover a
     superset of ``weights``'s terms — extra terms are ignored).
@@ -124,6 +128,11 @@ def _score_shard_table(
             # positional parity segments carry tf=0 edge-ngram rows for
             # Match/Phrase serving; BM25 counts full tokens only
             sel = tfs > 0
+            if doc_range is not None:
+                # [lo, hi) doc-id restriction: candidates outside never
+                # enter the heap; block-max skipping stays exact because
+                # a bound over the block's superset bounds any subset
+                sel &= (ids >= doc_range[0]) & (ids < doc_range[1])
             if not sel.all():
                 ids, tfs = ids[sel], tfs[sel]
             if ids.size == 0:
@@ -262,6 +271,7 @@ def _empty_wand_pdf(batch: bool = False) -> pd.DataFrame:
 def _local_wand(
     seg_dir: str, shards: List[dict], weights: Dict[str, float],
     k: int, k1: float, b: float, avgdl: float,
+    doc_range: Optional[Tuple[int, int]] = None,
 ) -> pd.DataFrame:
     """In-process block-max WAND over the pruned shard files — the same
     _score_shard kernel the executors run, merged identically
@@ -273,6 +283,7 @@ def _local_wand(
         ids, scores = _score_shard(
             f, weights, k, k1, b, avgdl,
             float(_bound_scale(avgdl, shard_row)),
+            doc_range,
         )
         if ids.size == 0:
             return None
@@ -342,7 +353,12 @@ def _local_wand_batch(
     return pdf[pdf["rank"] <= k].reset_index(drop=True)
 
 
-def wand_topk_pandas(index_path: str, text: str, k: int = 10) -> pd.DataFrame:
+def wand_topk_pandas(
+    index_path: str,
+    text: str,
+    k: int = 10,
+    doc_range: Optional[Tuple[int, int]] = None,
+) -> pd.DataFrame:
     """QUERY-NODE BM25 serving: block-max WAND top-k straight from the
     segment files in this process — no SparkSession, no JVM, no job.
 
@@ -360,7 +376,9 @@ def wand_topk_pandas(index_path: str, text: str, k: int = 10) -> pd.DataFrame:
     if not weights:
         return _empty_wand_pdf()
     shards = shards_for_terms(None, index_path, manifest, weights)
-    return _local_wand(seg_dir, shards, weights, k, k1, b, avgdl)
+    if doc_range is not None:
+        shards = _shards_in_range(shards, manifest, doc_range)
+    return _local_wand(seg_dir, shards, weights, k, k1, b, avgdl, doc_range)
 
 
 def wand_topk_batch_pandas(
@@ -476,6 +494,7 @@ def wand_topk(
     k: int = 10,
     termdict: Optional[DataFrame] = None,
     mode: str = "auto",
+    doc_range: Optional[Tuple[int, int]] = None,
 ) -> DataFrame:
     """Distributed BM25 top-k: driver analyzes the query + computes idf,
     executors run block-max WAND per shard, driver merges k*shards rows.
@@ -484,6 +503,16 @@ def wand_topk(
     (metacache.serve_locally) the driver scores the pruned files itself
     with the same block-max kernel and returns a local relation — a
     rare-term top-k costs zero Spark jobs, the query-node pattern.
+
+    ``doc_range=(lo, hi)``: EXACT filtered top-k over doc ids in
+    [lo, hi) at full segment speed — shards are doc ranges, so the
+    restriction prunes whole shard files structurally (a time-scoped
+    search over time-ordered doc ids opens only the window's shards)
+    and masks candidates inside boundary shards before the heap. idf
+    and avgdl stay corpus-global (the filter-query contract). Block-max
+    skipping stays exact: a block bound over the superset bounds any
+    subset. Arbitrary (non-range) filters belong on the relational
+    path (``FtsEngine.bm25(filter_docs=...)``).
     """
     manifest = load_manifest(index_path)
     seg_dir = os.path.join(index_path, "segments")
@@ -500,11 +529,17 @@ def wand_topk(
     shards, est = shards_and_cost_for_terms(
         spark, index_path, manifest, weights
     )
+    if doc_range is not None:
+        shards = _shards_in_range(shards, manifest, doc_range)
+        if not shards:
+            return spark.createDataFrame([], RESULT_SCHEMA)
 
     from .metacache import serve_locally
 
     if serve_locally(shards, mode, est_bytes=est):
-        pdf = _local_wand(seg_dir, shards, weights, k, k1, b, avgdl)
+        pdf = _local_wand(
+            seg_dir, shards, weights, k, k1, b, avgdl, doc_range
+        )
         rows = [
             (int(d), float(s)) for d, s in zip(pdf["doc_id"], pdf["score"])
         ]
@@ -522,7 +557,7 @@ def wand_topk(
         for pdf in batches:
             for f, sc in zip(pdf["file"], pdf["mu_scale"]):
                 ids, scores = _score_shard(
-                    f, weights, k, k1, b, avgdl, float(sc)
+                    f, weights, k, k1, b, avgdl, float(sc), doc_range
                 )
                 yield pd.DataFrame({"doc_id": ids, "score": scores})
 
@@ -531,6 +566,20 @@ def wand_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _shards_in_range(
+    shards: List[dict], manifest: dict, doc_range: Tuple[int, int]
+) -> List[dict]:
+    """Manifest shard rows whose doc range intersects [lo, hi) —
+    shard s covers [s*shard_docs, (s+1)*shard_docs) by construction."""
+    lo, hi = doc_range
+    sd = int(manifest["shard_docs"])
+    return [
+        s
+        for s in shards
+        if (int(s["shard_id"]) + 1) * sd > lo and int(s["shard_id"]) * sd < hi
+    ]
 
 
 FED_SCHEMA = "index_id int, doc_id long, score double"

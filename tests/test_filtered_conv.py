@@ -203,3 +203,60 @@ def test_conversation_context(spark, eng):
     assert sum(1 for r in per_hit if r["doc_id"] == 6) == 2
     with pytest.raises(ValueError):
         conversation_context(turn_docs, hits, window=-1)
+
+
+def test_doc_range_wand_equals_filtered_relational(spark, tmp_path):
+    """doc_range WAND == relational bm25 with the same id-range filter:
+    exact filtered top-k at segment speed, global idf/avgdl, structural
+    shard pruning (shards ARE doc ranges)."""
+    from inverted_index_spark.segments import build_segments, load_manifest
+    from inverted_index_spark.wand import (
+        _shards_in_range,
+        wand_topk,
+        wand_topk_pandas,
+    )
+
+    path = str(tmp_path / "ridx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} tok{i}") for i in range(128)],
+        "doc_id long, text string",
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=32, block_docs=8,
+                   positions=True)
+    eng = FtsEngine(idx, use_segments=False)
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(40, 100)], "doc_id long"
+    )
+    want = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.bm25("alpha w3", k=200, filter_docs=allowed).collect()
+    ]
+    assert want and all(40 <= d < 100 for d, _ in want)
+    for mode in ("spark", "local"):
+        got = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in wand_topk(
+                spark, path, "alpha w3", k=200, mode=mode,
+                doc_range=(40, 100),
+            ).collect()
+        ]
+        assert got == want, mode
+    pdf = wand_topk_pandas(path, "alpha w3", k=200, doc_range=(40, 100))
+    assert [
+        (int(d), round(float(s), 5))
+        for d, s in zip(pdf["doc_id"], pdf["score"])
+    ] == want
+
+    # structural pruning: a range inside one shard opens exactly it
+    man = load_manifest(path)
+    inr = _shards_in_range(man["shards"], man, (33, 60))
+    assert [s["shard_id"] for s in inr] == [1]
+    # boundary-exclusive semantics: [lo, hi)
+    edge = wand_topk(spark, path, "tok40 tok99 tok100", k=10,
+                     doc_range=(40, 100), mode="spark").collect()
+    assert sorted(r["doc_id"] for r in edge) == [40, 99]
+    # empty range -> empty frame
+    assert wand_topk(
+        spark, path, "alpha", k=5, doc_range=(1000, 2000)
+    ).count() == 0

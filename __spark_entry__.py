@@ -266,6 +266,18 @@ def _q_conv_topk(spark, sf):
     )
 
 
+def _q_bm25_range(spark, sf):
+    """Time-scoped search: doc_range WAND over compressed segments —
+    shards are doc ranges, so [100, 300) prunes files structurally and
+    masks boundary shards in-kernel; idf/avgdl stay corpus-global."""
+    from inverted_index_spark.wand import wand_topk
+
+    path = _seg_index(spark, sf)
+    return wand_topk(
+        spark, path, "scan merge join", k=10, doc_range=(100, 300)
+    ).select("doc_id", F.round(F.col("score"), 4).alias("score_r4"))
+
+
 def _q_conv_context(spark, sf):
     """Context-window retrieval: every turn within +/-1 of a top-5 hit's
     turn in the same conversation (8-turn convs derived from doc_id)."""
@@ -827,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "bm25_topk": _q_bm25_topk,
         "bm25_filtered": _q_bm25_filtered,
+        "bm25_range": _q_bm25_range,
         "conv_topk": _q_conv_topk,
         "conv_context": _q_conv_context,
         "bm25_batch": _q_bm25_batch,
@@ -1181,6 +1194,29 @@ def oracle_sql() -> dict[str, str]:
               join documents d on d.doc_id = tf.doc_id
               cross join stats
               where d.lang = 'en'
+              group by tf.doc_id
+            ) order by score desc, doc_id asc limit 10
+        """,
+        "bm25_range": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term)
+            select doc_id, round(score, 4) as score_r4 from (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              where tf.doc_id >= 100 and tf.doc_id < 300
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
         """,

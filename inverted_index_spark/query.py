@@ -710,6 +710,7 @@ class FtsEngine:
         text: str,
         k: Optional[int] = 10,
         filter_docs: Optional[DataFrame] = None,
+        doc_range: Optional[tuple] = None,
     ) -> DataFrame:
         """BM25 top-k (k1=1.2, b=0.75) over full-token postings.
 
@@ -726,6 +727,13 @@ class FtsEngine:
         the shape downstream aggregations want (e.g.
         transcripts.conversation_topk). Both pin the relational plan:
         WAND's threshold pruning assumes an unfiltered complete top-k.
+
+        ``doc_range=(lo, hi)`` restricts to doc ids in [lo, hi) and
+        STAYS on the WAND path when segments are fresh — shards are doc
+        ranges, so the window prunes whole files structurally and the
+        kernel masks boundary shards exactly (time-scoped search over
+        time-ordered ids at full segment speed). With a filter_docs
+        frame too, both restrictions apply on the relational path.
         """
         seg = (
             self._segment_path()
@@ -736,7 +744,8 @@ class FtsEngine:
             from .wand import wand_topk
 
             return wand_topk(
-                self.index.docstats.sparkSession, seg, text, k=k
+                self.index.docstats.sparkSession, seg, text, k=k,
+                doc_range=doc_range,
             )
         terms: List[str] = []
         for tok in analyze_query(text):
@@ -752,6 +761,12 @@ class FtsEngine:
         matched = self.index.postings.filter(
             F.col("term").isin(terms) & (F.col("tf") > 0)
         ).select("term", "doc_id", "tf")
+        if doc_range is not None:
+            # sargable range predicate — pushed to the postings scan
+            matched = matched.filter(
+                (F.col("doc_id") >= int(doc_range[0]))
+                & (F.col("doc_id") < int(doc_range[1]))
+            )
         if filter_docs is not None:
             matched = matched.join(
                 filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"

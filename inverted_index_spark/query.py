@@ -407,6 +407,7 @@ class FtsEngine:
         k: Optional[int] = None,
         with_positions: bool = True,
         filter_docs: Optional[DataFrame] = None,
+        doc_range: Optional[tuple] = None,
     ) -> DataFrame:
         """Execute a query -> (doc_id, score, [positions]).
 
@@ -439,6 +440,10 @@ class FtsEngine:
         (``docs.filter(...).select("doc_id")``). Filtered queries pin
         the relational plan: exact filtered top-k needs the filter
         applied before the limit, which the segment kernels don't see.
+        ``doc_range=(lo, hi)`` restricts to doc ids in [lo, hi) and
+        STAYS on the segment route — the window prunes whole shard
+        files structurally and masks boundary shards in-kernel
+        (time-scoped positional search over time-ordered ids).
         """
         seg = (
             self._segment_path(positional=True)
@@ -454,8 +459,19 @@ class FtsEngine:
                 query,
                 k=k,
                 with_positions=with_positions,
+                doc_range=doc_range,
             )
         plan = self.compile(query)
+        if doc_range is not None:
+            pred = (F.col("doc_id") >= int(doc_range[0])) & (
+                F.col("doc_id") < int(doc_range[1])
+            )
+            plan = PlanResult(
+                docs=plan.docs.filter(pred),
+                rows=plan.rows.filter(pred),
+                complete=plan.complete,
+                raw=plan.raw.filter(pred) if plan.raw is not None else None,
+            )
         if filter_docs is not None:
             plan = self._restrict(plan, filter_docs)
         two_pass = with_positions and k is not None and plan.complete

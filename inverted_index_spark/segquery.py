@@ -204,12 +204,17 @@ def _node_shards(node: tuple, sets) -> Optional[set]:
     return out
 
 
-def _read_shard(file_path: str, ranges) -> Tuple[list, Dict[int, int]]:
+def _read_shard(
+    file_path: str, ranges, doc_range=None
+) -> Tuple[list, Dict[int, int]]:
     """Decode one shard's rows for the given term ranges.
 
     Returns (matchers, docbytes): ``matchers[i]`` is the flat
     (docs, begins, ends, poss) arrays of every posting matching range i;
     ``docbytes`` maps doc_id -> doclen_bytes (from the term='' rows).
+    ``doc_range=(lo, hi)`` drops rows of docs outside [lo, hi) — the
+    in-kernel half of time-scoped search (whole-shard pruning happens
+    in the planner).
     """
     import pyarrow.parquet as pq
 
@@ -256,6 +261,10 @@ def _read_shard(file_path: str, ranges) -> Tuple[list, Dict[int, int]]:
         counts = varint_decode(pc_col[i], n).astype(np.int64)
         b, e, p = decode_pos_block(pos_col[i], counts)
         drep = np.repeat(ids, counts)
+        if doc_range is not None:
+            keep = (drep >= doc_range[0]) & (drep < doc_range[1])
+            if not keep.all():
+                drep, b, e, p = drep[keep], b[keep], e[keep], p[keep]
         for mi in hits:
             m = matchers[mi]
             m["d"].append(drep)
@@ -549,7 +558,7 @@ def _map_files(fn, files: list) -> list:
     return [p for p in parts if p is not None and len(p)]
 
 
-def _plan_query(index_path: str, query: Query):
+def _plan_query(index_path: str, query: Query, doc_range=None):
     """Compile + prune: (ranges, tree, surviving manifest shard rows,
     est_read_bytes).
 
@@ -557,7 +566,8 @@ def _plan_query(index_path: str, query: Query):
     Spark. An empty/unsatisfiable query returns ([], tree, [], None).
     ``est_read_bytes`` bounds the pruned read volume from the map's
     per-(term, shard) statistics (None when unavailable) — the input to
-    the local-vs-distributed serving decision."""
+    the local-vs-distributed serving decision. ``doc_range`` further
+    prunes to shards intersecting [lo, hi) — shards ARE doc ranges."""
     manifest = load_manifest(index_path)
     if not bool(manifest.get("positional", False)):
         raise ValueError(
@@ -585,6 +595,15 @@ def _plan_query(index_path: str, query: Query):
             if want is None
             else [s for s in manifest["shards"] if s["shard_id"] in want]
         )
+    if doc_range is not None:
+        lo, hi = doc_range
+        sd = int(manifest["shard_docs"])
+        shards = [
+            s
+            for s in shards
+            if (int(s["shard_id"]) + 1) * sd > lo
+            and int(s["shard_id"]) * sd < hi
+        ]
     return ranges, tree, shards, est
 
 
@@ -603,6 +622,7 @@ def _local_eval_one(
     shards: List[dict],
     with_positions: bool,
     k: Optional[int],
+    doc_range=None,
 ) -> pd.DataFrame:
     """Evaluate one compiled tree over the pruned shard files in this
     process — identical kernels to the mapInPandas tasks, merged the
@@ -611,7 +631,7 @@ def _local_eval_one(
     files = [os.path.join(seg_dir, s["file"]) for s in shards]
 
     def one(f):
-        matchers, docbytes = _read_shard(f, ranges)
+        matchers, docbytes = _read_shard(f, ranges, doc_range)
         member, rows = _eval_node(tree, matchers)
         if member.size == 0:
             return None
@@ -637,6 +657,7 @@ def segment_query_pandas(
     query: Query,
     k: Optional[int] = None,
     with_positions: bool = True,
+    doc_range=None,
 ) -> pd.DataFrame:
     """QUERY-NODE serving: evaluate a Query AST straight from the
     segment files in this process — no SparkSession, no JVM, no job.
@@ -650,11 +671,11 @@ def segment_query_pandas(
     process memory (/root/reference/src/index.rs:72-74); this is the
     same shape with the index out-of-process and compressed.
     """
-    ranges, tree, shards, _ = _plan_query(index_path, query)
+    ranges, tree, shards, _ = _plan_query(index_path, query, doc_range)
     if not shards:
         return _empty_pdf(with_positions)
     return _local_eval_one(index_path, ranges, tree, shards,
-                           with_positions, k)
+                           with_positions, k, doc_range)
 
 
 def segment_query(
@@ -664,6 +685,7 @@ def segment_query(
     k: Optional[int] = None,
     with_positions: bool = True,
     mode: str = "auto",
+    doc_range=None,
 ) -> DataFrame:
     """Execute ANY reference Query AST from positional segments.
 
@@ -682,7 +704,7 @@ def segment_query(
     search deployment. "spark"/"local" pin the path explicitly.
     """
     schema = RESULT_POS_SCHEMA if with_positions else RESULT_SCHEMA
-    ranges, tree, shards, est = _plan_query(index_path, query)
+    ranges, tree, shards, est = _plan_query(index_path, query, doc_range)
     if not shards:
         return spark.createDataFrame([], schema)
 
@@ -690,7 +712,7 @@ def segment_query(
 
     if metacache.serve_locally(shards, mode, est_bytes=est):
         pdf = _local_eval_one(index_path, ranges, tree, shards,
-                              with_positions, k)
+                              with_positions, k, doc_range)
         return spark.createDataFrame(_rows_for_spark(pdf), schema)
 
     seg_dir = os.path.join(index_path, "segments")
@@ -700,7 +722,7 @@ def segment_query(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for f in pdf["file"]:
-                matchers, docbytes = _read_shard(f, ranges)
+                matchers, docbytes = _read_shard(f, ranges, doc_range)
                 member, rows = _eval_node(tree, matchers)
                 if member.size == 0:
                     continue

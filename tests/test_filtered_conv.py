@@ -260,3 +260,49 @@ def test_doc_range_wand_equals_filtered_relational(spark, tmp_path):
     assert wand_topk(
         spark, path, "alpha", k=5, doc_range=(1000, 2000)
     ).count() == 0
+
+
+def test_doc_range_segment_query_matches_relational(spark, tmp_path):
+    """doc_range on the positional evaluator: segment route (both
+    serving modes + pandas) == relational range-filtered results, full
+    positions included."""
+    from inverted_index_spark.build import load_index
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import (
+        segment_query,
+        segment_query_pandas,
+    )
+
+    path = str(tmp_path / "ridx2")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} tok{i}") for i in range(96)],
+        "doc_id long, text string",
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=32, block_docs=8,
+                   positions=True)
+    q = And(Match("alpha"), Match("w2"))
+    rel = FtsEngine(idx, use_segments=False)
+    want = [
+        (r["doc_id"], r["score"], [tuple(p) for p in r["positions"]])
+        for r in rel.results(q, doc_range=(20, 70)).collect()
+    ]
+    assert want and all(20 <= d < 70 for d, _, _ in want)
+    for mode in ("spark", "local"):
+        got = [
+            (r["doc_id"], r["score"], [tuple(p) for p in r["positions"]])
+            for r in segment_query(
+                spark, path, q, mode=mode, doc_range=(20, 70)
+            ).collect()
+        ]
+        assert got == want, mode
+    pdf = segment_query_pandas(path, q, doc_range=(20, 70))
+    assert [int(d) for d in pdf["doc_id"]] == [d for d, _, _ in want]
+    # the routed engine API agrees (fresh segments, doc_range stays on
+    # the segment path)
+    eng = FtsEngine(load_index(spark, path))
+    routed = [
+        (r["doc_id"], r["score"], [tuple(p) for p in r["positions"]])
+        for r in eng.results(q, doc_range=(20, 70)).collect()
+    ]
+    assert routed == want

@@ -38,13 +38,19 @@ from pyspark.sql import functions as F
 
 from . import commitio
 from .build import FtsIndex, load_index
+from .upsert import _meta
 
 _COPY_TABLES = ("postings", "docstats", "docs")
 
 
-def _meta(path: str) -> dict:
-    with open(os.path.join(path, "meta.json")) as fh:
-        return json.load(fh)
+def _parquet_schema_names(d: str) -> Optional[frozenset]:
+    """Column-name set of the first parquet file under ``d``."""
+    import pyarrow.parquet as pq
+
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".parquet"):
+            return frozenset(pq.read_schema(os.path.join(d, name)).names)
+    return None
 
 
 def _link_or_copy(src: str, dst: str) -> None:
@@ -93,12 +99,17 @@ def merge_indexes(
     way.
 
     Returns a summary dict: n_docs, files_linked, segments
-    ("reused" | "reused+reencoded:N" | "skipped:<why>").
+    ("reused" | "reused+reencoded:N" | "skipped:<why>") and docs
+    ("linked" | "skipped:<why>" — the doc store carries over only when
+    EVERY input has one with the same columns; a partial or
+    mixed-schema store would silently misread).
     """
     if len(paths) < 2:
         raise ValueError("merge_indexes needs at least two inputs")
-    if os.path.exists(out) and os.listdir(out):
-        raise ValueError(f"output directory {out!r} is not empty")
+    if os.path.exists(out) and (
+        not os.path.isdir(out) or os.listdir(out)
+    ):
+        raise ValueError(f"output {out!r} is not an empty directory")
 
     metas = [_meta(p) for p in paths]
     ngrams = {bool(m.get("ngrams", False)) for m in metas}
@@ -135,11 +146,20 @@ def merge_indexes(
 
     os.makedirs(out, exist_ok=True)
     files = 0
-    have_docs = all(
-        os.path.isdir(commitio.table_path(p, "docs")) for p in paths
-    )
+    docs_note = "linked"
+    if not all(os.path.isdir(commitio.table_path(p, "docs")) for p in paths):
+        docs_note = "skipped:missing-in-some-inputs"
+    else:
+        schemas = {
+            _parquet_schema_names(commitio.table_path(p, "docs"))
+            for p in paths
+        }
+        if len(schemas) != 1:
+            # rider columns differ: a linked union would read with a
+            # footer-sampling-dependent schema (silent column loss)
+            docs_note = "skipped:schema-mismatch"
     for name in _COPY_TABLES:
-        if name == "docs" and not have_docs:
+        if name == "docs" and docs_note != "linked":
             continue
         for i, p in enumerate(paths):
             files += _copy_table_files(
@@ -169,14 +189,13 @@ def merge_indexes(
         .parquet(os.path.join(out, "termdict"))
     )
 
-    stats = (
-        spark.read.parquet(os.path.join(out, "docstats"))
-        .agg(F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl"))
-        .collect()[0]
-    )
+    # exact in O(1) from the input metas (disjoint doc sets):
+    # n = sum(n_i), avgdl = sum(n_i * avgdl_i) / n — no docstats scan
+    n_docs = sum(int(m["n_docs"]) for m in metas)
+    tokens = sum(int(m["n_docs"]) * float(m["avgdl"]) for m in metas)
     meta = {
-        "n_docs": int(stats["n"]),
-        "avgdl": float(stats["avgdl"] or 0.0),
+        "n_docs": n_docs,
+        "avgdl": tokens / max(n_docs, 1),
         "ngrams": ngrams.pop(),
         "generation": 0,
     }
@@ -185,13 +204,13 @@ def merge_indexes(
 
     seg_note = _merge_segments(spark, paths, out, meta)
 
-    out_summary = {
+    return {
         "n_docs": meta["n_docs"],
         "avgdl": meta["avgdl"],
         "files_linked": files,
         "segments": seg_note,
+        "docs": docs_note,
     }
-    return out_summary
 
 
 def _merge_segments(
@@ -252,6 +271,13 @@ def _merge_segments(
             os.path.join(paths[i], "segments", row["file"]),
             os.path.join(seg_dir, row["file"]),
         )
+        row = dict(row)
+        if row.get("avgdl_built") is None:
+            # legacy pre-avgdl_built rows: their bounds were computed
+            # under the source manifest's own avgdl — record it, or the
+            # merged manifest's (different) avgdl would make WAND's
+            # mu_scale=1.0 assumption unsound
+            row["avgdl_built"] = float(manifests[i]["avgdl"])
         kept_rows.append(row)
 
     # merged term->shard map: every input's rows except colliding ids
@@ -278,6 +304,12 @@ def _merge_segments(
         "source": _source_token(out),
         "shards": kept_rows,
     }
+    if colliding:
+        # record pending BEFORE publishing a live-source-token manifest:
+        # a crash in between must leave a manifest that refresh treats
+        # as incomplete, never one that serves with missing doc ranges
+        # (same ordering invariant as upsert._invalidate_segments)
+        record_pending_shards(out, colliding)
     mp = os.path.join(out, MANIFEST_NAME)
     tmp = mp + ".tmp"
     with open(tmp, "w") as fh:
@@ -288,7 +320,6 @@ def _merge_segments(
         # boundary ranges span two inputs: re-encode exactly those doc
         # ranges from the merged postings BEFORE returning — a manifest
         # missing live doc ranges must never be served
-        record_pending_shards(out, colliding)
         refresh_segments(spark, load_index(spark, out), out)
         return f"reused+reencoded:{len(colliding)}"
     return "reused"

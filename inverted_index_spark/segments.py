@@ -329,6 +329,13 @@ def segments_fresh(path: str, positional: Optional[bool] = None) -> bool:
     src = manifest.get("source")
     if src is None or src != _source_token(path):
         return False
+    # a non-empty pending sidecar means recorded doc ranges are NOT in
+    # the shard set yet (e.g. a merge that crashed between publishing
+    # its manifest and re-encoding boundary collisions) — serving would
+    # silently miss those docs. Mutation paths also flip the source
+    # token, but the sidecar check closes every crash window on its own.
+    if os.path.exists(_pending_path(path)):
+        return False
     sd = os.path.join(path, "stream_delta", "postings")
     if os.path.isdir(sd) and any(
         x.startswith("batch=") for x in os.listdir(sd)

@@ -218,3 +218,38 @@ def test_federated_equals_merged(spark, tmp_path):
     assert empty.columns == ["index_id", "doc_id", "score"]
     with pytest.raises(ValueError, match="at least one"):
         wand_topk_federated(spark, [], "alpha")
+
+
+def test_pending_sidecar_blocks_serving(spark, tmp_path):
+    """Crash-window soundness: a recorded-but-unrefreshed pending set
+    must make segments_fresh False (a manifest with a live source token
+    but missing doc ranges must never be served)."""
+    from inverted_index_spark.segments import (
+        record_pending_shards,
+        refresh_segments,
+    )
+
+    path = str(tmp_path / "idx")
+    _build(spark, path, 0, 64)
+    assert segments_fresh(path)
+    record_pending_shards(path, {0})
+    assert not segments_fresh(path)
+    refresh_segments(spark, load_index(spark, path), path)
+    assert segments_fresh(path)
+
+
+def test_merge_reports_docs_status(spark, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(spark, p1, 0, 32, segs=False)
+    # p2 without a doc store
+    build_and_save(spark, _docs(spark, 32, 64), str(tmp_path / "b"),
+                   ngrams=False, store_docs=False)
+    s = merge_indexes(spark, [p1, p2], str(tmp_path / "m"))
+    assert s["docs"] == "skipped:missing-in-some-inputs"
+    # schema mismatch: p3 docs carry a rider column
+    p3 = str(tmp_path / "c")
+    docs3 = _docs(spark, 64, 96).withColumn("rider", F.lit("x"))
+    build_and_save(spark, docs3, p3, ngrams=False)
+    s2 = merge_indexes(spark, [p1, p3], str(tmp_path / "m2"))
+    assert s2["docs"] == "skipped:schema-mismatch"
+    assert not os.path.isdir(os.path.join(str(tmp_path / "m2"), "docs"))

@@ -560,17 +560,14 @@ class FtsEngine:
         text: str,
         k: Optional[int] = None,
         filter_docs: Optional[DataFrame] = None,
+        doc_range: Optional[tuple] = None,
     ) -> DataFrame:
         """Reference ``search`` = query(Match(text)) (index.rs:72-74)."""
-        return self.results(Match(text), k=k, filter_docs=filter_docs)
+        return self.results(
+            Match(text), k=k, filter_docs=filter_docs, doc_range=doc_range
+        )
 
-    def explain(
-        self,
-        query,
-        k: Optional[int] = None,
-        with_positions: bool = True,
-        filtered: bool = False,
-    ) -> dict:
+    def explain(self, query, filtered: bool = False) -> dict:
         """Routing + plan preview for a query — zero Spark jobs.
 
         Accepts a ``Query`` AST or a query STRING (parsed with the query

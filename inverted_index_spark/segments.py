@@ -344,6 +344,20 @@ def segments_fresh(path: str, positional: Optional[bool] = None) -> bool:
     return True
 
 
+def shards_in_range(shards, shard_docs: int, doc_range) -> list:
+    """Manifest shard rows whose doc range intersects ``[lo, hi)`` —
+    shard s covers [s*shard_docs, (s+1)*shard_docs) by construction
+    (shared by WAND and the positional evaluator so the two can never
+    disagree on shard->doc-range geometry)."""
+    lo, hi = doc_range
+    sd = int(shard_docs)
+    return [
+        s
+        for s in shards
+        if (int(s["shard_id"]) + 1) * sd > lo and int(s["shard_id"]) * sd < hi
+    ]
+
+
 def _pending_path(path: str) -> str:
     return os.path.join(path, PENDING_NAME)
 

@@ -146,10 +146,14 @@ def _compile_node(q: Query, ngrams: bool, ranges: list) -> tuple:
             return children[0]
         return ("or", children)
     if isinstance(q, AndNot):
+        # compile the positive FIRST and bail before touching the
+        # negative: a dead positive must not register the negative's
+        # (possibly hot) term ranges in the shared list — every opened
+        # shard would decode them and the cost estimate would count them
         pos = _compile_node(q.positive, ngrams, ranges)
-        neg = _compile_node(q.negative, ngrams, ranges)
         if pos == ("empty",):
             return ("empty",)
+        neg = _compile_node(q.negative, ngrams, ranges)
         if neg == ("empty",):
             return pos
         return ("not", pos, neg)
@@ -484,9 +488,8 @@ def explain_segment_query(index_path: str, query: Query) -> dict:
 
     stats = metacache.range_stats_for_ranges(index_path, ranges)
     est = metacache.estimate_read_bytes(stats, with_positions=True)
-    sets = None if stats is None else [
-        None if s is None else s["shards"] for s in stats
-    ]
+    # memo hit: same snapshot+ranges key the stats call just populated
+    sets = metacache.shard_sets_for_ranges(index_path, ranges)
     dfs = metacache.term_dfs(index_path, [lo for lo, _ in ranges])
     rinfo = []
     for i, (lo, hi) in enumerate(ranges):
@@ -583,9 +586,8 @@ def _plan_query(index_path: str, query: Query, doc_range=None):
 
     stats = metacache.range_stats_for_ranges(index_path, ranges)
     est = metacache.estimate_read_bytes(stats, with_positions=True)
-    sets = None if stats is None else [
-        None if s is None else s["shards"] for s in stats
-    ]
+    # memo hit: same snapshot+ranges key the stats call just populated
+    sets = metacache.shard_sets_for_ranges(index_path, ranges)
     if sets is None:
         shards = manifest["shards"]
     else:
@@ -596,14 +598,14 @@ def _plan_query(index_path: str, query: Query, doc_range=None):
             else [s for s in manifest["shards"] if s["shard_id"] in want]
         )
     if doc_range is not None:
-        lo, hi = doc_range
-        sd = int(manifest["shard_docs"])
-        shards = [
-            s
-            for s in shards
-            if (int(s["shard_id"]) + 1) * sd > lo
-            and int(s["shard_id"]) * sd < hi
-        ]
+        from .segments import shards_in_range
+
+        pruned = shards_in_range(shards, manifest["shard_docs"], doc_range)
+        if len(pruned) < len(shards):
+            # per-term cost estimate is stale after range pruning —
+            # fall back to the surviving shards' enc_bytes
+            est = None
+        shards = pruned
     return ranges, tree, shards, est
 
 
@@ -818,9 +820,8 @@ def _plan_batch(index_path: str, queries: List[Query]):
 
     stats = metacache.range_stats_for_ranges(index_path, ranges)
     est = metacache.estimate_read_bytes(stats, with_positions=True)
-    sets = None if stats is None else [
-        None if s is None else s["shards"] for s in stats
-    ]
+    # memo hit: same snapshot+ranges key the stats call just populated
+    sets = metacache.shard_sets_for_ranges(index_path, ranges)
     all_ids = [s["shard_id"] for s in manifest["shards"]]
     per_shard: Dict[int, List[int]] = {}
     for qid, tree in live:

@@ -53,6 +53,7 @@ def _score_shard(
     avgdl: float,
     mu_scale: float = 1.0,
     doc_range: Optional[Tuple[int, int]] = None,
+    block_docs: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k of one shard via block-max skipping. Returns (ids, scores)."""
     import pyarrow.parquet as pq
@@ -64,7 +65,7 @@ def _score_shard(
         filters=[("term", "in", terms + [DOCSTATS_TERM])],
     )
     return _score_shard_table(
-        table, weights, k, k1, b, avgdl, mu_scale, doc_range
+        table, weights, k, k1, b, avgdl, mu_scale, doc_range, block_docs
     )
 
 
@@ -77,6 +78,7 @@ def _score_shard_table(
     avgdl: float,
     mu_scale: float = 1.0,
     doc_range: Optional[Tuple[int, int]] = None,
+    block_docs: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Block-max scorer over an in-memory shard table (rows may cover a
     superset of ``weights``'s terms — extra terms are ignored).
@@ -111,6 +113,13 @@ def _score_shard_table(
 
     heap: List[Tuple[float, int]] = []  # (score, -doc_id); heap[0] = worst
     for blk in sorted(blocks):
+        if doc_range is not None and block_docs:
+            # blocks are doc-aligned (block_id = doc_id // block_docs):
+            # skip boundary-shard blocks wholly outside [lo, hi) before
+            # any decode
+            blo = blk * int(block_docs)
+            if blo >= doc_range[1] or blo + int(block_docs) <= doc_range[0]:
+                continue
         rows = blocks[blk]
         ub = mu_scale * sum(weights[tcol[i]] * mu_col[i] for i in rows)
         if len(heap) == k and ub <= heap[0][0]:
@@ -272,6 +281,7 @@ def _local_wand(
     seg_dir: str, shards: List[dict], weights: Dict[str, float],
     k: int, k1: float, b: float, avgdl: float,
     doc_range: Optional[Tuple[int, int]] = None,
+    block_docs: Optional[int] = None,
 ) -> pd.DataFrame:
     """In-process block-max WAND over the pruned shard files — the same
     _score_shard kernel the executors run, merged identically
@@ -283,7 +293,7 @@ def _local_wand(
         ids, scores = _score_shard(
             f, weights, k, k1, b, avgdl,
             float(_bound_scale(avgdl, shard_row)),
-            doc_range,
+            doc_range, block_docs,
         )
         if ids.size == 0:
             return None
@@ -378,7 +388,10 @@ def wand_topk_pandas(
     shards = shards_for_terms(None, index_path, manifest, weights)
     if doc_range is not None:
         shards = _shards_in_range(shards, manifest, doc_range)
-    return _local_wand(seg_dir, shards, weights, k, k1, b, avgdl, doc_range)
+    return _local_wand(
+        seg_dir, shards, weights, k, k1, b, avgdl, doc_range,
+        int(manifest.get("block_docs") or 0) or None,
+    )
 
 
 def wand_topk_batch_pandas(
@@ -530,15 +543,23 @@ def wand_topk(
         spark, index_path, manifest, weights
     )
     if doc_range is not None:
-        shards = _shards_in_range(shards, manifest, doc_range)
-        if not shards:
+        pruned = _shards_in_range(shards, manifest, doc_range)
+        if not pruned:
             return spark.createDataFrame([], RESULT_SCHEMA)
+        if len(pruned) < len(shards):
+            # the per-term estimate covered ALL the terms' shards; after
+            # range pruning it is stale — fall back to the surviving
+            # shards' enc_bytes (serve_locally handles None)
+            est = None
+        shards = pruned
 
     from .metacache import serve_locally
 
+    block_docs = int(manifest.get("block_docs") or 0) or None
     if serve_locally(shards, mode, est_bytes=est):
         pdf = _local_wand(
-            seg_dir, shards, weights, k, k1, b, avgdl, doc_range
+            seg_dir, shards, weights, k, k1, b, avgdl, doc_range,
+            block_docs,
         )
         rows = [
             (int(d), float(s)) for d, s in zip(pdf["doc_id"], pdf["score"])
@@ -557,7 +578,8 @@ def wand_topk(
         for pdf in batches:
             for f, sc in zip(pdf["file"], pdf["mu_scale"]):
                 ids, scores = _score_shard(
-                    f, weights, k, k1, b, avgdl, float(sc), doc_range
+                    f, weights, k, k1, b, avgdl, float(sc), doc_range,
+                    block_docs,
                 )
                 yield pd.DataFrame({"doc_id": ids, "score": scores})
 
@@ -571,15 +593,9 @@ def wand_topk(
 def _shards_in_range(
     shards: List[dict], manifest: dict, doc_range: Tuple[int, int]
 ) -> List[dict]:
-    """Manifest shard rows whose doc range intersects [lo, hi) —
-    shard s covers [s*shard_docs, (s+1)*shard_docs) by construction."""
-    lo, hi = doc_range
-    sd = int(manifest["shard_docs"])
-    return [
-        s
-        for s in shards
-        if (int(s["shard_id"]) + 1) * sd > lo and int(s["shard_id"]) * sd < hi
-    ]
+    from .segments import shards_in_range
+
+    return shards_in_range(shards, manifest["shard_docs"], doc_range)
 
 
 FED_SCHEMA = "index_id int, doc_id long, score double"
@@ -651,10 +667,16 @@ def wand_topk_federated(
             None if (est_total is None or est is None) else est_total + est
         )
         seg_dir = os.path.join(p, "segments")
-        rows.extend(
-            (i, os.path.join(seg_dir, s["file"]), _bound_scale(avgdl, s))
-            for s in shards
-        )
+        for s in shards:
+            if s.get("avgdl_built") is None:
+                # legacy pre-avgdl_built rows: their bounds are exact
+                # under THEIR index's own avgdl, not the global one —
+                # backfill so _bound_scale rescales soundly (the same
+                # hole merge_indexes plugs when carrying rows over)
+                s = dict(s, avgdl_built=float(m["avgdl"]))
+            rows.append(
+                (i, os.path.join(seg_dir, s["file"]), _bound_scale(avgdl, s))
+            )
     if not rows:
         return spark.createDataFrame([], FED_SCHEMA)
 

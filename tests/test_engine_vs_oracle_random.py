@@ -132,3 +132,22 @@ def test_random_corpus_segment_parity(spark, seed, tmp_path):
             )
         ]
         assert served == expect, f"pandas serving {q} diverged on seed {seed}"
+
+        # doc_range window under the same fuzz: the oracle expectation
+        # is simply the unrestricted answer filtered to [lo, hi)
+        lo, hi = 8, 31  # straddles shard boundaries (shard_docs=16)
+        want_rng = [r for r in expect if lo <= r[0] < hi]
+        pdf_rng = segment_query_pandas(
+            path, q, with_positions=True, doc_range=(lo, hi)
+        )
+        got_rng = [
+            (
+                int(d),
+                [(p["begin"], p["end"], p["pos"]) for p in poss],
+                round(float(s), 5),
+            )
+            for d, s, poss in zip(
+                pdf_rng["doc_id"], pdf_rng["score"], pdf_rng["positions"]
+            )
+        ]
+        assert got_rng == want_rng, f"doc_range {q} diverged on seed {seed}"

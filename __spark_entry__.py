@@ -408,6 +408,60 @@ def _q_prefix_seg(spark, sf):
     ).select("doc_id")
 
 
+def _q_near_docs(spark, sf):
+    """Ordered proximity (engine extension, qast.Near): every
+    consecutive term pair within ``slop`` positions, members need a
+    real hit (no Phrase-style zero-hit membership)."""
+    from inverted_index_spark.qast import Near
+
+    eng = _engine_fulltoken(spark, sf)
+    return eng.results(Near("scan merge", 3)).select(
+        "doc_id", F.size("positions").cast("bigint").alias("n_positions")
+    )
+
+
+def _q_near_seg(spark, sf):
+    """Proximity served from compressed positional segments."""
+    from inverted_index_spark.qast import Near
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, Near("scan merge", 3), with_positions=True
+    ).select(
+        "doc_id", F.size("positions").cast("bigint").alias("n_positions")
+    )
+
+
+def _q_fuzzy_docs(spark, sf):
+    """Edit-distance term match (engine extension, qast.Fuzzy):
+    'part'~2 expands against the term dictionary to
+    {fast, part, sort, spark}, each matched exactly; parity-scored."""
+    from inverted_index_spark.qast import Fuzzy
+
+    eng = _engine_fulltoken(spark, sf)
+    return eng.results(Fuzzy("part", 2)).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
+def _q_fuzzy_seg(spark, sf):
+    """Fuzzy served from segments: the expansion happens driver-side
+    against the termdict (metacache.fuzzy_terms), the shard scan reads
+    only the expanded exact-term ranges."""
+    from inverted_index_spark.qast import Fuzzy
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, Fuzzy("part", 2), with_positions=False
+    ).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
 def _q_exact_dups(spark, sf):
     from inverted_index_spark.pipelines.dedup import with_text_hash
 
@@ -851,6 +905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "and_seg": _q_and_seg,
         "or_seg": _q_or_seg,
         "prefix_seg": _q_prefix_seg,
+        "near_docs": _q_near_docs,
+        "near_seg": _q_near_seg,
+        "fuzzy_docs": _q_fuzzy_docs,
+        "fuzzy_seg": _q_fuzzy_seg,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1148,6 +1206,54 @@ def oracle_sql() -> dict[str, str]:
             left join (
               select doc_id, count(distinct p) as np from hits group by doc_id
             ) h using (doc_id)
+        """,
+        # Near('scan merge', 3): ordered windowed proximity — members
+        # need a real hit (1 <= rpos - lpos <= slop), positions are the
+        # participating endpoints (no Phrase-style zero-hit membership)
+        "near_docs": f"""
+            with toks as ({_TOKS}),
+            adj as (
+              select a.doc_id, a.pos as lpos, b.pos as rpos
+              from toks a join toks b
+                on a.doc_id = b.doc_id
+               and b.pos - a.pos between 1 and 3
+              where a.term like 'scan%' and b.term like 'merge%'
+            ),
+            hits as (
+              select doc_id, lpos as p from adj
+              union
+              select doc_id, rpos from adj
+            )
+            select doc_id, count(distinct p)::bigint as n_positions
+            from hits group by doc_id
+        """,
+        # Fuzzy('part', 2): expand against the distinct-token dictionary
+        # by Levenshtein distance (capped at the 50 highest-df terms,
+        # df desc / term asc), match each expansion EXACTLY, parity-score
+        # sum(matched token byte widths) / sqrt(doc byte length)
+        "fuzzy_docs": f"""
+            with toks as ({_TOKS}),
+            cand as (
+              select term
+              from (
+                select term, count(distinct doc_id) as df
+                from toks group by term
+              )
+              where levenshtein(term, 'part') <= 2
+              order by df desc, term asc
+              limit 50
+            ),
+            m as (
+              select t.doc_id, sum(strlen(t.term)) as w
+              from toks t join cand using (term)
+              group by t.doc_id
+            )
+            -- float32 arithmetic mirrors the engine exactly:
+            -- f32(width_sum) / f32(sqrt_double(bytes)), result f32
+            select m.doc_id,
+                   round((m.w::real / sqrt(strlen(d.text)::double)::real
+                         )::real::double, 4)::double as score_r4
+            from m join documents d using (doc_id)
         """,
         "bm25_topk": f"""
             with toks as ({_TOKS}),
@@ -1784,4 +1890,6 @@ def oracle_sql() -> dict[str, str]:
     out["andnot_seg"] = out["andnot_docs"]
     out["or_seg"] = out["or_docs"]
     out["prefix_seg"] = out["prefix_docs"]
+    out["near_seg"] = out["near_docs"]
+    out["fuzzy_seg"] = out["fuzzy_docs"]
     return out

@@ -80,7 +80,16 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from inverted_index_spark.build import build_and_save, load_index
-    from inverted_index_spark.qast import And, AndNot, Match, Or, Phrase, Prefix
+    from inverted_index_spark.qast import (
+        And,
+        AndNot,
+        Fuzzy,
+        Match,
+        Near,
+        Or,
+        Phrase,
+        Prefix,
+    )
     from inverted_index_spark.query import FtsEngine
     from inverted_index_spark.session import get_spark
     from inverted_index_spark.transcripts import (
@@ -269,6 +278,18 @@ def main() -> None:
         # the negative never widens the pruned shard set
         "andnot_seg": lambda: segment_query(
             spark, idx_path, AndNot(Match("merge"), Match("scan")), k=10,
+            with_positions=False, mode="spark",
+        ).collect(),
+        # ordered proximity (engine extension): windowed positional
+        # kernel, same shard pruning as phrase
+        "near_seg": lambda: segment_query(
+            spark, idx_path, Near("scan merge", 3), k=10,
+            with_positions=False, mode="spark",
+        ).collect(),
+        # fuzzy (engine extension): driver-side termdict expansion
+        # (metacache, memoized) -> exact-term pruned shard scan
+        "fuzzy_seg": lambda: segment_query(
+            spark, idx_path, Fuzzy("part", 2), k=10,
             with_positions=False, mode="spark",
         ).collect(),
         # metadata-filtered BM25 (relational plan pinned by contract)

@@ -161,6 +161,52 @@ def range_stats_for_ranges(
     return out
 
 
+def fuzzy_terms(
+    index_path: str, term: str, max_edits: int, max_expansions: int
+) -> List[str]:
+    """Expansion set for a ``Fuzzy`` node: distinct indexed full tokens
+    within Levenshtein ``max_edits`` of ``term``, capped at the
+    ``max_expansions`` highest-df tokens (df_full desc, term asc —
+    Lucene FuzzyQuery's maxExpansions contract). Driver-side, no Spark.
+
+    One pyarrow dataset read of the termdict restricted to the
+    +-max_edits TOKEN-LENGTH BAND (an edit changes length by at most
+    one, so anything outside the band is provably too far) — the exact
+    distance then runs in Python over that small slice of the
+    vocabulary, never the corpus. Memoized per termdict snapshot.
+    """
+    snap = _snapshot(index_path, "termdict")
+    if snap is None:
+        return []
+    key = (snap, "fuzzy", term, max_edits, max_expansions)
+    hit = _memo_get(key)
+    if hit is not None:
+        return hit  # type: ignore[return-value]
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from .oracle import levenshtein
+
+    n = len(term)
+    band = (pc.utf8_length(ds.field("term")) >= n - max_edits) & (
+        pc.utf8_length(ds.field("term")) <= n + max_edits
+    )
+    table = ds.dataset(snap[0], format="parquet").to_table(
+        columns=["term", "df_full"], filter=band
+    )
+    scored = [
+        (-int(df), t)
+        for t, df in zip(
+            table.column("term").to_pylist(), table.column("df_full").to_pylist()
+        )
+        if levenshtein(t, term) <= max_edits
+    ]
+    scored.sort()
+    out = [t for _, t in scored[:max_expansions]]
+    _memo_put(key, out)
+    return out
+
+
 def _first_parquet_file(d: str) -> Optional[str]:
     try:
         for name in sorted(os.listdir(d)):

@@ -144,7 +144,38 @@ def intersect_positionally(
 # ---------------------------------------------------------------------------
 # query AST (shared with the Spark compiler; mirrors reference query.rs:5-27)
 
-from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query  # noqa: E402,F401
+from .qast import (  # noqa: E402,F401
+    And,
+    AndNot,
+    Fuzzy,
+    Match,
+    Near,
+    Or,
+    Phrase,
+    Prefix,
+    Query,
+)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain O(len(a)*len(b)) edit distance (insert/delete/substitute,
+    unit costs) — the semantics of Spark's ``F.levenshtein`` and
+    DuckDB's ``levenshtein``, so all three Fuzzy evaluators agree."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +285,66 @@ class OracleIndex:
             pair_maps.append(pair)
         return intersect_postings(pair_maps)
 
+    def _near(self, text: str, slop: int) -> PostingsMap:
+        """Ordered windowed proximity (qast.Near): per consecutive term
+        pair keep docs with >= 1 (l, r) where 1 <= r.pos - l.pos <= slop;
+        positions are the participating endpoints. Unlike Phrase there
+        is no zero-hit membership — intersect_postings over hit-only
+        pair maps enforces a real hit for EVERY pair."""
+        terms = [t.term for t in analyze_query(text)]
+        if len(terms) < 2:
+            return {}
+        pair_maps: List[PostingsMap] = []
+        for t0, t1 in zip(terms, terms[1:]):
+            m0, m1 = self.index.get(t0), self.index.get(t1)
+            if m0 is None or m1 is None:
+                pair_maps.append({})
+                continue
+            pair: PostingsMap = {}
+            for doc_id in set(m0) & set(m1):
+                hits = set()
+                for l in m0[doc_id]:
+                    for r in m1[doc_id]:
+                        if 1 <= r[2] - l[2] <= slop:
+                            hits.add(l)
+                            hits.add(r)
+                if hits:
+                    pair[doc_id] = coalesce_sorted(sorted(hits))
+            pair_maps.append(pair)
+        return intersect_postings(pair_maps)
+
+    def _fuzzy(self, text: str, max_edits: int, max_expansions: int) -> PostingsMap:
+        """Edit-distance expansion over distinct FULL tokens (qast.Fuzzy):
+        candidates within ``max_edits`` of the single analyzed query
+        term, capped at the ``max_expansions`` highest-df tokens
+        (df desc, term asc), each matched exactly; union-merged."""
+        terms = [t.term for t in analyze_query(text)]
+        if len(terms) != 1:
+            raise ValueError(
+                f"Fuzzy wants exactly one analyzed term, got {terms!r}"
+            )
+        q = terms[0]
+        full: Dict[str, PostingsMap] = {}
+        for doc_id, content in self.docs.items():
+            for tok in analyze_index(content, ngrams=False):
+                full.setdefault(tok.term, {}).setdefault(doc_id, []).append(
+                    (tok.begin, tok.end, tok.pos)
+                )
+        cand = [
+            t
+            for t in full
+            if abs(len(t) - len(q)) <= max_edits
+            and levenshtein(t, q) <= max_edits
+        ]
+        cand.sort(key=lambda t: (-len(full[t]), t))
+        cand = cand[:max_expansions]
+        return union_postings(
+            [
+                {d: coalesce_sorted(sorted(ps)) for d, ps in full[t].items()}
+                for t in cand
+            ]
+        )
+
     def _prefix(self, prefix: str) -> PostingsMap:
         if not prefix:
             return {}
@@ -276,6 +367,10 @@ class OracleIndex:
             return self._phrase(query.text)
         if isinstance(query, Prefix):
             return self._prefix(query.text)
+        if isinstance(query, Near):
+            return self._near(query.text, query.slop)
+        if isinstance(query, Fuzzy):
+            return self._fuzzy(query.text, query.max_edits, query.max_expansions)
         if isinstance(query, AndNot):
             pos = self.postings_for(query.positive)
             neg = self.postings_for(query.negative)

@@ -11,7 +11,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
-__all__ = ["Query", "Match", "And", "Or", "Phrase", "Prefix", "AndNot"]
+__all__ = [
+    "Query", "Match", "And", "Or", "Phrase", "Prefix", "AndNot",
+    "Near", "Fuzzy",
+]
 
 
 @dataclass(frozen=True)
@@ -69,6 +72,45 @@ class AndNot(Query):
 
     positive: Query
     negative: Query
+
+
+@dataclass(frozen=True)
+class Near(Query):
+    """Ordered proximity match: every consecutive analyzed-term pair
+    (t_i, t_{i+1}) must co-occur in the doc with
+    ``1 <= pos(t_{i+1}) - pos(t_i) <= slop``.
+
+    Engine EXTENSION (the reference's algebra stops at exact-adjacency
+    Phrase, query.rs:5-27). ``Near(text, slop=1)`` is STRICTER than
+    ``Phrase(text)``: Phrase keeps docs containing both terms of a pair
+    even with zero adjacencies (scored 0, postings.rs:101-112); Near
+    keeps only docs with a real windowed hit for every pair. Positions
+    are the pair endpoints that participate in >= 1 hit, union-merged.
+    Fewer than two analyzed terms -> empty. String form: ``"a b"~3``.
+    """
+
+    text: str
+    slop: int = 2
+
+
+@dataclass(frozen=True)
+class Fuzzy(Query):
+    """Edit-distance term match: the analyzed query term expands to
+    every distinct indexed FULL TOKEN within Levenshtein distance
+    ``max_edits``, capped at the ``max_expansions`` highest-df tokens
+    (df desc, term asc — Lucene FuzzyQuery's maxExpansions contract);
+    the result is the union of their exact-token matches.
+
+    Engine EXTENSION (no fuzzy matching in the reference). Supported on
+    full-token indexes only: an edge-ngram dictionary stores prefixes,
+    where edit distance over entries is meaningless. Multi-token text
+    is an error — one term per node (compose with And/Or). String
+    form: ``word~`` (1 edit) / ``word~2``.
+    """
+
+    text: str
+    max_edits: int = 1
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)

@@ -43,7 +43,7 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query
+from .qast import And, AndNot, Fuzzy, Match, Near, Or, Phrase, Prefix, Query
 
 __all__ = ["parse_query", "render_query", "QueryParseError"]
 
@@ -56,9 +56,10 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
-        (?P<phrase>"(?P<phrase_body>[^"]*)") |
-        (?P<word>[^\s()"*]+)(?P<star>\*)? |
-        (?P<badstar>\*)
+        (?P<phrase>"(?P<phrase_body>[^"]*)")(?:~(?P<slop>\d+))? |
+        (?P<word>[^\s()"*~]+)(?:(?P<star>\*)|~(?P<fuzz>\d*)(?![^\s()"*~]))? |
+        (?P<badstar>\*) |
+        (?P<badtilde>~)
     )""",
     re.VERBOSE,
 )
@@ -78,10 +79,25 @@ def _lex(s: str) -> List[Tuple[str, str, int]]:
         elif m.group("rparen"):
             out.append((")", ")", m.start()))
         elif m.group("phrase") is not None:
-            out.append(("phrase", m.group("phrase_body"), m.start()))
+            if m.group("slop") is not None:
+                slop = int(m.group("slop"))
+                if slop < 1:
+                    raise QueryParseError(
+                        f'proximity slop must be >= 1 at position {m.start()}'
+                    )
+                out.append(("near", (m.group("phrase_body"), slop), m.start()))
+            else:
+                out.append(("phrase", m.group("phrase_body"), m.start()))
         elif m.group("word"):
             if m.group("star"):
                 out.append(("prefix", m.group("word"), m.start()))
+            elif m.group("fuzz") is not None:
+                edits = int(m.group("fuzz")) if m.group("fuzz") else 1
+                if not 1 <= edits <= 2:
+                    raise QueryParseError(
+                        f"fuzzy edits must be 1 or 2 at position {m.start()}"
+                    )
+                out.append(("fuzzy", (m.group("word"), edits), m.start()))
             elif m.group("word") in ("AND", "OR", "NOT"):
                 out.append((m.group("word"), m.group("word"), m.start()))
             else:
@@ -89,6 +105,11 @@ def _lex(s: str) -> List[Tuple[str, str, int]]:
         elif m.group("badstar"):
             raise QueryParseError(
                 f"dangling '*' at position {m.start()} (prefix form is word*)"
+            )
+        elif m.group("badtilde"):
+            raise QueryParseError(
+                f"dangling '~' at position {m.start()} "
+                '(fuzzy form is word~ or word~2, proximity is "a b"~3)'
             )
         pos = m.end()
     if '"' in s and s.count('"') % 2:
@@ -164,6 +185,10 @@ class _Parser:
             return inner
         if kind == "phrase":
             return Phrase(val)
+        if kind == "near":
+            return Near(val[0], val[1])
+        if kind == "fuzzy":
+            return Fuzzy(val[0], val[1])
         if kind == "prefix":
             return Prefix(val)
         if kind == "word":
@@ -192,7 +217,7 @@ def render_query(q: Query) -> str:
         return (
             not w
             or w in ("AND", "OR", "NOT")
-            or any(c in w for c in '()"*')
+            or any(c in w for c in '()"*~')
             or w != w.strip()
         )
 
@@ -207,6 +232,21 @@ def render_query(q: Query) -> str:
         if '"' in q.text:
             raise ValueError("Phrase text contains a quote")
         return f'"{q.text}"'
+    if isinstance(q, Near):
+        if '"' in q.text:
+            raise ValueError("Near text contains a quote")
+        if "~" in q.text or q.slop < 1:
+            raise ValueError(f"Near not renderable: {q!r}")
+        return f'"{q.text}"~{q.slop}'
+    if isinstance(q, Fuzzy):
+        if (
+            bad_word(q.text)
+            or len(q.text.split()) != 1
+            or q.max_edits not in (1, 2)
+            or q.max_expansions != Fuzzy("x").max_expansions
+        ):
+            raise ValueError(f"Fuzzy not renderable: {q!r}")
+        return f"{q.text}~" if q.max_edits == 1 else f"{q.text}~2"
     if isinstance(q, Prefix):
         if bad_word(q.text):
             raise ValueError(f"Prefix not renderable: {q.text!r}")

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from .analysis import analyze_query
 from .build import FtsIndex
-from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query
+from .qast import And, AndNot, Fuzzy, Match, Near, Or, Phrase, Prefix, Query
 from .udfs import byte_slice_highlight
 
 K1 = 1.2
@@ -301,6 +301,109 @@ class FtsEngine:
             pairs.append(PlanResult(docs=docs, rows=rows))
         return self._intersect(pairs)
 
+    def _near(self, text: str, slop: int) -> PlanResult:
+        """Ordered windowed proximity (qast.Near): the Phrase plan with
+        the adjacency equi-join relaxed to a band join
+        ``1 <= r.pos - l.pos <= slop``, and membership tightened to docs
+        with >= 1 hit per pair (no zero-hit members — Near is an engine
+        extension, free of the reference's Phrase quirk).
+
+        The band join stays an equi-join on doc_id with the pos window
+        as a residual condition, and both inputs are pre-pruned to the
+        both-terms doc intersection, so the shuffle is the same size as
+        Phrase's regardless of slop.
+        """
+        if slop < 1:
+            raise ValueError(f"Near slop must be >= 1, got {slop}")
+        terms = [t.term for t in analyze_query(text)]
+        if len(terms) < 2:
+            return self._empty()
+        pairs: List[PlanResult] = []
+        for t0, t1 in zip(terms, terms[1:]):
+            left = self._scan(self._term_pred(t0)).rows
+            right = self._scan(self._term_pred(t1)).rows
+            both = (
+                left.select("doc_id")
+                .distinct()
+                .join(right.select("doc_id").distinct(), "doc_id", "left_semi")
+            )
+            l = left.join(F.broadcast(both), "doc_id", "left_semi").alias("l")
+            r = right.join(F.broadcast(both), "doc_id", "left_semi").alias("r")
+            adj = l.join(
+                r,
+                (F.col("l.doc_id") == F.col("r.doc_id"))
+                & (F.col("r.pos") - F.col("l.pos") >= 1)
+                & (F.col("r.pos") - F.col("l.pos") <= slop),
+            )
+            rows = (
+                adj.select(
+                    F.col("l.doc_id").alias("doc_id"),
+                    F.col("l.begin").alias("begin"),
+                    F.col("l.end").alias("end"),
+                    F.col("l.pos").alias("pos"),
+                )
+                .unionByName(
+                    adj.select(
+                        F.col("r.doc_id").alias("doc_id"),
+                        F.col("r.begin").alias("begin"),
+                        F.col("r.end").alias("end"),
+                        F.col("r.pos").alias("pos"),
+                    )
+                )
+                .distinct()
+            )
+            # membership = docs with a hit (rows' doc set), so the pair
+            # is complete and the And-combine can skip membership joins
+            pairs.append(
+                PlanResult(
+                    docs=rows.select("doc_id").distinct(),
+                    rows=rows,
+                    complete=True,
+                )
+            )
+        return self._intersect(pairs)
+
+    def _fuzzy(self, text: str, max_edits: int, max_expansions: int) -> PlanResult:
+        """Edit-distance term expansion (qast.Fuzzy): one term-dictionary
+        scan (length band sargable, ``F.levenshtein`` JVM-side) picks the
+        ``max_expansions`` highest-df tokens within ``max_edits``; the
+        postings scan is a broadcast semi-join on the expanded set —
+        never a corpus scan, and the vocabulary scan is O(|termdict in
+        the +-max_edits length band|), independent of corpus size.
+        """
+        if self.index.ngrams:
+            raise ValueError(
+                "Fuzzy requires a full-token index: an edge-ngram term "
+                "dictionary stores prefixes, where edit distance over "
+                "entries is meaningless (build with ngrams=False)"
+            )
+        terms = [t.term for t in analyze_query(text)]
+        if len(terms) != 1:
+            raise ValueError(
+                f"Fuzzy wants exactly one analyzed term, got {terms!r}"
+            )
+        q = terms[0]
+        cand = (
+            self.index.termdict.filter(
+                F.length("term").between(
+                    len(q) - max_edits, len(q) + max_edits
+                )
+            )
+            .filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+            .orderBy(F.col("df_full").desc(), F.col("term").asc())
+            .limit(max_expansions)
+            .select("term")
+        )
+        raw = self.index.postings.join(
+            F.broadcast(cand), "term", "left_semi"
+        ).select("doc_id", "positions")
+        return PlanResult(
+            docs=raw.select("doc_id").distinct(),
+            rows=self._explode_raw(raw),
+            complete=True,
+            raw=raw,
+        )
+
     def _subtract(self, pos: PlanResult, neg: PlanResult) -> PlanResult:
         """AndNot: positive's docs/rows minus the negative's doc set.
 
@@ -328,6 +431,12 @@ class FtsEngine:
             return self._prefix(query.text)
         if isinstance(query, Phrase):
             return self._phrase(query.text)
+        if isinstance(query, Near):
+            return self._near(query.text, query.slop)
+        if isinstance(query, Fuzzy):
+            return self._fuzzy(
+                query.text, query.max_edits, query.max_expansions
+            )
         if isinstance(query, And):
             return self._intersect([self.compile(q) for q in query.children])
         if isinstance(query, Or):

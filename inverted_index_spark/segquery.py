@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from .analysis import analyze_query
 from .codecs import decode_doc_ids, decode_pos_block, varint_decode
 from .oracle import prefix_upper_bound
-from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query
+from .qast import And, AndNot, Fuzzy, Match, Near, Or, Phrase, Prefix, Query
 from .segments import DOCSTATS_TERM, load_manifest
 
 RESULT_SCHEMA = "doc_id long, score float"
@@ -101,7 +101,9 @@ def _shards_for_ranges(
 # for the whole tree.
 
 
-def _compile_node(q: Query, ngrams: bool, ranges: list) -> tuple:
+def _compile_node(
+    q: Query, ngrams: bool, ranges: list, index_path: Optional[str] = None
+) -> tuple:
     if isinstance(q, Match):
         terms: List[str] = []
         for tok in analyze_query(q.text):
@@ -131,15 +133,54 @@ def _compile_node(q: Query, ngrams: bool, ranges: list) -> tuple:
             idxs.append(len(ranges))
             ranges.append(_term_range(t, ngrams))
         return ("phrase", idxs)
+    if isinstance(q, Near):
+        if q.slop < 1:
+            raise ValueError(f"Near slop must be >= 1, got {q.slop}")
+        terms = [t.term for t in analyze_query(q.text)]
+        if len(terms) < 2:  # mirrors Phrase: <2 analyzed terms -> empty
+            return ("empty",)
+        idxs = []
+        for t in terms:  # NO dedup: proximity needs every ordinal slot
+            idxs.append(len(ranges))
+            ranges.append(_term_range(t, ngrams))
+        return ("near", idxs, int(q.slop))
+    if isinstance(q, Fuzzy):
+        if ngrams:
+            raise ValueError(
+                "Fuzzy requires a full-token index: an edge-ngram term "
+                "dictionary stores prefixes, where edit distance over "
+                "entries is meaningless (build with ngrams=False)"
+            )
+        terms = [t.term for t in analyze_query(q.text)]
+        if len(terms) != 1:
+            raise ValueError(
+                f"Fuzzy wants exactly one analyzed term, got {terms!r}"
+            )
+        if index_path is None:
+            raise ValueError("Fuzzy needs a saved index (term dictionary)")
+        from . import metacache
+
+        expanded = metacache.fuzzy_terms(
+            index_path, terms[0], q.max_edits, q.max_expansions
+        )
+        if not expanded:
+            return ("empty",)
+        idxs = []
+        for t in expanded:
+            idxs.append(len(ranges))
+            # EXACT token range [t, t + chr(0)) — fuzzy expansion terms
+            # are full dictionary tokens, never prefix-expanded
+            ranges.append((t, t + "\x00"))
+        return ("match", idxs)
     if isinstance(q, And):
-        children = [_compile_node(c, ngrams, ranges) for c in q.children]
+        children = [_compile_node(c, ngrams, ranges, index_path) for c in q.children]
         if not children:
             return ("empty",)  # And([]) -> empty (postings.rs:33-34)
         if len(children) == 1:
             return children[0]
         return ("and", children)
     if isinstance(q, Or):
-        children = [_compile_node(c, ngrams, ranges) for c in q.children]
+        children = [_compile_node(c, ngrams, ranges, index_path) for c in q.children]
         if not children:
             return ("empty",)
         if len(children) == 1:
@@ -150,10 +191,10 @@ def _compile_node(q: Query, ngrams: bool, ranges: list) -> tuple:
         # negative: a dead positive must not register the negative's
         # (possibly hot) term ranges in the shared list — every opened
         # shard would decode them and the cost estimate would count them
-        pos = _compile_node(q.positive, ngrams, ranges)
+        pos = _compile_node(q.positive, ngrams, ranges, index_path)
         if pos == ("empty",):
             return ("empty",)
-        neg = _compile_node(q.negative, ngrams, ranges)
+        neg = _compile_node(q.negative, ngrams, ranges, index_path)
         if neg == ("empty",):
             return pos
         return ("not", pos, neg)
@@ -177,7 +218,7 @@ def _node_shards(node: tuple, sets) -> Optional[set]:
                 return None
             out |= s
         return out
-    if kind == "phrase":
+    if kind in ("phrase", "near"):
         inter: Optional[set] = None
         for i in node[1]:
             s = sets[i]
@@ -400,6 +441,39 @@ def _phrase_member_rows(matchers) -> Tuple[np.ndarray, tuple]:
     return member, (d[keep], b[keep], e[keep], p[keep])
 
 
+def _near_member_rows(matchers, slop: int) -> Tuple[np.ndarray, tuple]:
+    """(member docs, rows) for a Near node: per consecutive pair keep
+    (l, r) with 1 <= r.pos - l.pos <= slop; members are docs with >= 1
+    hit for EVERY pair (no zero-hit membership, unlike Phrase). The
+    windowed check reuses the phrase kernel's compact int64 keys,
+    OR-ing one shifted isin per offset — slop is small by construction.
+    """
+    member: Optional[np.ndarray] = None
+    parts: List[tuple] = []
+    for (ld, lb, le, lp), (rd, rb, re_, rp) in zip(matchers, matchers[1:]):
+        udocs = np.union1d(np.unique(ld), np.unique(rd))
+        lkey = np.searchsorted(udocs, ld) * _POS_SHIFT + lp
+        rkey = np.searchsorted(udocs, rd) * _POS_SHIFT + rp
+        lhit = np.zeros(lkey.shape, dtype=bool)
+        rhit = np.zeros(rkey.shape, dtype=bool)
+        for delta in range(1, slop + 1):
+            lhit |= np.isin(lkey + delta, rkey)
+            rhit |= np.isin(rkey - delta, lkey)
+        pair_docs = np.union1d(np.unique(ld[lhit]), np.unique(rd[rhit]))
+        member = pair_docs if member is None else np.intersect1d(
+            member, pair_docs
+        )
+        if member.size == 0:
+            return _Z, _EMPTY_ROWS
+        parts.append((ld[lhit], lb[lhit], le[lhit], lp[lhit]))
+        parts.append((rd[rhit], rb[rhit], re_[rhit], rp[rhit]))
+    if member is None or member.size == 0:
+        return _Z, _EMPTY_ROWS
+    d, b, e, p = _concat_rows(parts)
+    keep = np.isin(d, member)
+    return member, (d[keep], b[keep], e[keep], p[keep])
+
+
 def _eval_node(node: tuple, matchers) -> Tuple[np.ndarray, tuple]:
     """Evaluate a compiled tree on one shard -> (member docs, rows).
 
@@ -416,6 +490,8 @@ def _eval_node(node: tuple, matchers) -> Tuple[np.ndarray, tuple]:
         return np.unique(rows[0]), rows
     if kind == "phrase":
         return _phrase_member_rows([matchers[i] for i in node[1]])
+    if kind == "near":
+        return _near_member_rows([matchers[i] for i in node[1]], node[2])
     if kind == "not":
         member, (d, b, e, p) = _eval_node(node[1], matchers)
         neg_member, _ = _eval_node(node[2], matchers)
@@ -444,6 +520,9 @@ def _render_node(node: tuple, ranges: list) -> str:
     if kind in ("match", "prefix", "phrase"):
         spans = ",".join(ranges[i][0] for i in node[1])
         return f"{kind.capitalize()}[{spans}]"
+    if kind == "near":
+        spans = ",".join(ranges[i][0] for i in node[1])
+        return f"Near[{spans};slop={node[2]}]"
     if kind == "not":
         return (
             f"AndNot({_render_node(node[1], ranges)}, "
@@ -477,7 +556,7 @@ def explain_segment_query(index_path: str, query: Query) -> dict:
         "shards_total": len(manifest.get("shards", [])),
     }
     ranges: list = []
-    tree = _compile_node(query, ngrams, ranges)
+    tree = _compile_node(query, ngrams, ranges, index_path)
     if tree == ("empty",) or not ranges:
         out.update(
             empty=True, tree="Empty", ranges=[], shards_open=0, files=[]
@@ -578,7 +657,7 @@ def _plan_query(index_path: str, query: Query, doc_range=None):
             "build_segments(..., positions=True)"
         )
     ranges: list = []
-    tree = _compile_node(query, _index_ngrams(index_path), ranges)
+    tree = _compile_node(query, _index_ngrams(index_path), ranges, index_path)
     if tree == ("empty",) or not ranges:
         return [], tree, [], None
 
@@ -811,7 +890,7 @@ def _plan_batch(index_path: str, queries: List[Query]):
         )
     ngrams = _index_ngrams(index_path)
     ranges: list = []
-    trees = [_compile_node(q, ngrams, ranges) for q in queries]
+    trees = [_compile_node(q, ngrams, ranges, index_path) for q in queries]
     live = [(i, t) for i, t in enumerate(trees) if t != ("empty",)]
     if not live or not ranges:
         return ranges, trees, [], [], None

@@ -8,7 +8,15 @@ import random
 import pytest
 
 from inverted_index_spark.oracle import OracleIndex
-from inverted_index_spark.qast import And, AndNot, Match, Or, Phrase, Prefix
+from inverted_index_spark.qast import (
+    And,
+    AndNot,
+    Match,
+    Near,
+    Or,
+    Phrase,
+    Prefix,
+)
 from tests.conftest import build_engine
 
 WORDS = [
@@ -47,6 +55,10 @@ def _queries(seed: int):
                 AndNot(Match(t1), Match(t2)),
                 AndNot(Or(Match(t1), Match(t2)), Phrase(f"{t1} {t2}")),
                 AndNot(Match(t1), Prefix(t2[: max(1, len(t2) - 1)])),
+                Near(f"{t1} {t2}", rng.randint(1, 4)),
+                And(Near(f"{t1} {t2}", 2), Match(t2)),
+                Or(Near(f"{t2} {t1}", 3), Phrase(f"{t1} {t2}")),
+                AndNot(Match(t1), Near(f"{t1} {t2}", 4)),
             ]
         )
     return qs

@@ -126,10 +126,14 @@ def test_parse_render_round_trip_property():
     # searchable terms (only uppercase AND/OR are keywords)
     word = st.from_regex(r"[a-z][a-z0-9]{0,4}", fullmatch=True)
     words = st.lists(word, min_size=1, max_size=3).map(" ".join)
+    from inverted_index_spark.qast import Fuzzy, Near
+
     leaf = st.one_of(
         words.map(Match),
         words.map(Phrase),
         word.map(Prefix),
+        st.tuples(words, st.integers(1, 9)).map(lambda wn: Near(*wn)),
+        st.tuples(word, st.integers(1, 2)).map(lambda we: Fuzzy(*we)),
     )
 
     from inverted_index_spark.qast import AndNot

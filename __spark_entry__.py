@@ -408,6 +408,57 @@ def _q_prefix_seg(spark, sf):
     ).select("doc_id")
 
 
+def _q_facets(spark, sf):
+    """Facet counts over a query's match set (search-UI aggregation):
+    membership-only plan joined to metadata, ONE pass counts every
+    facet; role/decile derive deterministically from doc_id."""
+    from inverted_index_spark.qast import Match
+
+    eng = _engine(spark, sf)
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")
+    )
+    meta = _docs(spark, sf).select(
+        "doc_id",
+        F.element_at(
+            roles, (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("string").alias("decile"),
+    )
+    return eng.facets(Match("merge"), meta, ["role", "decile"])
+
+
+def _q_conv_boosted(spark, sf):
+    """Role-boosted conversation ranking (BM25F-style per-field boost
+    for the transcript payload — a turn IS a single-role field):
+    assistant turns x2.0, user turns x1.5 before the per-conversation
+    max; statistics stay corpus-global."""
+    from inverted_index_spark.transcripts import conversation_topk
+
+    eng = _engine(spark, sf)
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")
+    )
+    conv_map = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("conv-"),
+            F.lpad(F.expr("doc_id DIV 8").cast("string"), 8, "0"),
+        ).alias("conv_id"),
+        F.element_at(
+            roles, (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+    )
+    return conversation_topk(
+        eng, conv_map, "scan merge join", k=10,
+        role_boosts={"assistant": 2.0, "user": 1.5},
+    ).select(
+        "conv_id",
+        F.round(F.col("score"), 4).alias("score_r4"),
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+    )
+
+
 def _q_near_docs(spark, sf):
     """Ordered proximity (engine extension, qast.Near): every
     consecutive term pair within ``slop`` positions, members need a
@@ -909,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_seg": _q_near_seg,
         "fuzzy_docs": _q_fuzzy_docs,
         "fuzzy_seg": _q_fuzzy_seg,
+        "facets": _q_facets,
+        "conv_boosted": _q_conv_boosted,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1387,6 +1440,65 @@ def oracle_sql() -> dict[str, str]:
                    round(max(score), 4) as score_r4,
                    count(*)::bigint as n_turns
             from scored
+            group by 1
+            order by max(score) desc, conv_id asc
+            limit 10
+        """,
+        # facet counts over Match('merge') membership: role = doc_id%4
+        # -> [user, assistant, system, tool], decile = doc_id%10
+        "facets": f"""
+            with toks as ({_TOKS}),
+            m as (
+              select distinct doc_id from toks where term like 'merge%'
+            ),
+            f as (
+              select 'role' as facet,
+                     case doc_id % 4 when 0 then 'user'
+                                     when 1 then 'assistant'
+                                     when 2 then 'system'
+                                     else 'tool' end as value
+              from m
+              union all
+              select 'decile', cast(doc_id % 10 as varchar) from m
+            )
+            select facet, value, count(*)::bigint as n_docs
+            from f group by facet, value
+        """,
+        # conv_topk with role boosts: assistant x2.0, user x1.5 applied
+        # to each turn's BM25 score BEFORE the per-conversation max
+        "conv_boosted": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            scored as (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ),
+            boosted as (
+              select doc_id,
+                     score * case doc_id % 4 when 0 then 1.5
+                                             when 1 then 2.0
+                                             else 1.0 end as score
+              from scored
+            )
+            select 'conv-' || lpad(cast(doc_id // 8 as varchar), 8, '0')
+                     as conv_id,
+                   round(max(score), 4) as score_r4,
+                   count(*)::bigint as n_turns
+            from boosted
             group by 1
             order by max(score) desc, conv_id asc
             limit 10

@@ -718,6 +718,47 @@ class FtsEngine:
         out.update(explain_segment_query(seg, q))
         return out
 
+    def facets(
+        self,
+        query: Query,
+        meta: DataFrame,
+        cols: List[str],
+    ) -> DataFrame:
+        """Facet counts over a query's match set -> (facet, value, n_docs).
+
+        The aggregation a search UI renders next to results ("1,204 in
+        role=assistant, 310 in role=tool, ..."): docs matching ``query``
+        (MEMBERSHIP ONLY — the plan's docs branch, so position arrays
+        are never decoded or exploded) joined to ``meta`` (doc_id + the
+        facet columns), then ONE pass over the joined rows — each row
+        explodes to its (facet, value) pairs via a literal map, and a
+        single groupBy counts every facet simultaneously. Facet values
+        are rendered as strings (null -> NULL row). Cost: the match
+        scan + one join + one shuffle of |matches| x |cols| small rows,
+        independent of how many facets are requested.
+        """
+        if not cols:
+            raise ValueError("facets needs at least one column")
+        missing = [c for c in cols if c not in meta.columns]
+        if missing:
+            raise ValueError(f"facet columns not in meta: {missing}")
+        docs = self.compile(query).docs
+        joined = docs.join(meta.select("doc_id", *cols), "doc_id")
+        kv = F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in cols
+                    for x in (F.lit(c), F.col(c).cast("string"))
+                ]
+            )
+        )
+        return (
+            joined.select(kv.alias("facet", "value"))
+            .groupBy("facet", "value")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
     def highlight(
         self, results: DataFrame, before: str, after: str
     ) -> DataFrame:

@@ -185,6 +185,7 @@ def conversation_topk(
     k: int = 10,
     agg: str = "max",
     filter_docs: Optional[DataFrame] = None,
+    role_boosts: Optional[dict] = None,
 ) -> DataFrame:
     """Top-k CONVERSATIONS for a BM25 query over turn-level docs.
 
@@ -201,13 +202,43 @@ def conversation_topk(
     is corpus-sized, the matched side is query-sized; Spark picks);
     the aggregation is one combinable groupBy. ``filter_docs`` composes
     (e.g. restrict to role='user' turns before ranking).
+
+    ``role_boosts`` (e.g. ``{"assistant": 2.0, "user": 1.5}``) weights
+    each turn's BM25 score by its speaker role before the conversation
+    aggregate — a BM25F-style per-field boost for the transcript
+    payload, where a turn IS a single-role field. ``conv_map`` must
+    then also carry a ``role`` column. Unmapped roles weight 1.0;
+    idf/avgdl/N stay corpus-global (the boost scales scores, never the
+    statistics), and the multiply is a literal-map lookup in the same
+    JVM projection — no extra join or shuffle.
     """
     if agg not in ("max", "sum"):
         raise ValueError(f"agg must be max|sum, got {agg!r}")
     per_doc = engine.bm25(text, k=None, filter_docs=filter_docs)
     aggf = (F.max if agg == "max" else F.sum)("score")
+    if role_boosts:
+        if "role" not in conv_map.columns:
+            raise ValueError("role_boosts needs a 'role' column in conv_map")
+        boost_map = F.create_map(
+            *[F.lit(x) for kv in sorted(role_boosts.items()) for x in kv]
+        )
+        per_doc = (
+            per_doc.join(
+                conv_map.select("doc_id", "conv_id", "role"), "doc_id"
+            )
+            .withColumn(
+                "score",
+                F.col("score")
+                * F.coalesce(
+                    boost_map[F.col("role")].cast("double"), F.lit(1.0)
+                ),
+            )
+            .select("doc_id", "conv_id", "score")
+        )
+    else:
+        per_doc = per_doc.join(conv_map.select("doc_id", "conv_id"), "doc_id")
     return (
-        per_doc.join(conv_map.select("doc_id", "conv_id"), "doc_id")
+        per_doc
         .groupBy("conv_id")
         .agg(aggf.alias("score"), F.count(F.lit(1)).alias("n_turns"))
         .orderBy(F.desc("score"), F.asc("conv_id"))

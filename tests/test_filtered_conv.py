@@ -306,3 +306,94 @@ def test_doc_range_segment_query_matches_relational(spark, tmp_path):
         for r in eng.results(q, doc_range=(20, 70)).collect()
     ]
     assert routed == want
+
+
+def test_conversation_topk_role_boosts(spark, eng):
+    """Role boosts scale each turn's BM25 score before the conversation
+    max; unmapped roles weight 1.0; statistics stay corpus-global (the
+    boosted ranking is a pure per-doc multiply of the unboosted one)."""
+    roles = ["user", "assistant", "system", "tool"]
+    conv_map = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("conv-"), F.expr("doc_id DIV 8").cast("string")
+        ).alias("conv_id"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in roles]),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+    )
+    boosts = {"assistant": 2.0, "user": 1.5}
+    per_doc = {
+        r["doc_id"]: r["score"]
+        for r in eng.bm25("scan merge join", k=None).collect()
+    }
+    best: dict = {}
+    for d, s in per_doc.items():
+        w = boosts.get(roles[d % 4], 1.0)
+        c = f"conv-{d // 8}"
+        best[c] = max(best.get(c, float("-inf")), s * w)
+    expect = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    got = conversation_topk(
+        eng, conv_map, "scan merge join", k=5, role_boosts=boosts
+    ).collect()
+    assert [r["conv_id"] for r in got] == [c for c, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert r["score"] == pytest.approx(s)
+
+    # boosts with no role column -> explicit error
+    with pytest.raises(ValueError, match="role"):
+        conversation_topk(
+            eng, conv_map.drop("role"), "scan", role_boosts=boosts
+        )
+
+
+def test_facets_counts_match_membership(spark, eng):
+    """facets() == groupBy counts over the query's match set, for every
+    requested facet column in one call; membership-only (no positions)."""
+    from inverted_index_spark.qast import Match, Near
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    roles = ["user", "assistant", "system", "tool"]
+    meta = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(r) for r in roles]),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+        F.pmod(F.col("doc_id"), F.lit(10)).alias("decile"),
+    )
+    match_ids = {
+        r["doc_id"]
+        for r in eng.results(Match("merge"), with_positions=False).collect()
+    }
+    expect: dict = {}
+    for d in match_ids:
+        expect[("role", roles[d % 4])] = expect.get(("role", roles[d % 4]), 0) + 1
+        expect[("decile", str(d % 10))] = expect.get(("decile", str(d % 10)), 0) + 1
+    got = {
+        (r["facet"], r["value"]): r["n_docs"]
+        for r in eng.facets(Match("merge"), meta, ["role", "decile"]).collect()
+    }
+    assert got == expect
+
+    # composes with any algebra node (Near membership here)
+    near_ids = {
+        r["doc_id"]
+        for r in eng.results(
+            Near("scan merge", 3), with_positions=False
+        ).collect()
+    }
+    got_near = {
+        (r["facet"], r["value"]): r["n_docs"]
+        for r in eng.facets(Near("scan merge", 3), meta, ["role"]).collect()
+    }
+    assert sum(got_near.values()) == len(near_ids)
+
+    with pytest.raises(ValueError, match="at least one"):
+        eng.facets(Match("merge"), meta, [])
+    with pytest.raises(ValueError, match="not in meta"):
+        eng.facets(Match("merge"), meta, ["nope"])

@@ -408,6 +408,24 @@ def _q_prefix_seg(spark, sf):
     ).select("doc_id")
 
 
+def _q_doc_count(spark, sf):
+    """Membership-only count fast path: no positions decoded."""
+    from inverted_index_spark.qast import And, Match
+
+    eng = _engine(spark, sf)
+    n = eng.count(And(Match("scan"), Match("merge")))
+    return spark.createDataFrame([(n,)], "n_docs long")
+
+
+def _q_mlt(spark, sf):
+    """More-like-this: doc 7's 5 most significant tokens (tf x BM25-idf,
+    ties term asc) as a BM25 query, source doc excluded, top 10."""
+    eng = _engine_fulltoken(spark, sf)
+    return eng.more_like_this(7, k=10, max_query_terms=5).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score_r4")
+    )
+
+
 def _q_facets(spark, sf):
     """Facet counts over a query's match set (search-UI aggregation):
     membership-only plan joined to metadata, ONE pass counts every
@@ -962,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_seg": _q_fuzzy_seg,
         "facets": _q_facets,
         "conv_boosted": _q_conv_boosted,
+        "doc_count": _q_doc_count,
+        "mlt": _q_mlt,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1442,6 +1462,52 @@ def oracle_sql() -> dict[str, str]:
             from scored
             group by 1
             order by max(score) desc, conv_id asc
+            limit 10
+        """,
+        "doc_count": f"""
+            select count(*)::bigint as n_docs from (
+              select doc_id from ({_TOKS})
+              group by doc_id
+              having bool_or(term like 'scan%') and bool_or(term like 'merge%')
+            )
+        """,
+        # more_like_this(7): doc 7's top-5 tokens by tf x BM25-idf
+        # (ties term asc) -> BM25 query -> exclude doc 7 -> top 10
+        "mlt": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            dfall as (select term, count(distinct doc_id)::double as df
+                      from toks group by term),
+            sel as (
+              select s.term
+              from (select term, tf from tf where doc_id = 7) s
+              join dfall d using (term)
+              cross join stats
+              order by s.tf * ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       desc,
+                       s.term asc
+              limit 5
+            ),
+            scored as (
+              select tf.doc_id,
+                     sum( ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join sel using (term)
+              join dfall d using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            )
+            select doc_id, round(score, 4) as score_r4
+            from scored
+            where doc_id != 7
+            order by score desc, doc_id asc
             limit 10
         """,
         # facet counts over Match('merge') membership: role = doc_id%4

@@ -718,6 +718,94 @@ class FtsEngine:
         out.update(explain_segment_query(seg, q))
         return out
 
+    def count(self, query: Query) -> int:
+        """Number of matching docs — membership only, no positions.
+
+        The plan is the query's docs branch (Catalyst prunes the
+        positions column out of the scan entirely), aggregated with a
+        partial count. For a single exact term the saved-index termdict
+        already answers this driver-side with zero jobs
+        (metacache.term_dfs); this is the general-algebra fallback.
+        """
+        return self.compile(query).docs.count()
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 10,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Similar-document retrieval (Lucene MoreLikeThis shape):
+        pick the source doc's ``max_query_terms`` most significant full
+        tokens by tf x BM25-idf (ties: term asc), run them as a BM25
+        query, drop the source doc itself.
+
+        Scale shape: the source doc's text is ONE sargable row fetch
+        from the doc store, tokenized driver-side (a single document is
+        always driver-sized); term df comes from the termdict — read
+        with zero Spark jobs via metacache when the index is saved,
+        else one tiny filtered collect. Only the final BM25 scan is a
+        distributed job, identical in cost to any user query with
+        ``max_query_terms`` terms.
+        """
+        if self.index.docs is None:
+            raise ValueError(
+                "more_like_this needs the doc store (store_docs=True or "
+                "docs= attached to the index)"
+            )
+        rows = (
+            self.index.docs.filter(F.col("doc_id") == doc_id)
+            .select("text")
+            .take(1)
+        )
+        if not rows:
+            raise ValueError(f"doc_id {doc_id} not in the doc store")
+        from collections import Counter
+
+        from .analysis import analyze_index
+
+        tf = Counter(t.term for t in analyze_index(rows[0]["text"], ngrams=False))
+        if not tf:
+            return self.bm25("", k=k)
+        path = getattr(self.index, "path", None)
+        if path:
+            from . import metacache
+
+            dfs = metacache.term_dfs(path, list(tf))
+        else:
+            dfs = {
+                r["term"]: r["df_full"]
+                for r in self.index.termdict.filter(
+                    F.col("term").isin(list(tf))
+                )
+                .select("term", "df_full")
+                .collect()
+            }
+        import math
+
+        n = self.index.n_docs
+        scored = sorted(
+            (
+                (
+                    -c * math.log((n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0),
+                    t,
+                )
+                for t, c in tf.items()
+                if dfs.get(t, 0) > 0
+            ),
+        )[:max_query_terms]
+        terms = [t for _, t in scored]
+        if not terms:
+            return self.bm25("", k=k)
+        # over-fetch one row so dropping the source still yields k —
+        # keeps the WAND segment route (which needs a concrete k) hot
+        fetch = (k + 1) if (k is not None and exclude_self) else k
+        out = self.bm25(" ".join(terms), k=fetch)
+        if exclude_self:
+            out = out.filter(F.col("doc_id") != doc_id)
+        return out.limit(k) if k is not None else out
+
     def facets(
         self,
         query: Query,

@@ -426,6 +426,34 @@ def _q_mlt(spark, sf):
     )
 
 
+def _q_wildcard_docs(spark, sf):
+    """Raw dictionary wildcard (engine extension, qast.Wildcard):
+    's?a*' matches whole terms {scan, small, spark}; sargable literal
+    prefix + anchored dialect-stable rlike residual."""
+    from inverted_index_spark.qast import Wildcard
+
+    eng = _engine_fulltoken(spark, sf)
+    return eng.results(Wildcard("s?a*")).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
+def _q_wildcard_seg(spark, sf):
+    """Wildcard served from segments: driver-side prefix-banded
+    dictionary expansion -> exact-term pruned shard scan."""
+    from inverted_index_spark.qast import Wildcard
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, Wildcard("s?a*"), with_positions=False
+    ).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
 def _q_facets(spark, sf):
     """Facet counts over a query's match set (search-UI aggregation):
     membership-only plan joined to metadata, ONE pass counts every
@@ -982,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_boosted": _q_conv_boosted,
         "doc_count": _q_doc_count,
         "mlt": _q_mlt,
+        "wildcard_docs": _q_wildcard_docs,
+        "wildcard_seg": _q_wildcard_seg,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1463,6 +1493,25 @@ def oracle_sql() -> dict[str, str]:
             group by 1
             order by max(score) desc, conv_id asc
             limit 10
+        """,
+        # Wildcard('s?a*'): whole-term regexp over the distinct-token
+        # dictionary (RE2 's.a.*' == the engine's translated subset),
+        # union the matched terms' docs, f32 parity score
+        "wildcard_docs": f"""
+            with toks as ({_TOKS}),
+            cand as (
+              select distinct term from toks
+              where regexp_full_match(term, 's.a.*')
+            ),
+            m as (
+              select t.doc_id, sum(strlen(t.term)) as w
+              from toks t join cand using (term)
+              group by t.doc_id
+            )
+            select m.doc_id,
+                   round((m.w::real / sqrt(strlen(d.text)::double)::real
+                         )::real::double, 4)::double as score_r4
+            from m join documents d using (doc_id)
         """,
         "doc_count": f"""
             select count(*)::bigint as n_docs from (
@@ -2070,4 +2119,5 @@ def oracle_sql() -> dict[str, str]:
     out["prefix_seg"] = out["prefix_docs"]
     out["near_seg"] = out["near_docs"]
     out["fuzzy_seg"] = out["fuzzy_docs"]
+    out["wildcard_seg"] = out["wildcard_docs"]
     return out

@@ -207,6 +207,50 @@ def fuzzy_terms(
     return out
 
 
+def wildcard_terms(index_path: str, pattern: str) -> List[str]:
+    """Expansion set for a ``Wildcard`` node: every dictionary term the
+    translated pattern fully matches, sorted. Driver-side, no Spark.
+
+    The pattern's literal prefix restricts the pyarrow termdict read to
+    a sargable ``[prefix, succ(prefix))`` band (row-group min/max fences
+    prune — the dictionary is term-sorted); the residual match runs in
+    Python over the band. A leading wildcard reads the whole dictionary
+    — the query's true cost, exactly like an unbounded Prefix range.
+    Memoized per termdict snapshot.
+    """
+    snap = _snapshot(index_path, "termdict")
+    if snap is None or not pattern:
+        return []
+    key = (snap, "wildcard", pattern)
+    hit = _memo_get(key)
+    if hit is not None:
+        return hit  # type: ignore[return-value]
+    import re
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from .oracle import prefix_upper_bound
+    from .qast import wildcard_literal_prefix, wildcard_regex
+
+    pre = wildcard_literal_prefix(pattern)
+    flt = None
+    if pre:
+        flt = pc.field("term") >= pre
+        hi = prefix_upper_bound(pre)
+        if hi is not None:
+            flt = flt & (pc.field("term") < hi)
+    table = ds.dataset(snap[0], format="parquet").to_table(
+        columns=["term"], filter=flt
+    )
+    rx = re.compile(wildcard_regex(pattern))
+    out = sorted(
+        t for t in table.column("term").to_pylist() if rx.fullmatch(t)
+    )
+    _memo_put(key, out)
+    return out
+
+
 def _first_parquet_file(d: str) -> Optional[str]:
     try:
         for name in sorted(os.listdir(d)):

@@ -154,6 +154,8 @@ from .qast import (  # noqa: E402,F401
     Phrase,
     Prefix,
     Query,
+    Wildcard,
+    wildcard_regex,
 )
 
 
@@ -356,6 +358,21 @@ class OracleIndex:
         ]
         return union_postings(maps)
 
+    def _wildcard(self, pattern: str) -> PostingsMap:
+        """Raw dictionary wildcard (qast.Wildcard): whole-term match of
+        the translated pattern; empty pattern -> empty (like Prefix)."""
+        if not pattern:
+            return {}
+        import re
+
+        rx = re.compile(wildcard_regex(pattern))
+        maps = [
+            pm
+            for term, pm in self.index.items()
+            if rx.fullmatch(term) is not None
+        ]
+        return union_postings(maps)
+
     def postings_for(self, query: Query) -> PostingsMap:
         if isinstance(query, Match):
             return self._match(query.text)
@@ -367,6 +384,8 @@ class OracleIndex:
             return self._phrase(query.text)
         if isinstance(query, Prefix):
             return self._prefix(query.text)
+        if isinstance(query, Wildcard):
+            return self._wildcard(query.pattern)
         if isinstance(query, Near):
             return self._near(query.text, query.slop)
         if isinstance(query, Fuzzy):

@@ -8,12 +8,32 @@ imports so either side can load it standalone.
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass
 from typing import Tuple
 
+
+def wildcard_regex(pattern: str) -> str:
+    """Unanchored regex body for a Wildcard pattern: ``*`` -> ``.*``,
+    ``?`` -> ``.``, everything else escaped. Uses only the regex subset
+    on which Java (Spark ``rlike``), RE2 (DuckDB) and Python ``re``
+    agree exactly — callers anchor it (``^...$`` / fullmatch)."""
+    return "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+        for ch in pattern
+    )
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    """Literal chars before the first wildcard — the sargable range."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
 __all__ = [
     "Query", "Match", "And", "Or", "Phrase", "Prefix", "AndNot",
-    "Near", "Fuzzy",
+    "Near", "Fuzzy", "Wildcard",
 ]
 
 
@@ -111,6 +131,26 @@ class Fuzzy(Query):
     text: str
     max_edits: int = 1
     max_expansions: int = 50
+
+
+@dataclass(frozen=True)
+class Wildcard(Query):
+    """Raw (un-analyzed) dictionary wildcard match: ``?`` = exactly one
+    character, ``*`` = any run (including empty), every other character
+    literal — matched against WHOLE dictionary terms, like ``Prefix``'s
+    raw range-scan semantics with a residual pattern.
+
+    Engine EXTENSION (Lucene WildcardQuery analog; the reference's only
+    dictionary operator is Prefix, query.rs:23-25). The pattern's
+    literal prefix (chars before the first wildcard) prunes as a
+    sargable term range; the residual match uses only the
+    dialect-stable regex subset (escaped literals, ``.``, ``.*``) so
+    the JVM, RE2 and Python evaluators agree exactly. A leading
+    wildcard therefore scans the whole dictionary — legal, but O(vocab).
+    Empty pattern -> empty result (mirrors Prefix).
+    """
+
+    pattern: str
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,10 @@ Grammar (whitespace-insensitive between tokens):
   single-word phrase matches nothing — reference index.rs:88-107).
 * ``word*`` is a raw ``Prefix`` range scan of everything before the
   ``*``. The star binds only at the end of a bare word.
+* any other ``*``/``?`` placement makes the token a raw dictionary
+  ``Wildcard`` (``sc?n``, ``mer*e``; ``?`` = one char, ``*`` = any run).
+* ``word~`` / ``word~2`` is a ``Fuzzy`` edit-distance match;
+  ``"a b"~3`` is an ordered ``Near`` proximity match.
 
 Examples::
 
@@ -43,7 +47,18 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-from .qast import And, AndNot, Fuzzy, Match, Near, Or, Phrase, Prefix, Query
+from .qast import (
+    And,
+    AndNot,
+    Fuzzy,
+    Match,
+    Near,
+    Or,
+    Phrase,
+    Prefix,
+    Query,
+    Wildcard,
+)
 
 __all__ = ["parse_query", "render_query", "QueryParseError"]
 
@@ -57,8 +72,7 @@ _TOKEN = re.compile(
         (?P<lparen>\() |
         (?P<rparen>\)) |
         (?P<phrase>"(?P<phrase_body>[^"]*)")(?:~(?P<slop>\d+))? |
-        (?P<word>[^\s()"*~]+)(?:(?P<star>\*)|~(?P<fuzz>\d*)(?![^\s()"*~]))? |
-        (?P<badstar>\*) |
+        (?P<word>[^\s()"~]+)(?:~(?P<fuzz>\d*)(?![^\s()"~]))? |
         (?P<badtilde>~)
     )""",
     re.VERBOSE,
@@ -89,23 +103,35 @@ def _lex(s: str) -> List[Tuple[str, str, int]]:
             else:
                 out.append(("phrase", m.group("phrase_body"), m.start()))
         elif m.group("word"):
-            if m.group("star"):
-                out.append(("prefix", m.group("word"), m.start()))
-            elif m.group("fuzz") is not None:
+            w = m.group("word")
+            wild = "*" in w or "?" in w
+            if m.group("fuzz") is not None:
+                if wild:
+                    raise QueryParseError(
+                        f"fuzzy '~' cannot follow a wildcard pattern "
+                        f"at position {m.start()}"
+                    )
                 edits = int(m.group("fuzz")) if m.group("fuzz") else 1
                 if not 1 <= edits <= 2:
                     raise QueryParseError(
                         f"fuzzy edits must be 1 or 2 at position {m.start()}"
                     )
-                out.append(("fuzzy", (m.group("word"), edits), m.start()))
-            elif m.group("word") in ("AND", "OR", "NOT"):
-                out.append((m.group("word"), m.group("word"), m.start()))
+                out.append(("fuzzy", (w, edits), m.start()))
+            elif wild:
+                if set(w) == {"*"}:
+                    raise QueryParseError(
+                        f"'*' alone at position {m.start()} matches the "
+                        "whole dictionary (prefix form is word*, "
+                        "wildcards are sc?n / mer*e)"
+                    )
+                if w.endswith("*") and not any(c in "*?" for c in w[:-1]):
+                    out.append(("prefix", w[:-1], m.start()))
+                else:
+                    out.append(("wildcard", w, m.start()))
+            elif w in ("AND", "OR", "NOT"):
+                out.append((w, w, m.start()))
             else:
-                out.append(("word", m.group("word"), m.start()))
-        elif m.group("badstar"):
-            raise QueryParseError(
-                f"dangling '*' at position {m.start()} (prefix form is word*)"
-            )
+                out.append(("word", w, m.start()))
         elif m.group("badtilde"):
             raise QueryParseError(
                 f"dangling '~' at position {m.start()} "
@@ -191,6 +217,8 @@ class _Parser:
             return Fuzzy(val[0], val[1])
         if kind == "prefix":
             return Prefix(val)
+        if kind == "wildcard":
+            return Wildcard(val)
         if kind == "word":
             # greedily absorb following bare words into ONE Match bag
             words = [val]
@@ -217,7 +245,7 @@ def render_query(q: Query) -> str:
         return (
             not w
             or w in ("AND", "OR", "NOT")
-            or any(c in w for c in '()"*~')
+            or any(c in w for c in '()"*~?')
             or w != w.strip()
         )
 
@@ -251,6 +279,20 @@ def render_query(q: Query) -> str:
         if bad_word(q.text):
             raise ValueError(f"Prefix not renderable: {q.text!r}")
         return f"{q.text}*"
+    if isinstance(q, Wildcard):
+        p = q.pattern
+        has_wild = "*" in p or "?" in p
+        if (
+            not p
+            or not has_wild  # bare word: parses as Match
+            or set(p) == {"*"}
+            # trailing-star-only: parses back as Prefix — use Prefix
+            or (p.endswith("*") and not any(c in "*?" for c in p[:-1]))
+            or any(c in p for c in '()"~')
+            or p != p.strip()
+        ):
+            raise ValueError(f"Wildcard not renderable: {p!r}")
+        return p
     if isinstance(q, AndNot):
         ps = render_query(q.positive)
         if ps == "":

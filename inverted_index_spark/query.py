@@ -41,7 +41,20 @@ from pyspark.sql import functions as F
 
 from .analysis import analyze_query
 from .build import FtsIndex
-from .qast import And, AndNot, Fuzzy, Match, Near, Or, Phrase, Prefix, Query
+from .qast import (
+    And,
+    AndNot,
+    Fuzzy,
+    Match,
+    Near,
+    Or,
+    Phrase,
+    Prefix,
+    Query,
+    Wildcard,
+    wildcard_literal_prefix,
+    wildcard_regex,
+)
 from .udfs import byte_slice_highlight
 
 K1 = 1.2
@@ -184,6 +197,27 @@ class FtsEngine:
         pred = F.col("term") >= prefix
         if hi is not None:
             pred = pred & (F.col("term") < hi)
+        return self._scan(pred)
+
+    def _wildcard(self, pattern: str) -> PlanResult:
+        """Raw dictionary wildcard (qast.Wildcard): the pattern's
+        literal prefix prunes as a sargable term range (parquet min/max
+        fences, like Prefix), the residual whole-term match runs as an
+        anchored JVM ``rlike`` over the surviving rows — the translated
+        subset is dialect-stable, so this equals the segment path's
+        driver-side Python expansion exactly.
+        """
+        if not pattern:
+            return self._empty()
+        pre = wildcard_literal_prefix(pattern)
+        if pre == pattern:  # no wildcard chars: exact dictionary term
+            return self._scan(F.col("term") == pattern)
+        pred = F.col("term").rlike("^" + wildcard_regex(pattern) + "$")
+        if pre:
+            pred = (F.col("term") >= pre) & pred
+            hi = prefix_upper_bound(pre)
+            if hi is not None:
+                pred = (F.col("term") < hi) & pred
         return self._scan(pred)
 
     # ------------------------------------------------------------------
@@ -429,6 +463,8 @@ class FtsEngine:
             return self._match(query.text)
         if isinstance(query, Prefix):
             return self._prefix(query.text)
+        if isinstance(query, Wildcard):
+            return self._wildcard(query.pattern)
         if isinstance(query, Phrase):
             return self._phrase(query.text)
         if isinstance(query, Near):

@@ -39,7 +39,18 @@ from pyspark.sql import functions as F
 from .analysis import analyze_query
 from .codecs import decode_doc_ids, decode_pos_block, varint_decode
 from .oracle import prefix_upper_bound
-from .qast import And, AndNot, Fuzzy, Match, Near, Or, Phrase, Prefix, Query
+from .qast import (
+    And,
+    AndNot,
+    Fuzzy,
+    Match,
+    Near,
+    Or,
+    Phrase,
+    Prefix,
+    Query,
+    Wildcard,
+)
 from .segments import DOCSTATS_TERM, load_manifest
 
 RESULT_SCHEMA = "doc_id long, score float"
@@ -133,6 +144,25 @@ def _compile_node(
             idxs.append(len(ranges))
             ranges.append(_term_range(t, ngrams))
         return ("phrase", idxs)
+    if isinstance(q, Wildcard):
+        # raw dictionary wildcard: driver-side expansion against the
+        # termdict (prefix-banded read, metacache.wildcard_terms) ->
+        # exact-term ranges, identical semantics to the relational
+        # anchored-rlike plan (dialect-stable translated subset)
+        if not q.pattern:
+            return ("empty",)
+        if index_path is None:
+            raise ValueError("Wildcard needs a saved index (term dictionary)")
+        from . import metacache
+
+        expanded = metacache.wildcard_terms(index_path, q.pattern)
+        if not expanded:
+            return ("empty",)
+        idxs = []
+        for t in expanded:
+            idxs.append(len(ranges))
+            ranges.append((t, t + "\x00"))
+        return ("match", idxs)
     if isinstance(q, Near):
         if q.slop < 1:
             raise ValueError(f"Near slop must be >= 1, got {q.slop}")

@@ -16,6 +16,7 @@ from inverted_index_spark.qast import (
     Or,
     Phrase,
     Prefix,
+    Wildcard,
 )
 from tests.conftest import build_engine
 
@@ -59,6 +60,9 @@ def _queries(seed: int):
                 And(Near(f"{t1} {t2}", 2), Match(t2)),
                 Or(Near(f"{t2} {t1}", 3), Phrase(f"{t1} {t2}")),
                 AndNot(Match(t1), Near(f"{t1} {t2}", 4)),
+                Wildcard(f"{t1[:1]}*{t1[-1:]}"),
+                Wildcard(("?" + t1[1:]) if len(t1) > 1 else "?"),
+                And(Wildcard(f"*{t2[-1:]}"), Match(t1)),
             ]
         )
     return qs

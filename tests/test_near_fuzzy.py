@@ -239,3 +239,61 @@ def test_levenshtein_matches_duckdb():
             "select levenshtein(?, ?)", params=[a, b]
         ).fetchone()[0]
         assert levenshtein(a, b) == want
+
+
+# ---------------------------------------------------------------------------
+# Wildcard (raw dictionary pattern match; Lucene WildcardQuery analog)
+
+
+def test_wildcard_semantics(spark):
+    from inverted_index_spark.qast import Wildcard
+
+    eng = build_engine(spark, CORPUS, ngrams=False)
+    # ? is exactly one char, * any run, whole-term anchored
+    assert _docs(eng.results(Wildcard("sc?n"))) == [1, 2, 3, 5, 7]
+    assert _docs(eng.results(Wildcard("scan?"))) == [4]   # 'scans' only
+    assert _docs(eng.results(Wildcard("m?rge"))) == [1, 2, 3, 4, 5, 7]
+    assert _docs(eng.results(Wildcard("*erge"))) == [1, 2, 3, 4, 5, 7]
+    assert _docs(eng.results(Wildcard("x*"))) == []
+    assert _docs(eng.results(Wildcard(""))) == []
+    # no wildcard chars -> exact dictionary term (not prefix-expanded)
+    assert _docs(eng.results(Wildcard("scan"))) == [1, 2, 3, 5, 7]
+
+
+def test_wildcard_three_evaluators(spark, tmp_path):
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.qast import And, Match, Wildcard
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import (
+        segment_query,
+        segment_query_pandas,
+    )
+
+    path = str(tmp_path / "wcidx")
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False, term_buckets=4)
+    build_segments(spark, idx, path, shard_docs=3, positions=True)
+    eng = FtsEngine(idx, use_segments=False)
+
+    for q in [
+        Wildcard("sc?n*"),
+        Wildcard("*o*"),
+        And(Wildcard("m?rge"), Match("tonight")),
+    ]:
+        rel = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in eng.results(q, with_positions=False).collect()
+        ]
+        seg = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in segment_query(
+                spark, path, q, with_positions=False, mode="spark"
+            ).collect()
+        ]
+        pdf = segment_query_pandas(path, q, with_positions=False)
+        loc = [
+            (int(d), round(float(s), 5))
+            for d, s in zip(pdf["doc_id"], pdf["score"])
+        ]
+        assert rel == seg == loc, f"wildcard evaluators diverged on {q}"

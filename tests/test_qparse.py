@@ -126,14 +126,20 @@ def test_parse_render_round_trip_property():
     # searchable terms (only uppercase AND/OR are keywords)
     word = st.from_regex(r"[a-z][a-z0-9]{0,4}", fullmatch=True)
     words = st.lists(word, min_size=1, max_size=3).map(" ".join)
-    from inverted_index_spark.qast import Fuzzy, Near
+    from inverted_index_spark.qast import Fuzzy, Near, Wildcard
 
+    # renderable wildcard: an interior wildcard char guarantees it
+    # never collapses to the Prefix or bare-word forms
+    wild = st.tuples(word, st.sampled_from("*?"), word).map(
+        lambda t: Wildcard("".join(t))
+    )
     leaf = st.one_of(
         words.map(Match),
         words.map(Phrase),
         word.map(Prefix),
         st.tuples(words, st.integers(1, 9)).map(lambda wn: Near(*wn)),
         st.tuples(word, st.integers(1, 2)).map(lambda we: Fuzzy(*we)),
+        wild,
     )
 
     from inverted_index_spark.qast import AndNot

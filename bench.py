@@ -89,6 +89,7 @@ def main() -> None:
         Or,
         Phrase,
         Prefix,
+        Wildcard,
     )
     from inverted_index_spark.query import FtsEngine
     from inverted_index_spark.session import get_spark
@@ -290,6 +291,12 @@ def main() -> None:
         # (metacache, memoized) -> exact-term pruned shard scan
         "fuzzy_seg": lambda: segment_query(
             spark, idx_path, Fuzzy("part", 2), k=10,
+            with_positions=False, mode="spark",
+        ).collect(),
+        # wildcard (engine extension): prefix-banded dictionary
+        # expansion -> exact-term pruned shard scan
+        "wildcard_seg": lambda: segment_query(
+            spark, idx_path, Wildcard("s?a*"), k=10,
             with_positions=False, mode="spark",
         ).collect(),
         # metadata-filtered BM25 (relational plan pinned by contract)

@@ -154,3 +154,42 @@ def test_andnot_plan_is_anti_join_with_pushdown(engine):
     # prefix-expansion range predicates)
     assert "GreaterThanOrEqual(term,merge)" in plan
     assert "GreaterThanOrEqual(term,scan)" in plan
+
+
+def test_wildcard_plan_pushes_prefix_range(engine):
+    """Wildcard's literal prefix must reach the parquet scan as a
+    sargable range; only the residual pattern runs as a filter."""
+    from inverted_index_spark.qast import Wildcard
+
+    plan = _formatted(
+        engine.results(Wildcard("me?ge"), k=10, with_positions=False)
+    )
+    assert "GreaterThanOrEqual(term,me)" in plan
+    assert "LessThan(term,mf)" in plan
+
+
+def test_fuzzy_plan_broadcasts_expansion(engine):
+    """Fuzzy's expanded term set joins the postings by broadcast
+    semi-join — never a sort-merge shuffle of the postings side."""
+    from inverted_index_spark.qast import Fuzzy
+
+    plan = _formatted(
+        engine.results(Fuzzy("merge", 1), k=10, with_positions=False)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_near_plan_prunes_inputs_and_pushes_ranges(engine):
+    """Near's band join inputs are semi-join pruned and both term
+    ranges reach the scans; the pos window is a join residual, not a
+    cartesian product."""
+    from inverted_index_spark.qast import Near
+
+    plan = _formatted(
+        engine.results(Near("scan merge", 3), k=10, with_positions=False)
+    )
+    assert "GreaterThanOrEqual(term,scan)" in plan
+    assert "GreaterThanOrEqual(term,merge)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -426,6 +426,17 @@ def _q_mlt(spark, sf):
     )
 
 
+def _q_snippet(spark, sf):
+    """Best-fragment snippets for the top-5 'merge' docs: 40-byte
+    window centered on the first hit, in-window hits wrapped."""
+    from inverted_index_spark.qast import Match
+
+    eng = _engine_fulltoken(spark, sf)
+    return eng.snippets(Match("merge"), k=5, frag_bytes=40).select(
+        "doc_id", "snippet"
+    )
+
+
 def _q_wildcard_docs(spark, sf):
     """Raw dictionary wildcard (engine extension, qast.Wildcard):
     's?a*' matches whole terms {scan, small, spark}; sargable literal
@@ -1012,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt": _q_mlt,
         "wildcard_docs": _q_wildcard_docs,
         "wildcard_seg": _q_wildcard_seg,
+        "snippet": _q_snippet,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1493,6 +1505,73 @@ def oracle_sql() -> dict[str, str]:
             group by 1
             order by max(score) desc, conv_id asc
             limit 10
+        """,
+        # snippet: 40-byte window centered on the FIRST 'merge' hit of
+        # each top-5 doc (s = max(0, first - 17), e = min(len, s + 40)),
+        # rebuilt token-by-token — whole in-window matches wrapped,
+        # edge tokens truncated to the window, inter-token spaces kept
+        # iff their byte index lies in [s, e)
+        "snippet": f"""
+            with toks as ({_TOKS}),
+            m as (
+              select doc_id, count(*)::bigint as cnt
+              from toks where term like 'merge%' group by doc_id
+            ),
+            top5 as (
+              select m.doc_id
+              from m join documents d using (doc_id)
+              order by (5 * m.cnt)::float / sqrt(strlen(d.text)::float)
+                       desc, m.doc_id asc
+              limit 5
+            ),
+            tk as (
+              select t.doc_id, t.term, t.pos,
+                     coalesce(sum(strlen(t.term) + 1) over (
+                       partition by t.doc_id order by t.pos
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) as off,
+                     count(*) over (partition by t.doc_id) as n_toks
+              from toks t join top5 using (doc_id)
+            ),
+            win as (
+              select doc_id,
+                     greatest(min(off) filter (term like 'merge%') - 17,
+                              0) as s
+              from tk group by doc_id
+            ),
+            win2 as (
+              select w.doc_id, w.s,
+                     least(strlen(d.text), w.s + 40) as e
+              from win w join documents d using (doc_id)
+            ),
+            pieces as (
+              select tk.doc_id, tk.pos,
+                     case
+                       when tk.off + strlen(tk.term) <= w.s
+                            or tk.off >= w.e then ''
+                       when tk.off >= w.s
+                            and tk.off + strlen(tk.term) <= w.e
+                            and tk.term like 'merge%'
+                         then '<b>' || tk.term || '</b>'
+                       when tk.off >= w.s
+                            and tk.off + strlen(tk.term) <= w.e
+                         then tk.term
+                       else substr(tk.term,
+                                   (greatest(w.s - tk.off, 0) + 1)::bigint,
+                                   (least(tk.off + strlen(tk.term), w.e)
+                                     - greatest(tk.off, w.s))::bigint)
+                     end
+                     || case
+                          when tk.pos + 1 < tk.n_toks
+                               and tk.off + strlen(tk.term) >= w.s
+                               and tk.off + strlen(tk.term) < w.e
+                            then ' ' else '' end
+                       as piece
+              from tk join win2 w using (doc_id)
+            )
+            select doc_id,
+                   string_agg(piece, '' order by pos) as snippet
+            from pieces group by doc_id
         """,
         # Wildcard('s?a*'): whole-term regexp over the distinct-token
         # dictionary (RE2 's.a.*' == the engine's translated subset),

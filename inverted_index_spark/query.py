@@ -55,7 +55,7 @@ from .qast import (
     wildcard_literal_prefix,
     wildcard_regex,
 )
-from .udfs import byte_slice_highlight
+from .udfs import byte_slice_highlight, byte_slice_snippet
 
 K1 = 1.2
 B = 0.75
@@ -904,6 +904,46 @@ class FtsEngine:
                     F.lit(after),
                 ),
             )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def snippets(
+        self,
+        query: Query,
+        k: int = 10,
+        frag_bytes: int = 100,
+        before: str = "<b>",
+        after: str = "</b>",
+    ) -> DataFrame:
+        """Top-k result fragments -> (doc_id, score, snippet): the
+        ``frag_bytes`` byte window centered on each winner's first
+        matched position, in-window matches wrapped with before/after.
+
+        Fragment extraction runs only on the k winners (the two-pass
+        top-k already fetches exactly their positions), so the UDF
+        touches k rows regardless of corpus size; the doc-store join is
+        a broadcast of k doc ids against the sorted docs table.
+        """
+        if self.index.docs is None:
+            raise ValueError(
+                "index has no document table (built with store_docs=False "
+                "and loaded without docs=...); pass the corpus DataFrame "
+                "to load_index to enable snippets"
+            )
+        res = self.results(query, k=k, with_positions=True)
+        return (
+            res.join(self.index.docs.select("doc_id", "text"), "doc_id")
+            .withColumn(
+                "snippet",
+                byte_slice_snippet(
+                    F.col("text"),
+                    F.col("positions"),
+                    F.lit(frag_bytes),
+                    F.lit(before),
+                    F.lit(after),
+                ),
+            )
+            .select("doc_id", "score", "snippet")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 

@@ -167,6 +167,52 @@ def byte_slice_highlight(
         yield pd.Series(out, dtype=object)
 
 
+@pandas_udf(StringType())
+def byte_slice_snippet(
+    it: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]]
+) -> Iterator[pd.Series]:
+    """snippet(text, positions, frag_bytes, before, after): the
+    ``frag_bytes``-byte window centered on the FIRST matched position,
+    with every position fully inside the window wrapped.
+
+    Deterministic window rule: ``s = max(0, first.begin - pad)`` with
+    ``pad = (frag_bytes - first_width) // 2``, ``e = min(doclen_bytes,
+    s + frag_bytes)``. Pure byte arithmetic like the reference's
+    highlight (search_result.rs:54-66); a window edge may split a
+    multibyte char — the partial sequence is dropped on decode
+    (errors='ignore'), a no-op on ASCII. Zero-position rows (e.g.
+    Phrase members with no adjacency) yield NULL.
+    """
+    for texts, position_lists, frags, befores, afters in it:
+        out = []
+        for text, positions, frag, before, after in zip(
+            texts, position_lists, frags, befores, afters
+        ):
+            if text is None or positions is None or len(positions) == 0:
+                out.append(None)
+                continue
+            raw = text.encode("utf-8")
+            frag = int(frag)
+            first = positions[0]
+            width = int(first["end"]) - int(first["begin"])
+            pad = max(0, frag - width) // 2
+            s = max(0, int(first["begin"]) - pad)
+            e = min(len(raw), s + frag)
+            bb = (before or "").encode("utf-8")
+            ba = (after or "").encode("utf-8")
+            parts = bytearray()
+            cursor = s
+            for p in positions:
+                b, pe = int(p["begin"]), int(p["end"])
+                if b < s or pe > e:
+                    continue
+                parts += raw[cursor:b] + bb + raw[b:pe] + ba
+                cursor = pe
+            parts += raw[cursor:e]
+            out.append(parts.decode("utf-8", errors="ignore"))
+        yield pd.Series(out, dtype=object)
+
+
 def doclen_bytes_col(text_col: str = "text"):
     """UTF-8 byte length of a string column (JVM-side, no UDF)."""
     return F.octet_length(F.col(text_col))

@@ -77,3 +77,75 @@ def test_more_like_this_errors(spark):
     idx.docs = None
     with pytest.raises(ValueError, match="doc store"):
         FtsEngine(idx).more_like_this(1)
+
+
+def test_snippets_window_and_wrapping(spark):
+    """snippet = frag_bytes window centered on the first hit; in-window
+    hits wrapped, out-of-window hits untouched, edge tokens truncated;
+    zero-position members (Phrase quirk) yield NULL."""
+    from inverted_index_spark.qast import Match, Phrase
+
+    docs = [
+        (1, "aaa merge bbb ccc ddd eee merge fff"),
+        (2, "merge at the very start of this document"),
+        (3, "no hits here at all"),
+        (4, "x" * 50 + " merge " + "y" * 50),
+    ]
+    eng = build_engine(spark, docs, ngrams=False)
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in eng.snippets(Match("merge"), k=10, frag_bytes=20).collect()
+    }
+    assert 3 not in got
+
+    def expect(text, frag=20):
+        raw = text.encode()
+        hits = []
+        off = 0
+        for t in text.split(" "):
+            if t.startswith("merge"):
+                hits.append((off, off + len(t)))
+            off += len(t) + 1
+        fb, fe = hits[0]
+        s = max(0, fb - max(0, frag - (fe - fb)) // 2)
+        e = min(len(raw), s + frag)
+        parts, cur = bytearray(), s
+        for b, pe in hits:
+            if b < s or pe > e:
+                continue
+            parts += raw[cur:b] + b"<b>" + raw[b:pe] + b"</b>"
+            cur = pe
+        parts += raw[cur:e]
+        return parts.decode()
+
+    for d, text in docs:
+        if d == 3:
+            continue
+        assert got[d] == expect(text), f"doc {d}"
+    # doc 2: window clipped at the document start
+    assert got[2].startswith("<b>merge</b>")
+    # doc 4: long filler tokens truncated at the window edges
+    assert "<b>merge</b>" in got[4] and len(got[4].encode()) <= 20 + 7
+
+    # zero-position members -> NULL snippet (Phrase keeps both-term
+    # docs with no adjacency)
+    docs2 = [(1, "alpha beta"), (2, "beta alpha")]
+    eng2 = build_engine(spark, docs2, ngrams=False)
+    rows = {
+        r["doc_id"]: r["snippet"]
+        for r in eng2.snippets(Phrase("alpha beta"), k=10).collect()
+    }
+    assert rows[1].count("<b>") == 2
+    assert rows[2] is None
+
+
+def test_snippet_unicode_window_edges(spark):
+    """A window edge inside a multibyte char drops only the partial
+    sequence (deterministic errors='ignore'), never corrupts output."""
+    from inverted_index_spark.qast import Match
+
+    docs = [(1, "ééééé merge ééééé ooooo")]
+    eng = build_engine(spark, docs, ngrams=False)
+    row = eng.snippets(Match("merge"), k=1, frag_bytes=14).collect()[0]
+    assert "<b>merge</b>" in row["snippet"]
+    assert "�" not in row["snippet"]

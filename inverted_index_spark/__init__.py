@@ -28,7 +28,18 @@ from .build import (  # noqa: F401
     save_index,
     upsert_docs,
 )
-from .qast import And, AndNot, Match, Or, Phrase, Prefix, Query  # noqa: F401
+from .qast import (  # noqa: F401
+    And,
+    AndNot,
+    Fuzzy,
+    Match,
+    Near,
+    Or,
+    Phrase,
+    Prefix,
+    Query,
+    Wildcard,
+)
 from .query import FtsEngine  # noqa: F401
 from .segments import build_segments, load_manifest, refresh_segments  # noqa: F401
 from .session import get_spark  # noqa: F401
@@ -77,6 +88,10 @@ __all__ = [
     "Or",
     "Phrase",
     "Prefix",
+    "AndNot",
+    "Near",
+    "Fuzzy",
+    "Wildcard",
     "build_index",
     "build_and_save",
     "save_index",

@@ -192,3 +192,35 @@ def test_parse_not():
         Or(AndNot(Match("a"), Match("b")), Match("c")),
     ]:
         assert parse_query(render_query(q)) == q
+
+
+def test_wildcard_regex_dialect_stability():
+    """The Wildcard translation must mean the same thing in Python re
+    (segment-path expansion), RE2 (DuckDB oracle) — and by the same
+    subset argument, Java regex (relational rlike; pinned separately by
+    the three-evaluator identity tests). Property-check Python vs RE2
+    on random patterns and terms, unicode included."""
+    import random
+    import re
+
+    import duckdb
+
+    from inverted_index_spark.qast import wildcard_regex
+
+    rng = random.Random(5)
+    alphabet = "abz09._-+^$()[]{}|\\嗨é"
+    con = duckdb.connect()
+    for _ in range(300):
+        pattern = "".join(
+            rng.choice(alphabet + "*?**??")
+            for _ in range(rng.randint(0, 6))
+        )
+        term = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 6))
+        )
+        rx = wildcard_regex(pattern)
+        want = re.fullmatch(rx, term) is not None
+        got = con.execute(
+            "select regexp_full_match(?, ?)", [term, rx]
+        ).fetchone()[0]
+        assert got == want, (pattern, term, rx)

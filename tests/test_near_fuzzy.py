@@ -297,3 +297,24 @@ def test_wildcard_three_evaluators(spark, tmp_path):
             for d, s in zip(pdf["doc_id"], pdf["score"])
         ]
         assert rel == seg == loc, f"wildcard evaluators diverged on {q}"
+
+
+def test_topk_two_pass_matches_full_for_near_fuzzy(spark):
+    """results(k) on complete plans takes the two-pass route (score ->
+    limit -> fetch winners' positions); for Near/Fuzzy it must equal
+    the k-truncation of the unlimited result exactly."""
+    from inverted_index_spark.qast import Wildcard
+
+    eng = build_engine(spark, CORPUS, ngrams=False)
+    for q in [Near("scan merge", 3), Fuzzy("merge", 1), Wildcard("m?rge")]:
+        full = [
+            (r["doc_id"], round(r["score"], 5),
+             [(p["begin"], p["end"], p["pos"]) for p in r["positions"]])
+            for r in eng.results(q, with_positions=True).collect()
+        ]
+        topk = [
+            (r["doc_id"], round(r["score"], 5),
+             [(p["begin"], p["end"], p["pos"]) for p in r["positions"]])
+            for r in eng.results(q, k=3, with_positions=True).collect()
+        ]
+        assert topk == full[:3], f"two-pass diverged on {q}"

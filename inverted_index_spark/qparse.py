@@ -71,7 +71,7 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
-        (?P<phrase>"(?P<phrase_body>[^"]*)")(?:~(?P<slop>\d+))? |
+        (?P<phrase>"(?P<phrase_body>[^"]*)")(?:~(?P<slop>\d+)(?![^\s()"~]))? |
         (?P<word>[^\s()"~]+)(?:~(?P<fuzz>\d*)(?![^\s()"~]))? |
         (?P<badtilde>~)
     )""",
@@ -118,11 +118,12 @@ def _lex(s: str) -> List[Tuple[str, str, int]]:
                     )
                 out.append(("fuzzy", (w, edits), m.start()))
             elif wild:
-                if set(w) == {"*"}:
+                if all(c in "*?" for c in w):
                     raise QueryParseError(
-                        f"'*' alone at position {m.start()} matches the "
-                        "whole dictionary (prefix form is word*, "
-                        "wildcards are sc?n / mer*e)"
+                        f"wildcard pattern {w!r} at position {m.start()} "
+                        "has no literal characters — it matches the whole "
+                        "dictionary (prefix form is word*, wildcards are "
+                        "sc?n / mer*e)"
                     )
                 if w.endswith("*") and not any(c in "*?" for c in w[:-1]):
                     out.append(("prefix", w[:-1], m.start()))
@@ -285,7 +286,7 @@ def render_query(q: Query) -> str:
         if (
             not p
             or not has_wild  # bare word: parses as Match
-            or set(p) == {"*"}
+            or all(c in "*?" for c in p)  # no literals: parse error form
             # trailing-star-only: parses back as Prefix — use Prefix
             or (p.endswith("*") and not any(c in "*?" for c in p[:-1]))
             or any(c in p for c in '()"~')

@@ -288,32 +288,38 @@ class FtsEngine:
             raw=raw,
         )
 
-    def _phrase(self, text: str) -> PlanResult:
-        terms = [t.term for t in analyze_query(text)]
-        if len(terms) < 2:
-            return self._empty()
+    def _positional_pairs(
+        self, terms: List[str], residual, hit_membership: bool
+    ) -> PlanResult:
+        """Shared pair plan for positional intersections (Phrase, Near):
+        per consecutive term pair, scan both terms, prune BOTH join
+        inputs to the both-terms doc intersection first (the (doc_id,
+        pos-residual) equi-join then shuffles only rows of docs that can
+        possibly produce a hit, not the full term scans — the dominant
+        cost when one term is common and the other rare), join with
+        ``residual(l.pos, r.pos)``, and union the endpoint rows.
+
+        ``hit_membership=False`` keeps the reference Phrase quirk —
+        docs containing BOTH terms stay in the result even with no hit
+        (postings.rs:101-112, empty position lists score 0);
+        ``True`` restricts membership to docs with >= 1 hit (Near) and
+        marks the pair complete.
+        """
         pairs: List[PlanResult] = []
         for t0, t1 in zip(terms, terms[1:]):
             left = self._scan(self._term_pred(t0)).rows
             right = self._scan(self._term_pred(t1)).rows
-            # docs containing BOTH terms stay in the result even with no
-            # adjacency (postings.rs:101-112): empty position lists score 0
-            docs = (
+            both = (
                 left.select("doc_id")
                 .distinct()
                 .join(right.select("doc_id").distinct(), "doc_id", "left_semi")
             )
-            # prune BOTH positional-join inputs to the doc intersection
-            # first: the (doc_id, pos+1) equi-join then shuffles only
-            # rows of docs that can possibly produce a phrase hit,
-            # instead of the full term scans (the dominant cost when
-            # one term is common and the other rare)
-            l = left.join(F.broadcast(docs), "doc_id", "left_semi").alias("l")
-            r = right.join(F.broadcast(docs), "doc_id", "left_semi").alias("r")
+            l = left.join(F.broadcast(both), "doc_id", "left_semi").alias("l")
+            r = right.join(F.broadcast(both), "doc_id", "left_semi").alias("r")
             adj = l.join(
                 r,
                 (F.col("l.doc_id") == F.col("r.doc_id"))
-                & (F.col("l.pos") + 1 == F.col("r.pos")),
+                & residual(F.col("l.pos"), F.col("r.pos")),
             )
             rows = (
                 adj.select(
@@ -332,8 +338,25 @@ class FtsEngine:
                 )
                 .distinct()
             )
-            pairs.append(PlanResult(docs=docs, rows=rows))
+            if hit_membership:
+                pairs.append(
+                    PlanResult(
+                        docs=rows.select("doc_id").distinct(),
+                        rows=rows,
+                        complete=True,
+                    )
+                )
+            else:
+                pairs.append(PlanResult(docs=both, rows=rows))
         return self._intersect(pairs)
+
+    def _phrase(self, text: str) -> PlanResult:
+        terms = [t.term for t in analyze_query(text)]
+        if len(terms) < 2:
+            return self._empty()
+        return self._positional_pairs(
+            terms, lambda lp, rp: lp + 1 == rp, hit_membership=False
+        )
 
     def _near(self, text: str, slop: int) -> PlanResult:
         """Ordered windowed proximity (qast.Near): the Phrase plan with
@@ -352,50 +375,11 @@ class FtsEngine:
         terms = [t.term for t in analyze_query(text)]
         if len(terms) < 2:
             return self._empty()
-        pairs: List[PlanResult] = []
-        for t0, t1 in zip(terms, terms[1:]):
-            left = self._scan(self._term_pred(t0)).rows
-            right = self._scan(self._term_pred(t1)).rows
-            both = (
-                left.select("doc_id")
-                .distinct()
-                .join(right.select("doc_id").distinct(), "doc_id", "left_semi")
-            )
-            l = left.join(F.broadcast(both), "doc_id", "left_semi").alias("l")
-            r = right.join(F.broadcast(both), "doc_id", "left_semi").alias("r")
-            adj = l.join(
-                r,
-                (F.col("l.doc_id") == F.col("r.doc_id"))
-                & (F.col("r.pos") - F.col("l.pos") >= 1)
-                & (F.col("r.pos") - F.col("l.pos") <= slop),
-            )
-            rows = (
-                adj.select(
-                    F.col("l.doc_id").alias("doc_id"),
-                    F.col("l.begin").alias("begin"),
-                    F.col("l.end").alias("end"),
-                    F.col("l.pos").alias("pos"),
-                )
-                .unionByName(
-                    adj.select(
-                        F.col("r.doc_id").alias("doc_id"),
-                        F.col("r.begin").alias("begin"),
-                        F.col("r.end").alias("end"),
-                        F.col("r.pos").alias("pos"),
-                    )
-                )
-                .distinct()
-            )
-            # membership = docs with a hit (rows' doc set), so the pair
-            # is complete and the And-combine can skip membership joins
-            pairs.append(
-                PlanResult(
-                    docs=rows.select("doc_id").distinct(),
-                    rows=rows,
-                    complete=True,
-                )
-            )
-        return self._intersect(pairs)
+        return self._positional_pairs(
+            terms,
+            lambda lp, rp: ((rp - lp) >= 1) & ((rp - lp) <= slop),
+            hit_membership=True,
+        )
 
     def _fuzzy(self, text: str, max_edits: int, max_expansions: int) -> PlanResult:
         """Edit-distance term expansion (qast.Fuzzy): one term-dictionary
@@ -596,16 +580,21 @@ class FtsEngine:
             else None
         )
         if seg is not None:
-            from .segquery import segment_query
+            from .segquery import WildcardTooBroad, segment_query
 
-            return segment_query(
-                self.index.docstats.sparkSession,
-                seg,
-                query,
-                k=k,
-                with_positions=with_positions,
-                doc_range=doc_range,
-            )
+            try:
+                return segment_query(
+                    self.index.docstats.sparkSession,
+                    seg,
+                    query,
+                    k=k,
+                    with_positions=with_positions,
+                    doc_range=doc_range,
+                )
+            except WildcardTooBroad:
+                # a broad Wildcard costs more to expand per-term than to
+                # scan: the relational anchored-rlike plan is one pass
+                pass
         plan = self.compile(query)
         if doc_range is not None:
             pred = (F.col("doc_id") >= int(doc_range[0])) & (
@@ -748,10 +737,15 @@ class FtsEngine:
                 ),
             )
             return out
-        from .segquery import explain_segment_query
+        from .segquery import WildcardTooBroad, explain_segment_query
 
+        try:
+            preview = explain_segment_query(seg, q)
+        except WildcardTooBroad as exc:
+            out.update(route="relational", reason=str(exc))
+            return out
         out.update(route="segments", reason="fresh positional segments")
-        out.update(explain_segment_query(seg, q))
+        out.update(preview)
         return out
 
     def count(self, query: Query) -> int:
@@ -863,6 +857,10 @@ class FtsEngine:
         """
         if not cols:
             raise ValueError("facets needs at least one column")
+        if len(set(cols)) != len(cols):
+            raise ValueError(f"duplicate facet columns: {cols}")
+        if "doc_id" in cols:
+            raise ValueError("doc_id is the join key, not a facet column")
         missing = [c for c in cols if c not in meta.columns]
         if missing:
             raise ValueError(f"facet columns not in meta: {missing}")

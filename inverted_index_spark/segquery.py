@@ -61,6 +61,20 @@ RESULT_POS_SCHEMA = (
 
 _POS_SHIFT = np.int64(1) << np.int64(32)  # (doc_idx, pos) -> one int64 key
 
+# planning guard: a Wildcard expands to one exact-term range per matched
+# dictionary term; past this many the per-range planning metadata
+# (stats, shard sets) costs more than the query — callers fall back to
+# the relational anchored-rlike plan, which is a single scan
+MAX_WILDCARD_EXPANSIONS = int(
+    os.environ.get("SPARK_GRAFT_MAX_WILDCARD_EXPANSIONS", "4096")
+)
+
+
+class WildcardTooBroad(ValueError):
+    """A Wildcard matched more dictionary terms than the segment
+    planner will expand (MAX_WILDCARD_EXPANSIONS). FtsEngine catches
+    this and serves the query from the relational plan instead."""
+
 
 def _index_ngrams(index_path: str) -> bool:
     meta_path = os.path.join(index_path, "meta.json")
@@ -158,6 +172,13 @@ def _compile_node(
         expanded = metacache.wildcard_terms(index_path, q.pattern)
         if not expanded:
             return ("empty",)
+        if len(expanded) > MAX_WILDCARD_EXPANSIONS:
+            raise WildcardTooBroad(
+                f"Wildcard {q.pattern!r} matches {len(expanded)} dictionary "
+                f"terms (> {MAX_WILDCARD_EXPANSIONS}); the segment planner "
+                "won't expand it — use the relational plan (FtsEngine falls "
+                "back automatically) or narrow the pattern"
+            )
         idxs = []
         for t in expanded:
             idxs.append(len(ranges))
@@ -475,8 +496,14 @@ def _near_member_rows(matchers, slop: int) -> Tuple[np.ndarray, tuple]:
     """(member docs, rows) for a Near node: per consecutive pair keep
     (l, r) with 1 <= r.pos - l.pos <= slop; members are docs with >= 1
     hit for EVERY pair (no zero-hit membership, unlike Phrase). The
-    windowed check reuses the phrase kernel's compact int64 keys,
-    OR-ing one shifted isin per offset — slop is small by construction.
+    windowed check reuses the phrase kernel's compact int64 keys with
+    sorted-window probes: an l-row hits iff any r key lies in
+    (lkey, lkey + slop] — two searchsorted calls per side, so the cost
+    is O(n log n) INDEPENDENT of slop (a per-offset isin loop would let
+    a huge user-supplied slop burn CPU). The probe window is clamped to
+    2^31: positions are int32 so no in-doc delta can exceed it (the
+    clamp loses nothing), and pos + 2^31 < 2^32 (= _POS_SHIFT) keeps a
+    probe from ever crossing into the next doc's key space.
     """
     member: Optional[np.ndarray] = None
     parts: List[tuple] = []
@@ -484,11 +511,15 @@ def _near_member_rows(matchers, slop: int) -> Tuple[np.ndarray, tuple]:
         udocs = np.union1d(np.unique(ld), np.unique(rd))
         lkey = np.searchsorted(udocs, ld) * _POS_SHIFT + lp
         rkey = np.searchsorted(udocs, rd) * _POS_SHIFT + rp
-        lhit = np.zeros(lkey.shape, dtype=bool)
-        rhit = np.zeros(rkey.shape, dtype=bool)
-        for delta in range(1, slop + 1):
-            lhit |= np.isin(lkey + delta, rkey)
-            rhit |= np.isin(rkey - delta, lkey)
+        win = np.int64(min(int(slop), 1 << 31))
+        rsorted = np.sort(rkey)
+        lo = np.searchsorted(rsorted, lkey + 1, side="left")
+        hi = np.searchsorted(rsorted, lkey + win, side="right")
+        lhit = lo < hi
+        lsorted = np.sort(lkey)
+        lo2 = np.searchsorted(lsorted, rkey - win, side="left")
+        hi2 = np.searchsorted(lsorted, rkey - 1, side="right")
+        rhit = lo2 < hi2
         pair_docs = np.union1d(np.unique(ld[lhit]), np.unique(rd[rhit]))
         member = pair_docs if member is None else np.intersect1d(
             member, pair_docs

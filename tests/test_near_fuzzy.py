@@ -318,3 +318,68 @@ def test_topk_two_pass_matches_full_for_near_fuzzy(spark):
             for r in eng.results(q, k=3, with_positions=True).collect()
         ]
         assert topk == full[:3], f"two-pass diverged on {q}"
+
+
+def test_broad_wildcard_falls_back_to_relational(spark, tmp_path, monkeypatch):
+    """A Wildcard matching more dictionary terms than the segment
+    planner's expansion guard must fall back to the relational plan
+    (identical rows), and explain() must report the fallback."""
+    import inverted_index_spark.segquery as sq
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.qast import Wildcard
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segments import build_segments
+
+    path = str(tmp_path / "wc_broad")
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False, term_buckets=4)
+    build_segments(spark, idx, path, shard_docs=3, positions=True)
+    monkeypatch.setattr(sq, "MAX_WILDCARD_EXPANSIONS", 2)
+
+    eng_seg = FtsEngine(idx)                       # segment-routing engine
+    eng_rel = FtsEngine(idx, use_segments=False)
+    q = Wildcard("*e*")  # matches many terms -> exceeds the patched cap
+    got = sorted(
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng_seg.results(q, with_positions=False).collect()
+    )
+    want = sorted(
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng_rel.results(q, with_positions=False).collect()
+    )
+    assert got == want and got
+    ex = eng_seg.explain(q)
+    assert ex["route"] == "relational" and "Wildcard" in ex["reason"]
+
+    # direct segment_query callers get the explicit error
+    with pytest.raises(sq.WildcardTooBroad):
+        sq.segment_query(spark, path, q)
+
+
+def test_near_huge_slop_is_cheap_and_correct(spark, tmp_path):
+    """slop far beyond any document length must not cost more than a
+    small slop (searchsorted window, not a per-offset loop) and equals
+    'both terms in order anywhere'."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import segment_query_pandas
+
+    path = str(tmp_path / "bigslop")
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False, term_buckets=4)
+    build_segments(spark, idx, path, shard_docs=3, positions=True)
+
+    pdf = segment_query_pandas(
+        path, Near("scan merge", 10**9), with_positions=False
+    )
+    # docs with scan-before-merge at any distance: 1, 3, 4, 5, 7
+    assert sorted(int(d) for d in pdf["doc_id"]) == [1, 3, 4, 5, 7]
+
+
+def test_facets_rejects_duplicates_and_doc_id(spark):
+    eng = build_engine(spark, CORPUS, ngrams=False)
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="duplicate"):
+        eng.facets(Match("merge"), docs, ["text", "text"])
+    with pytest.raises(ValueError, match="join key"):
+        eng.facets(Match("merge"), docs, ["doc_id"])

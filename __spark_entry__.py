@@ -426,6 +426,18 @@ def _q_mlt(spark, sf):
     )
 
 
+def _q_bm25_fuzzy(spark, sf):
+    """Fuzzy SEARCH (not just matching): Lucene multi-term rewrite —
+    'part'~2 expands to {fast, part, sort, spark}, each scored with its
+    own idf, BM25 top-10."""
+    from inverted_index_spark.qast import Fuzzy
+
+    eng = _engine_fulltoken(spark, sf)
+    return eng.bm25_query(Fuzzy("part", 2), k=10).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score_r4")
+    )
+
+
 def _q_snippet(spark, sf):
     """Best-fragment snippets for the top-5 'merge' docs: 40-byte
     window centered on the first hit, in-window hits wrapped."""
@@ -1024,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_docs": _q_wildcard_docs,
         "wildcard_seg": _q_wildcard_seg,
         "snippet": _q_snippet,
+        "bm25_fuzzy": _q_bm25_fuzzy,
         "exact_dups": _q_exact_dups,
         "minhash": _q_minhash,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1504,6 +1517,40 @@ def oracle_sql() -> dict[str, str]:
             from scored
             group by 1
             order by max(score) desc, conv_id asc
+            limit 10
+        """,
+        # bm25_query(Fuzzy('part', 2)): expand by Levenshtein (cap 50,
+        # df desc / term asc), BM25 the flat bag — each term its own idf
+        "bm25_fuzzy": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            dfall as (select term, count(distinct doc_id)::double as df
+                      from toks group by term),
+            qt as (
+              select term from dfall
+              where levenshtein(term, 'part') <= 2
+              order by df desc, term asc
+              limit 50
+            ),
+            scored as (
+              select tf.doc_id,
+                     sum( ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join qt using (term)
+              join dfall d using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            )
+            select doc_id, round(score, 4) as score_r4
+            from scored
+            order by score desc, doc_id asc
             limit 10
         """,
         # snippet: 40-byte window centered on the FIRST 'merge' hit of

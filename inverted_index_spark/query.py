@@ -905,6 +905,96 @@ class FtsEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def _expansion_terms(self, q: Query, max_expansions: int) -> List[str]:
+        """Flatten a term-bag query (Match / Fuzzy / Wildcard / Prefix /
+        Or of those) to its exact dictionary terms, each leaf capped at
+        ``max_expansions`` by (df_full desc, term asc). Driver-side —
+        the expansion is at most a few hundred strings by construction."""
+        if isinstance(q, Match):
+            out: List[str] = []
+            for tok in analyze_query(q.text):
+                if tok.term not in out:
+                    out.append(tok.term)
+            return out
+        if isinstance(q, Or):
+            out = []
+            for c in q.children:
+                for t in self._expansion_terms(c, max_expansions):
+                    if t not in out:
+                        out.append(t)
+            return out
+        td = self.index.termdict
+        if isinstance(q, Fuzzy):
+            if self.index.ngrams:
+                raise ValueError("Fuzzy requires a full-token index")
+            terms = [t.term for t in analyze_query(q.text)]
+            if len(terms) != 1:
+                raise ValueError(
+                    f"Fuzzy wants exactly one analyzed term, got {terms!r}"
+                )
+            t = terms[0]
+            cand = td.filter(
+                F.length("term").between(
+                    len(t) - q.max_edits, len(t) + q.max_edits
+                )
+            ).filter(F.levenshtein(F.col("term"), F.lit(t)) <= q.max_edits)
+            cap = min(q.max_expansions, max_expansions)
+        elif isinstance(q, Wildcard):
+            if not q.pattern:
+                return []
+            pre = wildcard_literal_prefix(q.pattern)
+            cand = td.filter(
+                F.col("term").rlike("^" + wildcard_regex(q.pattern) + "$")
+            )
+            if pre:
+                cand = cand.filter(F.col("term") >= pre)
+                hi = prefix_upper_bound(pre)
+                if hi is not None:
+                    cand = cand.filter(F.col("term") < hi)
+            cap = max_expansions
+        elif isinstance(q, Prefix):
+            if not q.text:
+                return []
+            cand = td.filter(F.col("term") >= q.text)
+            hi = prefix_upper_bound(q.text)
+            if hi is not None:
+                cand = cand.filter(F.col("term") < hi)
+            cap = max_expansions
+        else:
+            raise ValueError(
+                f"bm25_query ranks term-bag queries (Match/Fuzzy/Wildcard/"
+                f"Prefix/Or of those), not {type(q).__name__} — use "
+                "results() for positional/boolean semantics"
+            )
+        rows = (
+            cand.orderBy(F.col("df_full").desc(), F.col("term").asc())
+            .limit(cap)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def bm25_query(
+        self,
+        query: Query,
+        k: Optional[int] = 10,
+        max_expansions: int = 128,
+        filter_docs: Optional[DataFrame] = None,
+        doc_range: Optional[tuple] = None,
+    ) -> DataFrame:
+        """BM25 ranking for dictionary-expansion queries — fuzzy,
+        wildcard and prefix SEARCH, not just matching (the Lucene
+        multi-term-query rewrite): expand each leaf to its exact
+        dictionary terms driver-side (per-leaf cap ``max_expansions``,
+        highest-df first), then score the flat term bag with the normal
+        BM25 path — every expanded term keeps its own idf, and the
+        query auto-routes to block-max WAND when segments are fresh.
+        """
+        terms = self._expansion_terms(query, max_expansions)
+        return self.bm25(
+            " ".join(terms), k=k, filter_docs=filter_docs, doc_range=doc_range
+        )
+
     def snippets(
         self,
         query: Query,

@@ -149,3 +149,37 @@ def test_snippet_unicode_window_edges(spark):
     row = eng.snippets(Match("merge"), k=1, frag_bytes=14).collect()[0]
     assert "<b>merge</b>" in row["snippet"]
     assert "�" not in row["snippet"]
+
+
+def test_bm25_query_expansion_equals_term_bag(spark):
+    """bm25_query on expansion nodes == bm25 over the expanded exact
+    term bag; per-leaf df-desc cap; non-bag nodes rejected."""
+    from inverted_index_spark.qast import Fuzzy, Near, Or, Prefix, Wildcard
+
+    eng = build_engine(spark, CORPUS, ngrams=False)
+
+    def rows(df):
+        return [(r["doc_id"], round(r["score"], 5)) for r in df.collect()]
+
+    # fuzzy: merge~1 expands to {merge, marge}
+    assert rows(eng.bm25_query(Fuzzy("merge", 1), k=10)) == rows(
+        eng.bm25("merge marge", k=10)
+    )
+    # wildcard: sc?n* -> {scan, scans}
+    assert rows(eng.bm25_query(Wildcard("sc?n*"), k=10)) == rows(
+        eng.bm25("scan scans", k=10)
+    )
+    # prefix: scan* -> {scan, scans}
+    assert rows(eng.bm25_query(Prefix("scan"), k=10)) == rows(
+        eng.bm25("scan scans", k=10)
+    )
+    # Or-bag composes and dedups
+    assert rows(
+        eng.bm25_query(Or(Fuzzy("marge", 1), Wildcard("m?rge")), k=10)
+    ) == rows(eng.bm25("marge merge", k=10))
+    # expansion cap keeps the highest-df candidate
+    assert rows(eng.bm25_query(Fuzzy("scan", 1), k=10, max_expansions=1)) == rows(
+        eng.bm25("scan", k=10)
+    )
+    with pytest.raises(ValueError, match="term-bag"):
+        eng.bm25_query(Near("scan merge", 2))

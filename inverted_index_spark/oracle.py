@@ -161,8 +161,15 @@ from .qast import (  # noqa: E402,F401
 
 def levenshtein(a: str, b: str) -> int:
     """Plain O(len(a)*len(b)) edit distance (insert/delete/substitute,
-    unit costs) — the semantics of Spark's ``F.levenshtein`` and
-    DuckDB's ``levenshtein``, so all three Fuzzy evaluators agree."""
+    unit costs) over CODE POINTS — the semantics of Spark's
+    ``F.levenshtein`` (verified incl. astral-plane chars, which Java
+    counts as one code point, not two UTF-16 units), so the relational
+    Fuzzy path and this oracle always agree. DuckDB's ``levenshtein``
+    is BYTE-based and diverges on any non-ASCII input ('İ' counts as 2,
+    '𝒜' as 4) — DuckDB-oracled Fuzzy contracts must therefore use
+    ASCII vocabularies (the sf testdata corpus is ASCII); parity on
+    non-ASCII terms is pinned engine-vs-this-oracle instead
+    (tests/test_near_fuzzy.py)."""
     if a == b:
         return 0
     if not a:

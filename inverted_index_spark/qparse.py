@@ -32,6 +32,19 @@ Grammar (whitespace-insensitive between tokens):
   ``Wildcard`` (``sc?n``, ``mer*e``; ``?`` = one char, ``*`` = any run).
 * ``word~`` / ``word~2`` is a ``Fuzzy`` edit-distance match;
   ``"a b"~3`` is an ordered ``Near`` proximity match.
+* ``\\`` escapes the next (non-space) character: ``\\*`` ``\\?`` ``\\~``
+  ``\\(`` ``\\)`` ``\\"`` ``\\\\`` are literal characters of the term,
+  and ``\\AND`` / ``\\OR`` / ``\\NOT`` are the ordinary uppercase words.
+  The analyzer keeps punctuation inside tokens, so terms like ``a*b``
+  or ``don"t`` ARE indexed — the escape makes them reachable from the
+  string language (``a\\*b``). There is no escape for whitespace (it is
+  always the token separator) and none inside ``"..."`` phrase bodies.
+
+COMPATIBILITY NOTE: ``*``, ``?`` and ``~`` are metacharacters (since
+the Wildcard/Fuzzy forms landed); earlier revisions lexed them as
+ordinary word characters. A bare ``a?b`` now parses as a Wildcard and
+``x~y`` is a parse error — write ``a\\?b`` / ``x\\~y`` for the literal
+terms.
 
 Examples::
 
@@ -72,11 +85,35 @@ _TOKEN = re.compile(
         (?P<lparen>\() |
         (?P<rparen>\)) |
         (?P<phrase>"(?P<phrase_body>[^"]*)")(?:~(?P<slop>\d+)(?![^\s()"~]))? |
-        (?P<word>[^\s()"~]+)(?:~(?P<fuzz>\d*)(?![^\s()"~]))? |
+        (?P<word>(?:\\[^\s]|[^\s()"~\\])+)(?:~(?P<fuzz>\d*)(?![^\s()"~]))? |
         (?P<badtilde>~)
     )""",
     re.VERBOSE,
 )
+
+
+def _unescape_word(w: str) -> Tuple[str, bool, List[int]]:
+    """Raw word token -> (literal text, had_escapes, unescaped ``*?``
+    positions in the literal text). ``\\x`` contributes the literal
+    character ``x``; an unescaped ``*`` / ``?`` is a wildcard
+    metacharacter and its position is recorded."""
+    lit: List[str] = []
+    wild: List[int] = []
+    escaped = False
+    i = 0
+    while i < len(w):
+        c = w[i]
+        if c == "\\":
+            # the lexer regex guarantees a non-space char follows
+            lit.append(w[i + 1])
+            escaped = True
+            i += 2
+        else:
+            if c in "*?":
+                wild.append(len(lit))
+            lit.append(c)
+            i += 1
+    return "".join(lit), escaped, wild
 
 
 def _lex(s: str) -> List[Tuple[str, str, int]]:
@@ -104,7 +141,8 @@ def _lex(s: str) -> List[Tuple[str, str, int]]:
                 out.append(("phrase", m.group("phrase_body"), m.start()))
         elif m.group("word"):
             w = m.group("word")
-            wild = "*" in w or "?" in w
+            text, escaped, wildpos = _unescape_word(w)
+            wild = bool(wildpos)
             if m.group("fuzz") is not None:
                 if wild:
                     raise QueryParseError(
@@ -116,30 +154,44 @@ def _lex(s: str) -> List[Tuple[str, str, int]]:
                     raise QueryParseError(
                         f"fuzzy edits must be 1 or 2 at position {m.start()}"
                     )
-                out.append(("fuzzy", (w, edits), m.start()))
+                out.append(("fuzzy", (text, edits), m.start()))
             elif wild:
-                if all(c in "*?" for c in w):
+                if len(wildpos) == len(text):
                     raise QueryParseError(
                         f"wildcard pattern {w!r} at position {m.start()} "
                         "has no literal characters — it matches the whole "
                         "dictionary (prefix form is word*, wildcards are "
                         "sc?n / mer*e)"
                     )
-                if w.endswith("*") and not any(c in "*?" for c in w[:-1]):
-                    out.append(("prefix", w[:-1], m.start()))
-                else:
-                    out.append(("wildcard", w, m.start()))
-            elif w in ("AND", "OR", "NOT"):
+                # trailing-star-only (the star may follow escaped
+                # literals: `foo\**` is Prefix("foo*")) -> Prefix
+                if (
+                    len(wildpos) == 1
+                    and wildpos[0] == len(text) - 1
+                    and text.endswith("*")
+                ):
+                    out.append(("prefix", text[:-1], m.start()))
+                    pos = m.end()
+                    continue
+                if escaped:
+                    raise QueryParseError(
+                        f"pattern {w!r} at position {m.start()} mixes "
+                        "escaped literal characters with wildcard "
+                        "metacharacters — a Wildcard pattern cannot "
+                        "contain a literal '*' or '?'"
+                    )
+                out.append(("wildcard", text, m.start()))
+            elif not escaped and w in ("AND", "OR", "NOT"):
                 out.append((w, w, m.start()))
             else:
-                out.append(("word", w, m.start()))
+                out.append(("word", text, m.start()))
         elif m.group("badtilde"):
             raise QueryParseError(
                 f"dangling '~' at position {m.start()} "
                 '(fuzzy form is word~ or word~2, proximity is "a b"~3)'
             )
         pos = m.end()
-    if '"' in s and s.count('"') % 2:
+    if '"' in s and re.sub(r"\\.", "", s).count('"') % 2:
         raise QueryParseError("unbalanced quote")
     return out
 
@@ -237,18 +289,27 @@ def render_query(q: Query) -> str:
     Nested same-type And/Or children are parenthesized so the tree
     SHAPE survives (``And(And(a,b),c)`` is not flattened), Or children
     inside And get precedence parens, and a multi-word ``Match`` stays
-    one bag because operators are always explicit. Not renderable (no
-    escape syntax exists): terms containing whitespace-adjacent special
-    characters (``( ) " *``), the uppercase keywords AND/OR as terms,
-    an empty ``Prefix``, and zero-child And/Or — ``ValueError``.
+    one bag because operators are always explicit. Literal special
+    characters and the AND/OR/NOT keywords render with backslash
+    escapes (``a\\*b``, ``\\AND``). Still not renderable —
+    ``ValueError``: words containing whitespace (no escape form), a
+    quote inside a Phrase/Near body, an empty ``Prefix``, zero-child
+    And/Or, and Wildcard patterns containing specials/whitespace (a
+    literal ``*``/``?`` inside a Wildcard is inexpressible in the AST).
     """
     def bad_word(w: str) -> bool:
-        return (
-            not w
-            or w in ("AND", "OR", "NOT")
-            or any(c in w for c in '()"*~?')
-            or w != w.strip()
-        )
+        # special characters are escapable; whitespace is the token
+        # separator and has no escape form
+        return not w or any(c.isspace() for c in w)
+
+    def esc_word(w: str) -> str:
+        """Escape literal specials so the word re-lexes to exactly this
+        text: ``\\`` before each of ``\\ ( ) " ~ * ?``, and a leading
+        ``\\`` to defuse the AND/OR/NOT keywords."""
+        s = re.sub(r'([\\()"~*?])', r"\\\1", w)
+        if s in ("AND", "OR", "NOT"):
+            s = "\\" + s
+        return s
 
     if isinstance(q, Match):
         if not q.text.strip():
@@ -256,7 +317,7 @@ def render_query(q: Query) -> str:
         words = q.text.split()
         if any(bad_word(w) for w in words):
             raise ValueError(f"Match text not renderable: {q.text!r}")
-        return " ".join(words)
+        return " ".join(esc_word(w) for w in words)
     if isinstance(q, Phrase):
         if '"' in q.text:
             raise ValueError("Phrase text contains a quote")
@@ -275,11 +336,12 @@ def render_query(q: Query) -> str:
             or q.max_expansions != Fuzzy("x").max_expansions
         ):
             raise ValueError(f"Fuzzy not renderable: {q!r}")
-        return f"{q.text}~" if q.max_edits == 1 else f"{q.text}~2"
+        w = esc_word(q.text)
+        return f"{w}~" if q.max_edits == 1 else f"{w}~2"
     if isinstance(q, Prefix):
         if bad_word(q.text):
             raise ValueError(f"Prefix not renderable: {q.text!r}")
-        return f"{q.text}*"
+        return f"{esc_word(q.text)}*"
     if isinstance(q, Wildcard):
         p = q.pattern
         has_wild = "*" in p or "?" in p
@@ -289,8 +351,11 @@ def render_query(q: Query) -> str:
             or all(c in "*?" for c in p)  # no literals: parse error form
             # trailing-star-only: parses back as Prefix — use Prefix
             or (p.endswith("*") and not any(c in "*?" for c in p[:-1]))
-            or any(c in p for c in '()"~')
-            or p != p.strip()
+            # escaping a literal inside a Wildcard is inexpressible in
+            # the AST (every * / ? in the pattern IS a metacharacter),
+            # so specials and backslashes stay unrenderable here
+            or any(c in p for c in '()"~\\')
+            or any(c.isspace() for c in p)
         ):
             raise ValueError(f"Wildcard not renderable: {p!r}")
         return p

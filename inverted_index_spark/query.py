@@ -834,7 +834,13 @@ class FtsEngine:
         out = self.bm25(" ".join(terms), k=fetch)
         if exclude_self:
             out = out.filter(F.col("doc_id") != doc_id)
-        return out.limit(k) if k is not None else out
+        if k is not None:
+            # re-assert rank order before the final limit: the WAND
+            # local-serving branch returns a createDataFrame relation
+            # whose plan has no sort, so limit-after-filter preserving
+            # rank would otherwise rest on partition-order luck
+            out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return out
 
     def facets(
         self,

@@ -190,7 +190,20 @@ def test_explain_previews_near_and_fuzzy(spark, tmp_path):
 FUZZ_WORDS = [
     "scan", "scans", "scam", "span", "merge", "marge", "merges", "forge",
     "join", "joins", "coin", "alpha", "beta", "a", "ab", "abc",
+    # non-ASCII (ADVICE r3): BMP accents/dotted-İ and astral-plane
+    # chars — Spark's F.levenshtein counts CODE POINTS (one per astral
+    # char), matching the Python oracle; these words make the
+    # engine-vs-oracle fuzz catch any code-unit regression
+    "naïve", "naive", "café", "cafe", "İstanbul", "istanbul",
+    "𝒜b", "xb", "a😀", "😀😀",
 ]
+
+# words usable as a Fuzzy QUERY: must analyze to exactly one term
+# ("a😀" analyzes to "a" alone; "😀😀" to nothing — still valid as doc
+# content, exercising the tokenizer, but not as a single-term query)
+from inverted_index_spark.analysis import analyze_query as _aq  # noqa: E402
+
+FUZZ_QUERY_WORDS = [w for w in FUZZ_WORDS if len(_aq(w)) == 1]
 
 
 @pytest.mark.parametrize("seed", [11, 42])
@@ -206,7 +219,7 @@ def test_fuzzy_random_parity(spark, seed):
         oracle.add(doc_id, text)
 
     for _ in range(6):
-        q = Fuzzy(rng.choice(FUZZ_WORDS), rng.choice([1, 2]))
+        q = Fuzzy(rng.choice(FUZZ_QUERY_WORDS), rng.choice([1, 2]))
         postings = oracle.postings_for(q)
         expect = sorted(
             (
@@ -228,17 +241,47 @@ def test_fuzzy_random_parity(spark, seed):
 
 
 def test_levenshtein_matches_duckdb():
+    """DuckDB's levenshtein is BYTE-based, so the dialect-identity
+    claim (and every DuckDB-oracled Fuzzy contract) holds on ASCII
+    vocabularies only — non-ASCII parity is pinned against Spark in
+    test_levenshtein_matches_spark instead."""
     import duckdb
 
+    ascii_words = [w for w in FUZZ_WORDS if w.isascii()]
     rng = random.Random(3)
     pairs = [
-        (rng.choice(FUZZ_WORDS), rng.choice(FUZZ_WORDS)) for _ in range(40)
+        (rng.choice(ascii_words), rng.choice(ascii_words)) for _ in range(40)
     ]
     for a, b in pairs:
         want = duckdb.sql(
             "select levenshtein(?, ?)", params=[a, b]
         ).fetchone()[0]
         assert levenshtein(a, b) == want
+    # the documented divergence, pinned so a DuckDB behavior change
+    # (to code points) gets noticed and the oracle note updated
+    assert duckdb.sql(
+        "select levenshtein(?, ?)", params=["𝒜", "x"]
+    ).fetchone()[0] == 4  # bytes, not code points
+    assert levenshtein("𝒜", "x") == 1
+
+
+def test_levenshtein_matches_spark(spark):
+    """Spark F.levenshtein == the Python oracle on code points,
+    INCLUDING astral-plane chars (Java counts code points since
+    SPARK-36073-era; a code-unit implementation would return 2 for
+    ('𝒜','x'))."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.choice(FUZZ_WORDS), rng.choice(FUZZ_WORDS)) for _ in range(60)
+    ]
+    pairs += [("𝒜", "x"), ("𝒜b", "xb"), ("a😀", "a"), ("𝒜𝒝", "xy")]
+    df = spark.createDataFrame(pairs, ["a", "b"]).select(
+        "a", "b", F.levenshtein("a", "b").alias("lev")
+    )
+    for r in df.collect():
+        assert r["lev"] == levenshtein(r["a"], r["b"]), (r["a"], r["b"])
 
 
 # ---------------------------------------------------------------------------

@@ -101,17 +101,62 @@ def test_render_round_trips_hand_built_shapes():
 
 
 def test_render_rejects_unrenderable():
+    from inverted_index_spark.qast import Wildcard
     from inverted_index_spark.qparse import render_query
 
     for q in [
-        Match("AND"),
-        Match('we"ird'),
         Prefix(""),
         And(),
         And(Match(""), Match("a")),
+        Phrase('a"b'),                # no escape inside phrase bodies
+        Wildcard("a b*"),             # interior whitespace (ADVICE r3)
+        Wildcard(" ab*c"),            # leading whitespace
+        Wildcard("a\\b*"),            # backslash: inexpressible literal
+        Wildcard('a"b?'),             # specials stay out of wildcards
     ]:
         with pytest.raises((ValueError, TypeError)):
             render_query(q)
+
+
+def test_escape_syntax_round_trips():
+    """Backslash escapes make punct-inside-token terms (which the
+    analyzer DOES index) reachable from the string language, and render
+    the AND/OR/NOT keywords as ordinary terms (ADVICE r3)."""
+    from inverted_index_spark.qast import Fuzzy, Wildcard
+    from inverted_index_spark.qparse import render_query
+
+    # parse side: escaped metacharacters are literal term characters
+    assert parse_query(r"a\*b") == Match("a*b")
+    assert parse_query(r"a\?b c\~d") == Match("a?b c~d")
+    assert parse_query(r"don\"t") == Match('don"t')
+    assert parse_query(r"\AND \OR \NOT") == Match("AND OR NOT")
+    assert parse_query(r"a\\b") == Match("a\\b")
+    assert parse_query(r"f\(x\)") == Match("f(x)")
+    # escaped star + trailing wildcard star still collapses to Prefix
+    assert parse_query(r"foo\**") == Prefix("foo*")
+    assert parse_query(r"we\"ird~2") == Fuzzy('we"ird', 2)
+    # render side: exact inverses
+    for q in [
+        Match("a*b"),
+        Match('we"ird'),
+        Match("AND"),
+        Match("NOT a?c"),
+        Match("back\\slash"),
+        Prefix("foo*"),
+        Prefix("f(x"),
+        Fuzzy("a~b", 1),
+        And(Match("AND"), Match("OR or")),
+    ]:
+        assert parse_query(render_query(q)) == q, q
+    # mixing a literal (escaped) * / ? with live wildcards has no AST
+    # form -> explicit parse error, not a silent reinterpretation
+    with pytest.raises(QueryParseError):
+        parse_query(r"a\*b?c")
+    # a lone trailing backslash cannot escape anything
+    with pytest.raises(QueryParseError):
+        parse_query("oops\\")
+    with pytest.raises(QueryParseError):
+        parse_query("oops\\ word")
 
 
 def test_parse_render_round_trip_property():
@@ -125,7 +170,15 @@ def test_parse_render_round_trip_property():
     # lowercase "and"/"or" are deliberately in range: they are ordinary
     # searchable terms (only uppercase AND/OR are keywords)
     word = st.from_regex(r"[a-z][a-z0-9]{0,4}", fullmatch=True)
+    # hard words exercise the escape syntax: specials, backslashes and
+    # the uppercase keywords are all renderable via \-escapes
+    hard_word = st.one_of(
+        word,
+        st.text(alphabet='az*?~()"\\ANDORT', min_size=1, max_size=5),
+        st.sampled_from(["AND", "OR", "NOT"]),
+    )
     words = st.lists(word, min_size=1, max_size=3).map(" ".join)
+    hard_words = st.lists(hard_word, min_size=1, max_size=3).map(" ".join)
     from inverted_index_spark.qast import Fuzzy, Near, Wildcard
 
     # renderable wildcard: an interior wildcard char guarantees it
@@ -135,10 +188,13 @@ def test_parse_render_round_trip_property():
     )
     leaf = st.one_of(
         words.map(Match),
+        hard_words.map(Match),
         words.map(Phrase),
         word.map(Prefix),
+        hard_word.map(Prefix),
         st.tuples(words, st.integers(1, 9)).map(lambda wn: Near(*wn)),
         st.tuples(word, st.integers(1, 2)).map(lambda we: Fuzzy(*we)),
+        st.tuples(hard_word, st.integers(1, 2)).map(lambda we: Fuzzy(*we)),
         wild,
     )
 
@@ -208,7 +264,9 @@ def test_wildcard_regex_dialect_stability():
     from inverted_index_spark.qast import wildcard_regex
 
     rng = random.Random(5)
-    alphabet = "abz09._-+^$()[]{}|\\嗨é"
+    # 嗨/é pin BMP unicode; 𝒜/😀 pin astral-plane chars ('.' must match
+    # ONE code point, not one UTF-16 unit, in every dialect)
+    alphabet = "abz09._-+^$()[]{}|\\嗨é𝒜😀"
     con = duckdb.connect()
     for _ in range(300):
         pattern = "".join(

@@ -68,6 +68,28 @@ def ambient_probe() -> dict:
     }
 
 
+def _ambient_degraded(before: dict, after: dict, factor: float = 2.0) -> bool:
+    """True when the co-tenant memory-bandwidth probe collapsed across a
+    timed section (the r3 failure mode: 5.36 -> 0.28 GB/s mid-run turned
+    every query number into noise). A section whose start and end probes
+    agree within ``factor`` is considered clean."""
+    b = before.get("mem_bw_gbps", 0.0)
+    a = after.get("mem_bw_gbps", 0.0)
+    return b > 0 and a > 0 and min(a, b) < max(a, b) / factor
+
+
+def _wait_for_clean_ambient(ref_bw: float, tries: int = 6, sleep_s: float = 10.0) -> dict:
+    """Block (bounded) until the bandwidth probe recovers to within 2x of
+    a known-clean reference, so a retried section starts in a clean
+    window instead of re-measuring inside the same burn."""
+    probe = ambient_probe()
+    while tries > 0 and ref_bw > 0 and probe["mem_bw_gbps"] < ref_bw / 2:
+        time.sleep(sleep_s)
+        tries -= 1
+        probe = ambient_probe()
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -141,16 +163,32 @@ def main() -> None:
     # (overridable) keeps per-width work equal for scaling comparisons
     buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "0")) or None
 
-    t_wall0 = time.time()
-    t0 = time.perf_counter()
-    # store_docs=False: at the design scale the corpus IS the lakehouse
-    # table — the index references it rather than duplicating it
-    build_and_save(
-        spark, docs, idx_path, ngrams=False, store_docs=False,
-        term_buckets=buckets,
-    )
-    build_sec = time.perf_counter() - t0
-    t_wall1 = time.time()  # end of the build window (event-log basis)
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
+    build_attempts = 0
+    while True:
+        build_probe0 = (
+            probe_start if build_attempts == 0
+            else _wait_for_clean_ambient(probe_start["mem_bw_gbps"])
+        )
+        shutil.rmtree(idx_path, ignore_errors=True)
+        t_wall0 = time.time()
+        t0 = time.perf_counter()
+        # store_docs=False: at the design scale the corpus IS the
+        # lakehouse table — the index references it, not duplicates it
+        build_and_save(
+            spark, docs, idx_path, ngrams=False, store_docs=False,
+            term_buckets=buckets,
+        )
+        build_sec = time.perf_counter() - t0
+        t_wall1 = time.time()  # end of the build window (event-log basis)
+        build_probe1 = ambient_probe()
+        build_attempts += 1
+        if (
+            not _ambient_degraded(build_probe0, build_probe1)
+            or build_attempts > max_retries
+        ):
+            break
+    build_degraded = _ambient_degraded(build_probe0, build_probe1)
 
     from inverted_index_spark.segments import build_segments
     from inverted_index_spark.wand import wand_topk, wand_topk_batch
@@ -190,6 +228,9 @@ def main() -> None:
                     "build_ended_epoch_ms": int(t_wall1 * 1000),
                     "ambient_start": probe_start,
                     "ambient_end": ambient_probe(),
+                    "ambient_build": [build_probe0, build_probe1],
+                    "build_attempts": build_attempts,
+                    "ambient_degraded": build_degraded,
                 }
             )
         )
@@ -238,18 +279,34 @@ def main() -> None:
     segment_query_pandas(idx_path, Match("scan"), k=1, with_positions=False)
 
     queries = {
+        # headline names measure the ROUTED production path (FtsEngine
+        # auto-routes positional queries to the segment evaluator when
+        # segments are fresh); the *_df twins below pin the relational
+        # DataFrame fallback so its cost stays visible across rounds
         "bm25_topk": lambda: eng.bm25("scan merge join", k=10).collect(),
-        "match_topk": lambda: eng_df.search("merge", k=10).collect(),
-        "and_query": lambda: eng_df.results(
+        "match_topk": lambda: eng.search("merge", k=10).collect(),
+        "and_query": lambda: eng.results(
             And(Match("scan"), Match("merge")), k=10, with_positions=False
         ).collect(),
-        "or_query": lambda: eng_df.results(
+        "or_query": lambda: eng.results(
             Or(Match("window"), Match("stream")), k=10, with_positions=False
         ).collect(),
-        "phrase_query": lambda: eng_df.results(Phrase("batch batch"), k=10).collect(),
-        "prefix_query": lambda: eng_df.results(
+        "phrase_query": lambda: eng.results(Phrase("batch batch"), k=10).collect(),
+        "prefix_query": lambda: eng.results(
             Prefix("mer"), k=10, with_positions=False
         ).collect(),
+        "match_df": lambda: eng_df.search("merge", k=10).collect(),
+        "and_df": lambda: eng_df.results(
+            And(Match("scan"), Match("merge")), k=10, with_positions=False
+        ).collect(),
+        "or_df": lambda: eng_df.results(
+            Or(Match("window"), Match("stream")), k=10, with_positions=False
+        ).collect(),
+        "phrase_df": lambda: eng_df.results(Phrase("batch batch"), k=10).collect(),
+        "prefix_df": lambda: eng_df.results(
+            Prefix("mer"), k=10, with_positions=False
+        ).collect(),
+        "count_query": lambda: eng.count(And(Match("scan"), Match("merge"))),
         "wand_bm25": lambda: wand_topk(
             spark, idx_path, "scan merge join", k=10, mode="spark"
         ).collect(),
@@ -299,14 +356,15 @@ def main() -> None:
             spark, idx_path, Wildcard("s?a*"), k=10,
             with_positions=False, mode="spark",
         ).collect(),
-        # metadata-filtered BM25 (relational plan pinned by contract)
-        "bm25_filtered": lambda: eng_df.bm25(
+        # metadata-filtered BM25 (filter_docs pins the relational plan
+        # inside the routed engine — exact filtered top-k by contract)
+        "bm25_filtered": lambda: eng.bm25(
             "scan merge join", k=10,
             filter_docs=docs.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
         ).collect(),
         # conversation-level ranking over the real transcript structure
         "conv_topk": lambda: conversation_topk(
-            eng_df, docs.select("doc_id", "conv_id"),
+            eng, docs.select("doc_id", "conv_id"),
             "scan merge join", k=10,
         ).collect(),
         # amortized many-query paths: 64 queries, one job
@@ -350,7 +408,20 @@ def main() -> None:
             k=10, n_planes=8, hamming=1,
         ).count(),
     }
-    qtimes = {name: timed(fn) for name, fn in queries.items()}
+    query_attempts = 0
+    while True:
+        query_probe0 = (
+            ambient_probe() if query_attempts == 0
+            else _wait_for_clean_ambient(probe_start["mem_bw_gbps"])
+        )
+        qtimes = {name: timed(fn) for name, fn in queries.items()}
+        query_probe1 = ambient_probe()
+        query_attempts += 1
+        if (
+            not _ambient_degraded(query_probe0, query_probe1)
+            or query_attempts > max_retries
+        ):
+            break
 
     total = round(build_sec + seg_sec + sum(qtimes.values()), 3)
     out = {
@@ -372,6 +443,17 @@ def main() -> None:
         "n_segment_shards": len(manifest["shards"]),
         "ambient_start": probe_start,
         "ambient_end": ambient_probe(),
+        # interference accounting (see BENCH/BASELINE.md): each timed
+        # section is probed before AND after, retried (bounded) in a
+        # clean window when the probe collapsed >2x mid-section, and
+        # flagged invalid when every attempt was contaminated
+        "ambient_build": [build_probe0, build_probe1],
+        "ambient_queries": [query_probe0, query_probe1],
+        "build_attempts": build_attempts,
+        "query_attempts": query_attempts,
+        "ambient_degraded": bool(
+            build_degraded or _ambient_degraded(query_probe0, query_probe1)
+        ),
     }
     shutil.rmtree(idx_path, ignore_errors=True)
     print(json.dumps(out))

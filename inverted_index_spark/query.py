@@ -751,12 +751,23 @@ class FtsEngine:
     def count(self, query: Query) -> int:
         """Number of matching docs — membership only, no positions.
 
-        The plan is the query's docs branch (Catalyst prunes the
-        positions column out of the scan entirely), aggregated with a
-        partial count. For a single exact term the saved-index termdict
-        already answers this driver-side with zero jobs
-        (metacache.term_dfs); this is the general-algebra fallback.
+        With fresh positional segments the count is served by
+        ``segquery.segment_count`` (pruned shard set, membership-only
+        kernels, driver-side with zero Spark jobs when the pruned read
+        is small — the common rare-term case). The relational fallback
+        is the query's docs branch (Catalyst prunes the positions
+        column out of the scan entirely) under a partial count.
         """
+        seg = self._segment_path(positional=True)
+        if seg is not None:
+            from .segquery import WildcardTooBroad, segment_count
+
+            try:
+                return segment_count(
+                    self.index.docstats.sparkSession, seg, query
+                )
+            except WildcardTooBroad:
+                pass
         return self.compile(query).docs.count()
 
     def more_like_this(

@@ -1040,6 +1040,58 @@ def segment_query_batch_pandas(
     return _local_eval_batch(ranges, trees, rows, with_positions, k)
 
 
+def segment_count(
+    spark: SparkSession,
+    index_path: str,
+    query: Query,
+    mode: str = "auto",
+    doc_range=None,
+) -> int:
+    """Number of matching docs, served from compressed segments.
+
+    Membership only — no score, no position materialization, no result
+    frame: each pruned shard evaluates the compiled tree and reports
+    ``member.size``; shards partition the doc space, so the total is
+    the plain sum (equals ``FtsEngine.count(query)``, asserted in
+    tests). ``mode="auto"`` counts driver-side when pruning left a
+    small shard set (the common rare-term case: zero Spark jobs),
+    otherwise one mapInPandas pass returning a single int per shard.
+    """
+    ranges, tree, shards, est = _plan_query(index_path, query, doc_range)
+    if not shards:
+        return 0
+
+    from . import metacache
+
+    seg_dir = os.path.join(index_path, "segments")
+    files = [os.path.join(seg_dir, s["file"]) for s in shards]
+
+    def one(f):
+        matchers, _ = _read_shard(f, ranges, doc_range)
+        member, _ = _eval_node(tree, matchers)
+        return int(member.size)
+
+    if metacache.serve_locally(shards, mode, est_bytes=est):
+        if len(files) <= 1:
+            return sum(one(f) for f in files)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(files))) as ex:
+            return sum(ex.map(one, files))
+
+    shards_df = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for f in pdf["file"]:
+                yield pd.DataFrame({"n": [one(f)]})
+
+    rows = shards_df.mapInPandas(run, schema="n long").agg(
+        F.sum("n").alias("n")
+    ).collect()
+    return int(rows[0]["n"] or 0)
+
+
 def segment_search(
     spark: SparkSession,
     index_path: str,

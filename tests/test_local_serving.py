@@ -298,3 +298,37 @@ def test_pre_stats_map_and_refresh_merge(spark, tmp_path):
     # and the merged map still prunes/serves correctly
     pdf = segment_query_pandas(path, Match("zulu"), k=5)
     assert [int(d) for d in pdf["doc_id"]] == [95]
+
+
+@pytest.mark.parametrize(
+    "ast", ASTS, ids=[type(a).__name__ + str(i) for i, a in enumerate(ASTS)]
+)
+def test_segment_count_matches_relational(spark, indexed, ast):
+    """segment_count == the relational docs-branch count in both serving
+    modes, and FtsEngine.count auto-routes to it (same answer)."""
+    from inverted_index_spark.build import load_index
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segquery import segment_count
+
+    idx = load_index(spark, indexed)
+    want = FtsEngine(idx, use_segments=False).count(ast)
+    assert segment_count(spark, indexed, ast, mode="local") == want
+    assert segment_count(spark, indexed, ast, mode="spark") == want
+    assert FtsEngine(idx).count(ast) == want
+
+
+def test_segment_count_empty_and_range(spark, indexed):
+    from inverted_index_spark.build import load_index
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segquery import segment_count
+
+    assert segment_count(spark, indexed, Match("zzzzabsent")) == 0
+    # doc_range restricts the count to ids in [lo, hi)
+    idx = load_index(spark, indexed)
+    eng_df = FtsEngine(idx, use_segments=False)
+    full = eng_df.results(Match("scan"), with_positions=False).toPandas()
+    in_range = int((full["doc_id"] < 200).sum())
+    assert (
+        segment_count(spark, indexed, Match("scan"), doc_range=(0, 200))
+        == in_range
+    )

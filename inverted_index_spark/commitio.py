@@ -85,6 +85,133 @@ class JsonCatalog(CatalogAdapter):
         os.replace(tmp, cat)
 
 
+class DeltaLogCatalog(CatalogAdapter):
+    """Delta-Lake-style transaction-log catalog (pure stdlib).
+
+    The pointer state lives in an append-only ``_fts_log/`` directory of
+    numbered commit files — the open Delta protocol's shape, hand-rolled
+    over JSON:
+
+    * commit ``N`` is ``_fts_log/<N:020d>.json`` holding only that
+      commit's pointer swaps; the current state is the replay of all
+      commits (later wins);
+    * a writer claims version ``N`` by CREATE-IF-ABSENT (``open(..,
+      "x")`` locally; ``If-None-Match`` PUT on an object store) — two
+      racing committers cannot both win a version, the loser re-reads
+      the log and retries on the next number (optimistic concurrency,
+      bounded attempts);
+    * every ``checkpoint_every`` commits the full replayed mapping is
+      written to ``<N:020d>.checkpoint.json`` and advertised in
+      ``_last_checkpoint``, so readers replay O(checkpoint_every) files
+      instead of the whole history;
+    * nothing is ever modified in place — a crash mid-commit leaves at
+      worst an unreferenced temp file, and a crashed writer that
+      claimed a version DID commit it (the claim is the publish).
+
+    Unlike ``JsonCatalog`` (last-writer-wins pointer file) this gives
+    concurrent committers serialized, lossless history — the semantics
+    a real Iceberg/Delta/Glue binding provides, demonstrated without
+    jars.
+    """
+
+    LOG_DIR = "_fts_log"
+
+    def __init__(self, checkpoint_every: int = 10, max_retries: int = 50):
+        self.checkpoint_every = checkpoint_every
+        self.max_retries = max_retries
+
+    def _log_dir(self, path: str) -> str:
+        return os.path.join(path, self.LOG_DIR)
+
+    def _commit_versions(self, log: str):
+        try:
+            names = os.listdir(log)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if n.endswith(".json") and not n.endswith(".checkpoint.json"):
+                try:
+                    out.append(int(n[:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _checkpoint_start(self, log: str):
+        """(first commit version to replay, starting state)."""
+        lc = os.path.join(log, "_last_checkpoint")
+        try:
+            with open(lc) as fh:
+                ver = int(json.load(fh)["version"])
+            with open(os.path.join(log, f"{ver:020d}.checkpoint.json")) as fh:
+                return ver + 1, json.load(fh)
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return 0, {}
+
+    def _state(self, path: str) -> Dict[str, str]:
+        log = self._log_dir(path)
+        start, state = self._checkpoint_start(log)
+        for ver in self._commit_versions(log):
+            if ver < start:
+                continue
+            try:
+                with open(os.path.join(log, f"{ver:020d}.json")) as fh:
+                    state.update(json.load(fh).get("swap", {}))
+            except (OSError, json.JSONDecodeError):
+                # a commit file exists the instant open("x") succeeds;
+                # an unreadable one is a concurrent writer mid-flush —
+                # treat as empty (its swap just isn't visible yet)
+                pass
+        return state
+
+    def resolve(self, path: str, name: str) -> Optional[str]:
+        return self._state(path).get(name)
+
+    def swap(self, path: str, mapping: Dict[str, str]) -> None:
+        log = self._log_dir(path)
+        os.makedirs(log, exist_ok=True)
+        payload = json.dumps({"swap": mapping}, indent=1)
+        for _ in range(self.max_retries):
+            versions = self._commit_versions(log)
+            ver = (versions[-1] + 1) if versions else 0
+            target = os.path.join(log, f"{ver:020d}.json")
+            try:
+                # CREATE-IF-ABSENT is the commit: exactly one writer
+                # can win version `ver`
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue  # lost the race — replay moved on, retry
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+            if (ver + 1) % self.checkpoint_every == 0:
+                self._write_checkpoint(log, ver)
+            return
+        raise RuntimeError(
+            f"could not claim a log version after {self.max_retries} "
+            "attempts (log under heavy concurrent commit load?)"
+        )
+
+    def _write_checkpoint(self, log: str, ver: int) -> None:
+        # best-effort: a failed checkpoint only costs replay length
+        try:
+            start, state = self._checkpoint_start(log)
+            for v in self._commit_versions(log):
+                if start <= v <= ver:
+                    with open(os.path.join(log, f"{v:020d}.json")) as fh:
+                        state.update(json.load(fh).get("swap", {}))
+            cp = os.path.join(log, f"{ver:020d}.checkpoint.json")
+            tmp = cp + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(state, fh, indent=1)
+            os.replace(tmp, cp)
+            lc_tmp = os.path.join(log, "_last_checkpoint.tmp")
+            with open(lc_tmp, "w") as fh:
+                json.dump({"version": ver}, fh)
+            os.replace(lc_tmp, os.path.join(log, "_last_checkpoint"))
+        except OSError:
+            pass
+
+
 _CATALOG_ADAPTER: CatalogAdapter = JsonCatalog()
 
 

@@ -1,0 +1,96 @@
+"""One pipeline-op scaling sample: dedup_corpus + knn_join at one width.
+
+Runs the two headline training-pipeline operators (corpus-level dedup,
+LSH-bucketed batch ANN join) on a fixed pre-materialized input at a
+given core count and prints ONE JSON line with per-op wall seconds and
+the epoch-ms window of each op (so the caller can aggregate task time
+from event logs). The caller (scripts/scaling_bench.py) pins the
+process tree with taskset and compares widths.
+
+Usage: python scripts/ops_job.py <cores> [sf_dir] [mult]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.dedup import dedup_corpus
+    from inverted_index_spark.pipelines.similarity import knn_join
+    from inverted_index_spark.session import get_spark, warm_python_workers
+    from inverted_index_spark.transcripts import (
+        transcript_docs,
+        transcripts_from_documents,
+    )
+
+    spark = get_spark("ops-scaling", cores=cores)
+    warm_python_workers(spark)
+
+    # identical bytes at every width: reuse the bench corpus cache
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"fts_bench_corpus_{os.path.basename(sf_dir.rstrip('/'))}_{mult}",
+    )
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        if mult > 1:
+            reps = spark.range(mult).select(F.col("id").alias("rep"))
+            base = base.crossJoin(reps).select(
+                (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                "text",
+            )
+        transcripts = transcripts_from_documents(base)
+        transcript_docs(transcripts).select(
+            "doc_id", "text", "conv_id", "turn_idx", "role", "ts"
+        ).write.mode("overwrite").parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir).select("doc_id", "text")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    ops = {
+        "dedup_corpus": lambda: dedup_corpus(
+            docs, num_hashes=8, rows_per_band=2, k=3, threshold=0.5,
+            max_bucket_size=64,
+        ).count(),
+        "knn_join64": lambda: knn_join(
+            embs.filter(F.col("vec_id") < 64), embs,
+            k=10, n_planes=8, hamming=1,
+        ).count(),
+    }
+    # warm each path once (python workers, page cache, parquet footers)
+    for fn in ops.values():
+        fn()
+
+    out = {"cores": cores, "mult": mult, "ops": {}}
+    for name, fn in ops.items():
+        t_wall0 = time.time()
+        t0 = time.perf_counter()
+        fn()
+        sec = time.perf_counter() - t0
+        out["ops"][name] = {
+            "sec": round(sec, 3),
+            "start_ms": int(t_wall0 * 1000),
+            "end_ms": int(time.time() * 1000),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

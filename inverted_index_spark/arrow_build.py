@@ -62,6 +62,12 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
 _LOWER = np.arange(256, dtype=np.uint8)
 _LOWER[ord("A") : ord("Z") + 1] += 32
 
+# (term-rank bits + doc-rank bits) budget for the packed single-key
+# sort in make_assemble_sorted_arrow; wider partitions take the
+# two-pass uint32 radix composition. Module-level so tests can force
+# the fallback on small corpora.
+_PACK_BITS = 32
+
 
 def _stat_batch(doc_ids, byte_lens) -> pa.RecordBatch:
     """Per-doc stat rows: term = '' (impossible as a real term — the
@@ -466,7 +472,7 @@ def make_assemble_sorted_arrow(ngrams: bool = False):
             # uint32 sorts (doc then term), still narrower than int64.
             vbits = max((len(vocab) - 1).bit_length(), 1)
             dbits = max((uds.size - 1).bit_length(), 1)
-            if vbits + dbits <= 32:
+            if vbits + dbits <= _PACK_BITS:
                 keys = (rk << np.uint32(dbits)) | docidx
                 order = np.argsort(keys, kind="stable")
                 sk = keys[order]

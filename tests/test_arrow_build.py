@@ -273,3 +273,40 @@ def test_direct_write_gated_on_shared_fs(spark, tmp_path, monkeypatch):
 
     for t in ("postings", "docstats", "termdict"):
         assert canon(p_direct, t) == canon(p_jvm, t), t
+
+
+def test_sorted_kernel_two_pass_fallback(monkeypatch):
+    """Wide partitions (term-rank bits + doc-rank bits > _PACK_BITS)
+    compose two stable uint32 radix sorts instead of one packed key;
+    forcing the fallback on a small corpus must leave the output
+    byte-identical to the packed path and the per-batch kernel."""
+    import inverted_index_spark.arrow_build as ab
+
+    texts = CASES + ["batch batch batch", "zz aa mm", "aa zz", "b a c a b"]
+    batches = [
+        pa.RecordBatch.from_pydict(
+            {
+                "doc_id": np.arange(i, i + len(texts[i : i + 3]), dtype=np.int64),
+                "text": texts[i : i + 3],
+            }
+        )
+        for i in range(0, len(texts), 3)
+    ]
+
+    def dump(out):
+        rows = []
+        for rb in out:
+            d = rb.to_pydict()
+            rows += list(zip(
+                d["term"], d["doc_id"],
+                [tuple((q["begin"], q["end"], q["pos"]) for q in pl)
+                 for pl in d["positions"]],
+                d["tf"],
+            ))
+        return rows
+
+    packed = dump(ab.make_assemble_sorted_arrow(False)(iter(batches)))
+    monkeypatch.setattr(ab, "_PACK_BITS", 1)  # force the two-pass path
+    fallback = dump(ab.make_assemble_sorted_arrow(False)(iter(batches)))
+    assert fallback == packed
+    assert fallback == sorted(fallback, key=lambda r: (r[0], r[1]))

@@ -102,6 +102,27 @@ def _wait_for_clean_ambient(ref_bw: float, tries: int = 6, sleep_s: float = 10.0
     return probe
 
 
+def run_guarded(section_fn, ref_bw: float, max_retries: int):
+    """Run one timed section with interference accounting: probe
+    ambient immediately before and after, retry (bounded) in a clean
+    window when the section was contaminated (mid-section collapse or
+    entirely under the burn floor). Returns
+    (section result, [probe_before, probe_after], attempts, degraded).
+    """
+    attempts = 0
+    while True:
+        probe0 = (
+            ambient_probe() if attempts == 0
+            else _wait_for_clean_ambient(ref_bw)
+        )
+        result = section_fn()
+        probe1 = ambient_probe()
+        attempts += 1
+        degraded = _ambient_degraded(probe0, probe1)
+        if not degraded or attempts > max_retries:
+            return result, [probe0, probe1], attempts, degraded
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -176,12 +197,8 @@ def main() -> None:
     buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "0")) or None
 
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
-    build_attempts = 0
-    while True:
-        build_probe0 = (
-            probe_start if build_attempts == 0
-            else _wait_for_clean_ambient(probe_start["mem_bw_gbps"])
-        )
+
+    def build_section():
         shutil.rmtree(idx_path, ignore_errors=True)
         t_wall0 = time.time()
         t0 = time.perf_counter()
@@ -191,16 +208,12 @@ def main() -> None:
             spark, docs, idx_path, ngrams=False, store_docs=False,
             term_buckets=buckets,
         )
-        build_sec = time.perf_counter() - t0
-        t_wall1 = time.time()  # end of the build window (event-log basis)
-        build_probe1 = ambient_probe()
-        build_attempts += 1
-        if (
-            not _ambient_degraded(build_probe0, build_probe1)
-            or build_attempts > max_retries
-        ):
-            break
-    build_degraded = _ambient_degraded(build_probe0, build_probe1)
+        return time.perf_counter() - t0, t_wall0, time.time()
+
+    (build_sec, t_wall0, t_wall1), build_probes, build_attempts, \
+        build_degraded = run_guarded(
+            build_section, probe_start["mem_bw_gbps"], max_retries
+        )
 
     from inverted_index_spark.segments import build_segments
     from inverted_index_spark.wand import wand_topk, wand_topk_batch
@@ -240,7 +253,7 @@ def main() -> None:
                     "build_ended_epoch_ms": int(t_wall1 * 1000),
                     "ambient_start": probe_start,
                     "ambient_end": ambient_probe(),
-                    "ambient_build": [build_probe0, build_probe1],
+                    "ambient_build": build_probes,
                     "build_attempts": build_attempts,
                     "ambient_degraded": build_degraded,
                 }
@@ -420,20 +433,11 @@ def main() -> None:
             k=10, n_planes=8, hamming=1,
         ).count(),
     }
-    query_attempts = 0
-    while True:
-        query_probe0 = (
-            ambient_probe() if query_attempts == 0
-            else _wait_for_clean_ambient(probe_start["mem_bw_gbps"])
-        )
-        qtimes = {name: timed(fn) for name, fn in queries.items()}
-        query_probe1 = ambient_probe()
-        query_attempts += 1
-        if (
-            not _ambient_degraded(query_probe0, query_probe1)
-            or query_attempts > max_retries
-        ):
-            break
+    qtimes, query_probes, query_attempts, query_degraded = run_guarded(
+        lambda: {name: timed(fn) for name, fn in queries.items()},
+        probe_start["mem_bw_gbps"],
+        max_retries,
+    )
 
     total = round(build_sec + seg_sec + sum(qtimes.values()), 3)
     out = {
@@ -459,13 +463,11 @@ def main() -> None:
         # section is probed before AND after, retried (bounded) in a
         # clean window when the probe collapsed >2x mid-section, and
         # flagged invalid when every attempt was contaminated
-        "ambient_build": [build_probe0, build_probe1],
-        "ambient_queries": [query_probe0, query_probe1],
+        "ambient_build": build_probes,
+        "ambient_queries": query_probes,
         "build_attempts": build_attempts,
         "query_attempts": query_attempts,
-        "ambient_degraded": bool(
-            build_degraded or _ambient_degraded(query_probe0, query_probe1)
-        ),
+        "ambient_degraded": bool(build_degraded or query_degraded),
     }
     shutil.rmtree(idx_path, ignore_errors=True)
     print(json.dumps(out))

@@ -95,18 +95,25 @@ class DeltaLogCatalog(CatalogAdapter):
     * commit ``N`` is ``_fts_log/<N:020d>.json`` holding only that
       commit's pointer swaps; the current state is the replay of all
       commits (later wins);
-    * a writer claims version ``N`` by CREATE-IF-ABSENT (``open(..,
-      "x")`` locally; ``If-None-Match`` PUT on an object store) — two
-      racing committers cannot both win a version, the loser re-reads
-      the log and retries on the next number (optimistic concurrency,
-      bounded attempts);
+    * a writer claims version ``N`` by CREATE-IF-ABSENT: the payload is
+      fully written to a temp file first, then HARD-LINKED to the
+      commit name (``os.link`` fails with EEXIST exactly like
+      ``O_CREAT|O_EXCL``, but the commit appears with its complete
+      content in one atomic step — the local analogue of an
+      ``If-None-Match`` PUT, where claim and content are one
+      operation). Two racing committers cannot both win a version; the
+      loser re-reads the log and retries on the next number
+      (optimistic concurrency, bounded attempts);
     * every ``checkpoint_every`` commits the full replayed mapping is
       written to ``<N:020d>.checkpoint.json`` and advertised in
       ``_last_checkpoint``, so readers replay O(checkpoint_every) files
-      instead of the whole history;
+      instead of the whole history; a checkpoint attempt that finds ANY
+      unreadable commit at-or-below its version aborts rather than
+      finalizing past it (a checkpoint must never drop a commit);
     * nothing is ever modified in place — a crash mid-commit leaves at
-      worst an unreferenced temp file, and a crashed writer that
-      claimed a version DID commit it (the claim is the publish).
+      worst an unreferenced temp file, and a commit file, once visible
+      under its numbered name, is always complete (the claim IS the
+      publish, with content).
 
     Unlike ``JsonCatalog`` (last-writer-wins pointer file) this gives
     concurrent committers serialized, lossless history — the semantics
@@ -170,29 +177,44 @@ class DeltaLogCatalog(CatalogAdapter):
     def swap(self, path: str, mapping: Dict[str, str]) -> None:
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
-        payload = json.dumps({"swap": mapping}, indent=1)
-        for _ in range(self.max_retries):
-            versions = self._commit_versions(log)
-            ver = (versions[-1] + 1) if versions else 0
-            target = os.path.join(log, f"{ver:020d}.json")
+        # payload becomes durable BEFORE any claim: the hard link below
+        # publishes claim + content in one atomic step, so a numbered
+        # commit file, once visible, is always complete (no reader or
+        # checkpoint can observe a claimed-but-empty commit, and a
+        # crash mid-commit loses nothing but an unreferenced temp file)
+        tmp = os.path.join(log, f".commit-{os.getpid()}-{id(mapping)}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"swap": mapping}, fh, indent=1)
+        try:
+            for _ in range(self.max_retries):
+                versions = self._commit_versions(log)
+                ver = (versions[-1] + 1) if versions else 0
+                target = os.path.join(log, f"{ver:020d}.json")
+                try:
+                    # atomic CREATE-IF-ABSENT with content: exactly one
+                    # writer can win version `ver`
+                    os.link(tmp, target)
+                except FileExistsError:
+                    continue  # lost the race — replay moved on, retry
+                if (ver + 1) % self.checkpoint_every == 0:
+                    self._write_checkpoint(log, ver)
+                return
+        finally:
             try:
-                # CREATE-IF-ABSENT is the commit: exactly one writer
-                # can win version `ver`
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue  # lost the race — replay moved on, retry
-            with os.fdopen(fd, "w") as fh:
-                fh.write(payload)
-            if (ver + 1) % self.checkpoint_every == 0:
-                self._write_checkpoint(log, ver)
-            return
+                os.unlink(tmp)
+            except OSError:
+                pass
         raise RuntimeError(
             f"could not claim a log version after {self.max_retries} "
             "attempts (log under heavy concurrent commit load?)"
         )
 
     def _write_checkpoint(self, log: str, ver: int) -> None:
-        # best-effort: a failed checkpoint only costs replay length
+        # best-effort: a failed/aborted checkpoint only costs replay
+        # length — but it must NEVER finalize past a commit it could
+        # not read (that would drop the commit's swap from every
+        # checkpoint-based read), so any unreadable commit at-or-below
+        # `ver` aborts the attempt; the next eligible swap retries.
         try:
             start, state = self._checkpoint_start(log)
             for v in self._commit_versions(log):
@@ -208,7 +230,7 @@ class DeltaLogCatalog(CatalogAdapter):
             with open(lc_tmp, "w") as fh:
                 json.dump({"version": ver}, fh)
             os.replace(lc_tmp, os.path.join(log, "_last_checkpoint"))
-        except OSError:
+        except (OSError, ValueError):
             pass
 
 

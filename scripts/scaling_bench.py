@@ -52,30 +52,20 @@ def run_bench(
     borrows extra cores for its python workers and shuffle threads
     (local[2] was observed using ~5 cores), which silently inflates the
     small-N baseline of any scaling comparison."""
-    env = dict(os.environ)
-    env.update(
-        SPARK_GRAFT_CPUS=str(cores),
-        SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_BENCH_MULT=str(mult),
-        MALLOC_ARENA_MAX="2",
+    env_extra = {
+        "SPARK_GRAFT_CPUS": str(cores),
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_BENCH_MULT": str(mult),
         # identical logical work at every width: same partition count
         # (otherwise local[2] runs 8 bigger sorts vs local[8]'s 16)
-        SPARK_GRAFT_BENCH_BUCKETS="64",
-    )
+        "SPARK_GRAFT_BENCH_BUCKETS": "64",
+    }
     if only_build:
-        env["SPARK_GRAFT_BENCH_ONLY_BUILD"] = "1"
-        env["SPARK_GRAFT_EVENTLOG"] = EVT_DIR
-    else:
-        env.pop("SPARK_GRAFT_BENCH_ONLY_BUILD", None)
-        env.pop("SPARK_GRAFT_EVENTLOG", None)
-    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
-    if pin:
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO
+        env_extra["SPARK_GRAFT_BENCH_ONLY_BUILD"] = "1"
+        env_extra["SPARK_GRAFT_EVENTLOG"] = EVT_DIR
+    return _run_pinned(
+        [os.path.join(REPO, "bench.py")], cores, env_extra, pin=pin
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
 
 
 def build_task_seconds(start_ms: int, end_ms: int) -> float:
@@ -145,22 +135,37 @@ def bw_aggregate(n: int) -> float:
     return _pool_aggregate(n, _bw_burn)
 
 
-def run_ops(cores: int, sf_dir: str, mult: int) -> dict:
-    """One pinned fresh-JVM pipeline-ops sample (scripts/ops_job.py):
-    dedup_corpus + knn_join wall seconds plus event-log task windows."""
+def _run_pinned(script_args: list, cores: int, env_extra: dict, pin: bool = True) -> dict:
+    """Run one fresh-JVM python job, optionally pinned to cpus
+    0..cores-1 with taskset (the faithful model of a ``cores``-core
+    executor), and parse its ONE JSON output line. Shared by the build
+    and pipeline-op samplers so pinning/parsing conventions can't
+    diverge."""
     env = dict(os.environ)
-    env.update(MALLOC_ARENA_MAX="2", SPARK_GRAFT_EVENTLOG=EVT_DIR)
-    shutil.rmtree(EVT_DIR, ignore_errors=True)
-    cmd = [
-        "taskset", "-c", f"0-{cores - 1}", sys.executable,
-        os.path.join(REPO, "scripts", "ops_job.py"),
-        str(cores), sf_dir, str(mult),
-    ]
+    # never inherit mode flags the caller didn't ask for
+    env.pop("SPARK_GRAFT_BENCH_ONLY_BUILD", None)
+    env.pop("SPARK_GRAFT_EVENTLOG", None)
+    env.update(MALLOC_ARENA_MAX="2", **env_extra)
+    cmd = [sys.executable] + script_args
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO
     )
-    r = json.loads(
+    return json.loads(
         [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+
+
+def run_ops(cores: int, sf_dir: str, mult: int) -> dict:
+    """One pinned fresh-JVM pipeline-ops sample (scripts/ops_job.py):
+    dedup_corpus + knn_join wall seconds plus event-log task windows."""
+    shutil.rmtree(EVT_DIR, ignore_errors=True)
+    r = _run_pinned(
+        [os.path.join(REPO, "scripts", "ops_job.py"),
+         str(cores), sf_dir, str(mult)],
+        cores,
+        {"SPARK_GRAFT_EVENTLOG": EVT_DIR},
     )
     for op in r["ops"].values():
         op["task_sec"] = round(

@@ -356,3 +356,30 @@ def test_deltalog_catalog_end_to_end(spark, saved):
         assert len(commits) >= 2
     finally:
         commitio.set_catalog(prev)
+
+
+def test_deltalog_catalog_unreadable_commit_never_dropped(tmp_path):
+    """Review regression: an externally-claimed commit file with no
+    payload must not crash swap() (old code raised JSONDecodeError out
+    of the checkpoint replay) and must ABORT the checkpoint attempt —
+    a checkpoint that finalized past an unreadable commit would drop
+    its swap from every checkpoint-based read."""
+    from inverted_index_spark.commitio import DeltaLogCatalog
+
+    root = str(tmp_path)
+    cat = DeltaLogCatalog(checkpoint_every=3)
+    cat.swap(root, {"t": "t.v1"})  # version 0
+    log = os.path.join(root, "_fts_log")
+    # an empty claimed commit at version 1 (a crashed/in-flight foreign
+    # writer — this class's own commits are hard-linked with content)
+    open(os.path.join(log, f"{1:020d}.json"), "x").close()
+    # version 2 is a checkpoint boundary: must commit fine, checkpoint
+    # must abort (not finalize past the unreadable version 1)
+    cat.swap(root, {"u": "u.v1"})
+    assert os.path.exists(os.path.join(log, f"{2:020d}.json"))
+    assert not os.path.exists(os.path.join(log, "_last_checkpoint"))
+    assert cat.resolve(root, "t") == "t.v1"
+    assert cat.resolve(root, "u") == "u.v1"
+    # commit files are complete the instant they are visible
+    with open(os.path.join(log, f"{2:020d}.json")) as fh:
+        assert "u.v1" in fh.read()

@@ -419,6 +419,14 @@ def main() -> None:
         "seg_serve": lambda: segment_query_pandas(
             idx_path, Match("merge"), k=10, with_positions=False
         ),
+        # the pruned-read coordinator case: the synthetic vocabulary has
+        # no rare terms (every term spans every shard), so a doc_range
+        # window stands in for the structural pruning a rare term gets —
+        # this is the latency a frontend pays when pruning works
+        "seg_serve_pruned": lambda: segment_query_pandas(
+            idx_path, Match("merge"), k=10, with_positions=False,
+            doc_range=(0, max(n_docs // 16, 1)),
+        ),
         # training-pipeline ops at the same amplified scale: corpus-level
         # dedup (the amplification IS a planted exact-dup cluster per
         # source doc — the exact-first pass collapses it before LSH ever

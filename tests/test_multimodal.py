@@ -237,3 +237,52 @@ def test_audio_features_deterministic(spark):
         b["n_samples"], b["rms"], b["zero_crossings"],
     )
     assert rows[1]["duration_sec"] > 0 and 0.0 < rows[1]["rms"] < 1.5
+
+
+def test_png_mixed_filters_per_row():
+    """Real encoders pick a filter PER SCANLINE; decode must unfilter a
+    stream that mixes all five types row-by-row."""
+    import struct
+    import zlib
+
+    from inverted_index_spark.pipelines.multimodal import _png_chunk
+
+    rng = _rng(99)
+    for shape in [(12, 9), (9, 5, 3), (7, 4, 4)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        h, w = img.shape[:2]
+        flat = img.reshape(h, -1).astype(np.int32)
+        stride = flat.shape[1]
+        ftypes = rng.randint(0, 5, size=h)
+        out = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            cur = flat[y]
+            ft = int(ftypes[y])
+            enc = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pred = (
+                    0 if ft == 0 else a if ft == 1 else b if ft == 2
+                    else (a + b) >> 1 if ft == 3
+                    else min(
+                        [(abs(a + b - c - a), 0, a),
+                         (abs(a + b - c - b), 1, b),
+                         (abs(a + b - c - c), 2, c)]
+                    )[2]
+                )
+                enc[i] = (cur[i] - pred) & 0xFF
+            out.append(ft)
+            out.extend(enc.astype(np.uint8).tobytes())
+            prev = cur
+        color = 0 if img.ndim == 2 else {3: 2, 4: 6}[img.shape[2]]
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(png), img), f"shape {shape}"

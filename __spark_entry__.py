@@ -233,6 +233,42 @@ def _q_bm25_topk(spark, sf):
     )
 
 
+def _q_bm25_page2(spark, sf):
+    """Cursor pagination (search_after): page 1 = bm25 top-5; its last
+    row is the cursor; page 2 must equal ranks 6-10 of the full
+    ordering (the oracle's OFFSET window) — proving the strict-after
+    predicate + tie-break reproduce the total order exactly."""
+    eng = _engine(spark, sf)
+    page1 = eng.bm25("scan merge join", k=5).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    return eng.bm25_after("scan merge join", k=5, after=cursor).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score_r4")
+    )
+
+
+def _q_date_hist(spark, sf):
+    """Search-results date histogram: hourly match counts of
+    Match('merge') over a deterministic timestamp column (epoch
+    2025-01-01 UTC + 420s per doc_id, so buckets span many hours);
+    buckets rendered as strings so the hash compare is
+    timezone-representation-proof."""
+    from inverted_index_spark.qast import Match
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    eng = _engine(spark, sf)
+    meta = _docs(spark, sf).select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(1735689600) + F.col("doc_id") * F.lit(420)
+        ).alias("ts"),
+    )
+    hist = eng.date_histogram(Match("merge"), meta, "ts", "hour")
+    return hist.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        "n_docs",
+    )
+
+
 def _q_bm25_filtered(spark, sf):
     """Metadata-filtered BM25: candidates restricted to lang='en' docs,
     idf/avgdl/N stay corpus-global (the standard filter-query
@@ -1007,6 +1043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail entries all carry green CORRECTNESS_r03 rows, and
     # scripts/check_contract.py remains the full 71-entry local gate.
     return {
+        "bm25_page2": _q_bm25_page2,
+        "date_hist": _q_date_hist,
         "highlight": _q_highlight,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_clusters": _q_dedup_clusters,
@@ -1057,10 +1095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": _q_bm25_fuzzy,
         "match_seg": _q_match_seg,
         "phrase_seg": _q_phrase_seg,
-        "and_seg": _q_and_seg,
-        "or_seg": _q_or_seg,
         # ---- driver-window boundary (~50): everything below holds a
         # green CORRECTNESS_r03 row ----
+        "and_seg": _q_and_seg,
+        "or_seg": _q_or_seg,
         "prefix_seg": _q_prefix_seg,
         "andnot_seg": _q_andnot_seg,
         "near_seg": _q_near_seg,
@@ -1413,6 +1451,43 @@ def oracle_sql() -> dict[str, str]:
               cross join stats
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
+        """,
+        # cursor pagination: page 2 == ranks 6-10 of the full ordering
+        "bm25_page2": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term)
+            select doc_id, round(score, 4) as score_r4 from (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ) order by score desc, doc_id asc limit 5 offset 5
+        """,
+        # hourly date histogram over Match('merge') membership; ts is
+        # the deterministic epoch + 420s/doc synthesized in the query
+        "date_hist": f"""
+            with toks as ({_TOKS}),
+            m as (
+              select distinct doc_id from toks where term like 'merge%'
+            )
+            select strftime(date_trunc('hour',
+                     timestamp '2025-01-01 00:00:00'
+                     + to_seconds(420 * doc_id)), '%Y-%m-%d %H:%M:%S')
+                   as bucket_s,
+                   count(*)::bigint as n_docs
+            from m group by 1
         """,
         # same BM25 CTEs; the filter restricts the SCORED set only —
         # df/stats stay corpus-global, matching the engine's contract

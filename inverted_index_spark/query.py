@@ -853,6 +853,87 @@ class FtsEngine:
             out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return out
 
+    _HISTOGRAM_INTERVALS = (
+        "year", "quarter", "month", "week", "day", "hour", "minute",
+    )
+
+    def date_histogram(
+        self,
+        query: Query,
+        meta: DataFrame,
+        ts_col: str = "ts",
+        interval: str = "hour",
+    ) -> DataFrame:
+        """Time-bucketed counts over a query's match set ->
+        (bucket timestamp, n_docs) — the search-UI date histogram
+        (results-over-time bar chart; Lucene/ES ``date_histogram``
+        aggregation shape).
+
+        Membership only (the plan's docs branch — positions never
+        decoded) joined to ``meta`` (doc_id + the timestamp column),
+        truncated with the built-in ``date_trunc`` (stays in
+        whole-stage codegen) and counted in one partial-agg pass.
+        Empty buckets are not emitted (sparse histogram; densify with
+        a range join against a calendar frame if a UI needs zeros).
+        """
+        if interval not in self._HISTOGRAM_INTERVALS:
+            raise ValueError(
+                f"interval must be one of {self._HISTOGRAM_INTERVALS}, "
+                f"got {interval!r}"
+            )
+        if ts_col not in meta.columns:
+            raise ValueError(f"timestamp column {ts_col!r} not in meta")
+        docs = self.compile(query).docs
+        return (
+            docs.join(meta.select("doc_id", ts_col), "doc_id")
+            .groupBy(
+                F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    def bm25_after(
+        self,
+        text: str,
+        k: int = 10,
+        after: Optional[tuple] = None,
+        filter_docs: Optional[DataFrame] = None,
+        doc_range: Optional[tuple] = None,
+    ) -> DataFrame:
+        """Cursor pagination over the BM25 ranking (``search_after``):
+        the next ``k`` results STRICTLY AFTER the cursor
+        ``after=(score, doc_id)`` in (score desc, doc_id asc) order.
+
+        Page 1 is ``bm25(text, k)``; each later page passes the last
+        row of the previous page as the cursor. Cursor-based paging is
+        stable under concurrent result-set growth (unlike offset
+        paging) and never recomputes earlier pages' positions. The
+        cursor predicate is ``score < s OR (score = s AND doc_id >
+        d)`` — exact against the engine's own deterministic scores
+        (the total order's tie-break is doc_id asc). Scoring runs the
+        relational plan with ``k=None`` (exact paging needs the filter
+        before the limit); a WAND variant could seed its threshold
+        with ``s`` since every page-2 score is <= s, but ties at the
+        threshold need doc_id-aware skipping, so the exact path is
+        pinned here.
+        """
+        if after is None:
+            return self.bm25(
+                text, k=k, filter_docs=filter_docs, doc_range=doc_range
+            )
+        s, d = float(after[0]), int(after[1])
+        full = self.bm25(
+            text, k=None, filter_docs=filter_docs, doc_range=doc_range
+        )
+        return (
+            full.filter(
+                (F.col("score") < F.lit(s))
+                | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def facets(
         self,
         query: Query,

@@ -17,6 +17,8 @@ DRIVER_WINDOW = 50
 # never driver-recorded before round 4 (absent from CORRECTNESS_r03);
 # each needs a CORRECTNESS_r04 row, so each must be inside the window
 NEED_WINDOW = {
+    # round-4 additions (never driver-recorded)
+    "bm25_page2", "date_hist",
     "highlight", "image_features", "audio_features",
     "dedup_corpus", "dedup_clusters", "dedup_keep_best",
     "minhash_neardup", "incremental_neardup", "neardup_cosine",

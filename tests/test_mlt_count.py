@@ -183,3 +183,61 @@ def test_bm25_query_expansion_equals_term_bag(spark):
     )
     with pytest.raises(ValueError, match="term-bag"):
         eng.bm25_query(Near("scan merge", 2))
+
+
+def test_bm25_after_pagination_reconstructs_full_ranking(spark):
+    """Concatenating cursor pages k=2 reproduces bm25(k=None)'s total
+    order exactly — the strict-after predicate + doc_id tie-break never
+    skip or duplicate a row."""
+    eng = build_engine(spark, CORPUS, ngrams=False)
+    full = eng.bm25("scan merge", k=None).collect()
+    pages, cursor = [], None
+    while True:
+        rows = eng.bm25_after("scan merge", k=2, after=cursor).collect()
+        if not rows:
+            break
+        pages += rows
+        cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+    assert [(r["doc_id"], r["score"]) for r in pages] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+
+
+def test_bm25_after_none_cursor_is_page_one(spark):
+    eng = build_engine(spark, CORPUS, ngrams=False)
+    a = eng.bm25_after("scan merge", k=3, after=None).collect()
+    b = eng.bm25("scan merge", k=3).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_date_histogram_counts_and_validation(spark):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.qast import Match
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    eng = build_engine(spark, CORPUS, ngrams=False)
+    # 'scan' matches docs 1,2,3,4,5,7 ('scans' in doc 4 matches by
+    # prefix — reference Match semantics, see test_count above)
+    meta = spark.createDataFrame(
+        [(d, f"2025-01-01 0{h}:30:00") for d, h in
+         [(1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 3), (7, 2)]],
+        ["doc_id", "s"],
+    ).select("doc_id", F.to_timestamp("s").alias("ts"))
+    got = {
+        r["bucket_s"]: r["n_docs"]
+        for r in eng.date_histogram(Match("scan"), meta, "ts", "hour")
+        .select(F.date_format("bucket", "yyyy-MM-dd HH").alias("bucket_s"),
+                "n_docs")
+        .collect()
+    }
+    assert got == {"2025-01-01 00": 2, "2025-01-01 01": 2,
+                   "2025-01-01 02": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.date_histogram(Match("scan"), meta, "ts", "fortnight")
+    with _pytest.raises(ValueError):
+        eng.date_histogram(Match("scan"), meta, "nope", "hour")

@@ -246,6 +246,46 @@ def _q_bm25_page2(spark, sf):
     )
 
 
+def _q_sort_recent(spark, sf):
+    """Field-sorted search (the "sort by date" toggle): Match('merge')
+    matches ordered by a deterministic timestamp desc, doc_id asc on
+    ties (ts = epoch + ((doc_id*37) mod 97) hours, so collisions
+    exercise the tie-break); membership only, no scoring."""
+    from inverted_index_spark.qast import Match
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    eng = _engine(spark, sf)
+    meta = _docs(spark, sf).select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(1735689600)
+            + F.pmod(F.col("doc_id") * F.lit(37), F.lit(97)) * F.lit(3600)
+        ).alias("ts"),
+    )
+    res = eng.results_by_field(Match("merge"), meta, "ts", k=10)
+    return res.select(
+        "doc_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+def _q_collapse(spark, sf):
+    """Field collapsing: BM25 ranking with one result per synthetic
+    conversation (conv = doc_id // 8, the transcript turn grouping) —
+    the "best turn per conversation" result-list dedup."""
+    eng = _engine(spark, sf)
+    meta = _docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") / F.lit(8)).cast("long").alias("conv"),
+    )
+    res = eng.collapse("scan merge join", meta, "conv", k=10)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score"), 4).alias("score_r4"),
+        "conv",
+    )
+
+
 def _q_date_hist(spark, sf):
     """Search-results date histogram: hourly match counts of
     Match('merge') over a deterministic timestamp column (epoch
@@ -1045,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_page2": _q_bm25_page2,
         "date_hist": _q_date_hist,
+        "sort_recent": _q_sort_recent,
+        "collapse": _q_collapse,
         "highlight": _q_highlight,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_clusters": _q_dedup_clusters,
@@ -1093,10 +1135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_count": _q_doc_count,
         "conv_topk": _q_conv_topk,
         "bm25_fuzzy": _q_bm25_fuzzy,
-        "match_seg": _q_match_seg,
-        "phrase_seg": _q_phrase_seg,
         # ---- driver-window boundary (~50): everything below holds a
         # green CORRECTNESS_r03 row ----
+        "match_seg": _q_match_seg,
+        "phrase_seg": _q_phrase_seg,
         "and_seg": _q_and_seg,
         "or_seg": _q_or_seg,
         "prefix_seg": _q_prefix_seg,
@@ -1451,6 +1493,54 @@ def oracle_sql() -> dict[str, str]:
               cross join stats
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
+        """,
+        # field-sorted search: Match('merge') membership ordered by the
+        # deterministic ts desc, doc_id asc on ties
+        "sort_recent": f"""
+            with toks as ({_TOKS}),
+            m as (
+              select distinct doc_id from toks where term like 'merge%'
+            )
+            select doc_id,
+                   strftime(timestamp '2025-01-01 00:00:00'
+                            + to_seconds(((doc_id * 37) % 97) * 3600),
+                            '%Y-%m-%d %H:%M:%S') as ts_s
+            from m
+            order by ts_s desc, doc_id asc
+            limit 10
+        """,
+        # field collapsing: one best (score desc, doc_id asc) result
+        # per conv = doc_id // 8, then the global top-10 of survivors
+        "collapse": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            scored as (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ),
+            ranked as (
+              select doc_id, score, doc_id // 8 as conv,
+                     row_number() over (partition by doc_id // 8
+                                        order by score desc, doc_id asc) as rn
+              from scored
+            )
+            select doc_id, round(score, 4) as score_r4, conv
+            from ranked where rn = 1
+            order by score desc, doc_id asc limit 10
         """,
         # cursor pagination: page 2 == ranks 6-10 of the full ordering
         "bm25_page2": f"""

@@ -934,6 +934,75 @@ class FtsEngine:
             .limit(k)
         )
 
+    def results_by_field(
+        self,
+        query: Query,
+        meta: DataFrame,
+        col: str,
+        k: int = 10,
+        ascending: bool = False,
+    ) -> DataFrame:
+        """Top-k matches ordered by a METADATA field instead of score
+        (the search-UI "sort by date" toggle) -> (doc_id, <col>).
+
+        Membership only (the plan's docs branch — relevance is not
+        computed at all, and positions are never decoded) joined to
+        ``meta``; the sort+limit compiles to TakeOrderedAndProject
+        (per-partition top-k, k rows per partition shipped — never a
+        global sort). Ties break doc_id asc, so paging is
+        deterministic.
+        """
+        if col not in meta.columns:
+            raise ValueError(f"sort column {col!r} not in meta")
+        docs = self.compile(query).docs
+        order = [
+            F.asc(col) if ascending else F.desc(col),
+            F.asc("doc_id"),
+        ]
+        return (
+            docs.join(meta.select("doc_id", col), "doc_id")
+            .orderBy(*order)
+            .limit(k)
+        )
+
+    def collapse(
+        self,
+        text: str,
+        meta: DataFrame,
+        field: str,
+        k: int = 10,
+        hits_per_group: int = 1,
+    ) -> DataFrame:
+        """Field collapsing (Lucene/ES ``collapse``): the BM25 ranking
+        with at most ``hits_per_group`` results per ``field`` value ->
+        (doc_id, score, <field>) — "best turn per conversation" dedup
+        of a result list.
+
+        Scores every matching doc (relational plan, ``k=None`` — the
+        group winners may rank arbitrarily deep, so a top-k prefetch
+        cannot be exact), joins the collapse field, keeps each group's
+        best ``hits_per_group`` by (score desc, doc_id asc), then
+        returns the global top-k of the survivors in the same order.
+        One window over |matches| rows partitioned by the field — no
+        self-join, no per-group subquery.
+        """
+        if field not in meta.columns:
+            raise ValueError(f"collapse field {field!r} not in meta")
+        if hits_per_group < 1:
+            raise ValueError("hits_per_group must be >= 1")
+        scored = self.bm25(text, k=None)
+        joined = scored.join(meta.select("doc_id", field), "doc_id")
+        win = Window.partitionBy(field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("_r", F.row_number().over(win))
+            .filter(F.col("_r") <= hits_per_group)
+            .drop("_r")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def facets(
         self,
         query: Query,

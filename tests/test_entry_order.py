@@ -18,7 +18,7 @@ DRIVER_WINDOW = 50
 # each needs a CORRECTNESS_r04 row, so each must be inside the window
 NEED_WINDOW = {
     # round-4 additions (never driver-recorded)
-    "bm25_page2", "date_hist",
+    "bm25_page2", "date_hist", "sort_recent", "collapse",
     "highlight", "image_features", "audio_features",
     "dedup_corpus", "dedup_clusters", "dedup_keep_best",
     "minhash_neardup", "incremental_neardup", "neardup_cosine",

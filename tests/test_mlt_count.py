@@ -241,3 +241,56 @@ def test_date_histogram_counts_and_validation(spark):
         eng.date_histogram(Match("scan"), meta, "ts", "fortnight")
     with _pytest.raises(ValueError):
         eng.date_histogram(Match("scan"), meta, "nope", "hour")
+
+
+def test_results_by_field_order_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.qast import Match
+
+    eng = build_engine(spark, CORPUS, ngrams=False)
+    # recency values with a tie (docs 2 and 3 share 50): tie -> doc_id asc
+    meta = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 40), (5, 30), (6, 99), (7, 20)],
+        ["doc_id", "recency"],
+    )
+    got = eng.results_by_field(Match("scan"), meta, "recency", k=4).collect()
+    # 'scan' matches 1,2,3,4,5,7 (prefix incl. 'scans'); 6 never appears
+    assert [(r["doc_id"], r["recency"]) for r in got] == [
+        (2, 50), (3, 50), (4, 40), (5, 30)
+    ]
+    asc = eng.results_by_field(
+        Match("scan"), meta, "recency", k=2, ascending=True
+    ).collect()
+    assert [r["doc_id"] for r in asc] == [1, 7]
+    # sort+limit must be TakeOrderedAndProject (per-partition top-k),
+    # never a global Sort/Exchange for the full set
+    plan = eng.results_by_field(Match("scan"), meta, "recency", k=4)
+    assert "TakeOrderedAndProject" in plan._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError):
+        eng.results_by_field(Match("scan"), meta, "absent", k=4)
+
+
+def test_collapse_one_per_group(spark):
+    from pyspark.sql import functions as F
+
+    eng = build_engine(spark, CORPUS, ngrams=False)
+    meta = spark.createDataFrame(
+        [(d, d % 3) for d, _ in CORPUS], ["doc_id", "grp"]
+    )
+    full = eng.bm25("scan merge", k=None).collect()
+    got = eng.collapse("scan merge", meta, "grp", k=10).collect()
+    # hand-collapse: best (score desc, doc_id asc) per grp
+    best = {}
+    for r in sorted(full, key=lambda r: (-r["score"], r["doc_id"])):
+        best.setdefault(r["doc_id"] % 3, (r["doc_id"], r["score"]))
+    want = sorted(best.values(), key=lambda t: (-t[1], t[0]))
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    # every group appears at most hits_per_group times
+    two = eng.collapse("scan merge", meta, "grp", k=10, hits_per_group=2)
+    from collections import Counter
+
+    counts = Counter(r["grp"] for r in two.collect())
+    assert all(v <= 2 for v in counts.values())
+    with pytest.raises(ValueError):
+        eng.collapse("scan merge", meta, "grp", hits_per_group=0)

@@ -1074,6 +1074,66 @@ def _q_stream_sessions(spark, sf):
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+def _q_at_least(spark, sf):
+    """Minimum-should-match (engine extension, qast.AtLeast): docs
+    matching >= 2 of {scan, merge, join}, parity-scored over the
+    union-merged rows of the matched children."""
+    from inverted_index_spark.qast import AtLeast, Match
+
+    eng = _engine_fulltoken(spark, sf)
+    q = AtLeast(2, Match("scan"), Match("merge"), Match("join"))
+    return eng.results(q).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
+def _q_suggest(spark, sf):
+    """Did-you-mean suggester (FtsEngine.suggest): per misspelled query
+    term the top-3 dictionary tokens by (edit distance, df desc, term),
+    Lucene DirectSpellChecker contract."""
+    eng = _engine_fulltoken(spark, sf)
+    return eng.suggest("mereg scann jion", max_edits=2, k=3)
+
+
+def _q_sig_terms(spark, sf):
+    """significant_terms (JLH): terms overrepresented in Match('merge')
+    result docs vs the corpus; fg/bg doc frequencies + rounded score."""
+    from inverted_index_spark.qast import Match
+
+    eng = _engine_fulltoken(spark, sf)
+    return eng.significant_terms(Match("merge"), k=15, min_doc_count=3).select(
+        "term",
+        F.col("fg_df").cast("long").alias("fg_df"),
+        F.col("bg_df").cast("long").alias("bg_df"),
+        F.round(F.col("score"), 6).alias("score_r6"),
+    )
+
+
+def _q_explain_score(spark, sf):
+    """Score explanation (FtsEngine.explain_bm25): the BM25 top-5 for
+    'scan merge join' unrolled into per-term contributions whose sum
+    reproduces the ranking score bit-for-bit."""
+    eng = _engine_fulltoken(spark, sf)
+    return eng.explain_bm25("scan merge join", k=5).select(
+        "doc_id",
+        F.round(F.col("score"), 4).alias("score_r4"),
+        "term",
+        F.col("tf").alias("tf"),
+        F.col("df").alias("df"),
+        F.round(F.col("idf"), 4).alias("idf_r4"),
+        F.round(F.col("contrib"), 4).alias("contrib_r4"),
+    )
+
+
+def _q_min_window(spark, sf):
+    """Unordered proximity (FtsEngine.min_window): per doc containing
+    all of {scan, merge, join}, the smallest position window covering
+    every term (two-pointer kernel over the And-pruned candidates)."""
+    eng = _engine_fulltoken(spark, sf)
+    return eng.min_window("scan merge join")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1083,6 +1143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail entries all carry green CORRECTNESS_r03 rows, and
     # scripts/check_contract.py remains the full 71-entry local gate.
     return {
+        "at_least": _q_at_least,
+        "suggest": _q_suggest,
+        "sig_terms": _q_sig_terms,
+        "explain_score": _q_explain_score,
+        "min_window": _q_min_window,
         "bm25_page2": _q_bm25_page2,
         "date_hist": _q_date_hist,
         "sort_recent": _q_sort_recent,
@@ -1130,13 +1195,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": _q_bm25_batch,
         "bm25_filtered": _q_bm25_filtered,
         "snippet": _q_snippet,
+        # ---- driver-window boundary (~50): everything below holds a
+        # green CORRECTNESS_r03 row ----
         "mlt": _q_mlt,
         "facets": _q_facets,
         "doc_count": _q_doc_count,
         "conv_topk": _q_conv_topk,
         "bm25_fuzzy": _q_bm25_fuzzy,
-        # ---- driver-window boundary (~50): everything below holds a
-        # green CORRECTNESS_r03 row ----
         "match_seg": _q_match_seg,
         "phrase_seg": _q_phrase_seg,
         "and_seg": _q_and_seg,
@@ -1342,6 +1407,144 @@ def oracle_sql() -> dict[str, str]:
         """
 
     out = {
+        # minimum-should-match: docs with >= 2 of the three prefix-
+        # expanded terms; parity score over the matched tokens (the
+        # prefixes are pairwise disjoint, so no token is double-counted
+        # and the union-merge never overlaps)
+        "at_least": f"""
+            with toks as ({_TOKS}),
+            hits as (
+              select doc_id, term, 0 as cid from toks where term like 'scan%'
+              union all
+              select doc_id, term, 1 from toks where term like 'merge%'
+              union all
+              select doc_id, term, 2 from toks where term like 'join%'
+            ),
+            v as (
+              select doc_id,
+                     count(distinct cid) as votes,
+                     sum(strlen(term)) as w
+              from hits group by doc_id
+            )
+            select v.doc_id,
+                   round((v.w::real / sqrt(strlen(d.text)::double)::real
+                         )::real::double, 4)::double as score_r4
+            from v join documents d using (doc_id)
+            where v.votes >= 2
+        """,
+        # did-you-mean: per query term the top-3 dictionary tokens by
+        # (levenshtein asc, df desc, term asc); the engine's length
+        # band is a necessary condition for dist <= 2, so the filtered
+        # sets are identical without it
+        "suggest": f"""
+            with toks as ({_TOKS}),
+            dict as (
+              select term, count(distinct doc_id) as df
+              from toks group by term
+            ),
+            q as (select unnest(['mereg', 'scann', 'jion']) as qterm),
+            cand as (
+              select q.qterm,
+                     d.term as suggestion,
+                     levenshtein(d.term, q.qterm) as dist,
+                     d.df
+              from dict d cross join q
+              where levenshtein(d.term, q.qterm) <= 2
+            ),
+            r as (
+              select *,
+                     row_number() over (
+                       partition by qterm
+                       order by dist asc, df desc, suggestion asc
+                     ) as rank
+              from cand
+            )
+            select qterm, suggestion, dist::int as dist,
+                   df::bigint as df, rank::int as rank
+            from r where rank <= 3
+        """,
+        # JLH significant terms over Match('merge') foreground docs
+        "sig_terms": f"""
+            with toks as ({_TOKS}),
+            ft as (select term, doc_id from toks group by term, doc_id),
+            fg as (
+              select distinct doc_id from toks where term like 'merge%'
+            ),
+            fgn as (select count(*)::double as n from fg),
+            totn as (select count(*)::double as n from documents),
+            fgdf as (
+              select term, count(*)::bigint as fg_df
+              from ft join fg using (doc_id)
+              group by term having count(*) >= 3
+            ),
+            bgdf as (
+              select term, count(*)::bigint as bg_df from ft group by term
+            )
+            select f.term, f.fg_df, b.bg_df,
+                   round(
+                     ((f.fg_df / fgn.n) - (b.bg_df / totn.n))
+                     * ((f.fg_df / fgn.n) / (b.bg_df / totn.n)), 6
+                   ) as score_r6
+            from fgdf f
+            join bgdf b using (term)
+            cross join fgn cross join totn
+            order by ((f.fg_df / fgn.n) - (b.bg_df / totn.n))
+                     * ((f.fg_df / fgn.n) / (b.bg_df / totn.n)) desc,
+                     f.term asc
+            limit 15
+        """,
+        # BM25 top-5 unrolled into per-term contributions (the
+        # bm25_topk oracle without the final sum collapse)
+        "explain_score": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl
+                   from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan', 'merge', 'join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            per as (
+              select tf.doc_id, tf.term, tf.tf, df.df,
+                     ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       as idf,
+                     ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                       as contrib
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+            ),
+            top as (
+              select doc_id, sum(contrib) as score
+              from per group by doc_id
+              order by score desc, doc_id asc limit 5
+            )
+            select p.doc_id, round(t.score, 4) as score_r4, p.term,
+                   p.tf, p.df,
+                   round(p.idf, 4) as idf_r4,
+                   round(p.contrib, 4) as contrib_r4
+            from per p join top t using (doc_id)
+        """,
+        # unordered proximity: smallest window covering one position of
+        # each prefix-expanded term (exact min over the per-doc cross
+        # product — positions per term per doc are small at oracle SF)
+        "min_window": f"""
+            with toks as ({_TOKS}),
+            a as (select doc_id, pos from toks where term like 'scan%'),
+            b as (select doc_id, pos from toks where term like 'merge%'),
+            c as (select doc_id, pos from toks where term like 'join%')
+            select a.doc_id,
+                   min(greatest(a.pos, b.pos, c.pos)
+                       - least(a.pos, b.pos, c.pos) + 1)::int as span
+            from a
+            join b using (doc_id)
+            join c using (doc_id)
+            group by a.doc_id
+        """,
         "doc_stats": """
             select doc_id,
                    strlen(text)::bigint as doclen_bytes,

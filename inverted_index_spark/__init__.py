@@ -31,6 +31,7 @@ from .build import (  # noqa: F401
 from .qast import (  # noqa: F401
     And,
     AndNot,
+    AtLeast,
     Fuzzy,
     Match,
     Near,
@@ -92,6 +93,7 @@ __all__ = [
     "Near",
     "Fuzzy",
     "Wildcard",
+    "AtLeast",
     "build_index",
     "build_and_save",
     "save_index",

@@ -147,6 +147,7 @@ def intersect_positionally(
 from .qast import (  # noqa: E402,F401
     And,
     AndNot,
+    AtLeast,
     Fuzzy,
     Match,
     Near,
@@ -401,6 +402,20 @@ class OracleIndex:
             pos = self.postings_for(query.positive)
             neg = self.postings_for(query.negative)
             return {d: list(ps) for d, ps in pos.items() if d not in neg}
+        if isinstance(query, AtLeast):
+            maps = [self.postings_for(c) for c in query.children]
+            if query.m > len(maps):
+                return {}
+            # docs in >= m children; positions = union-merge of the rows
+            # of every matched child (qast.AtLeast)
+            counts: Dict[int, int] = {}
+            for m in maps:
+                for d in m:
+                    counts[d] = counts.get(d, 0) + 1
+            keep = {d for d, c in counts.items() if c >= query.m}
+            return union_postings(
+                [{d: ps for d, ps in m.items() if d in keep} for m in maps]
+            )
         raise TypeError(f"unknown query node: {query!r}")
 
     def query(self, query: Query) -> List[SearchResult]:

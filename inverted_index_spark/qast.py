@@ -33,7 +33,7 @@ def wildcard_literal_prefix(pattern: str) -> str:
 
 __all__ = [
     "Query", "Match", "And", "Or", "Phrase", "Prefix", "AndNot",
-    "Near", "Fuzzy", "Wildcard",
+    "Near", "Fuzzy", "Wildcard", "AtLeast",
 ]
 
 
@@ -159,3 +159,29 @@ class Prefix(Query):
     (reference index.rs:109-129)."""
 
     text: str
+
+
+@dataclass(frozen=True)
+class AtLeast(Query):
+    """Minimum-should-match disjunction: docs matching at least ``m``
+    of the children; positions are the union-merge of the rows of every
+    matched child (exactly the positions ``Or`` would report for those
+    children on that doc).
+
+    Engine EXTENSION (Lucene ``BooleanQuery.minimumNumberShouldMatch``
+    analog; the reference's algebra, query.rs:5-27, has only the m=1
+    Or and the m=n And). ``AtLeast(1, ...)`` == ``Or(...)`` and
+    ``AtLeast(n, ...)`` == ``And(...)`` — pinned by tests. ``m < 1``
+    is an error; ``m > len(children)`` is the empty result. No string
+    form (query-string grammar stays the reference's boolean algebra);
+    construct it via the AST.
+    """
+
+    m: int
+    children: Tuple[Query, ...]
+
+    def __init__(self, m: int, *children: Query):
+        if int(m) < 1:
+            raise ValueError(f"AtLeast m must be >= 1, got {m}")
+        object.__setattr__(self, "m", int(m))
+        object.__setattr__(self, "children", tuple(children))

@@ -63,6 +63,7 @@ from typing import List, Tuple
 from .qast import (
     And,
     AndNot,
+    AtLeast,
     Fuzzy,
     Match,
     Near,
@@ -393,6 +394,11 @@ def render_query(q: Query) -> str:
                 raise ValueError("empty Match inside a compound query")
             parts.append(f"({s})" if need_parens else s)
         return op.join(parts)
+    if isinstance(q, AtLeast):
+        raise ValueError(
+            "AtLeast has no string form (the query-string grammar stays "
+            "the reference's boolean algebra) — construct it via the AST"
+        )
     raise TypeError(f"unknown query node: {q!r}")
 
 

@@ -44,6 +44,7 @@ from .build import FtsIndex
 from .qast import (
     And,
     AndNot,
+    AtLeast,
     Fuzzy,
     Match,
     Near,
@@ -442,6 +443,54 @@ class FtsEngine:
         rows = pos.rows.join(neg.docs, "doc_id", "left_anti")
         return PlanResult(docs=docs, rows=rows, complete=pos.complete)
 
+    def _at_least(self, m: int, children: List[PlanResult]) -> PlanResult:
+        """AtLeast: docs matched by >= m children (qast.AtLeast).
+
+        The m=1 / m=n ends collapse to the existing union/intersection
+        combinators; in between it is the _intersect plan with the
+        HAVING threshold relaxed from == n to >= m — one branch-tagged
+        membership aggregation, then the row/raw union semi-joined to
+        the surviving docs. Rows of a child the doc did NOT match can't
+        leak in: a child only has rows where it has membership.
+        """
+        if m > len(children):
+            return self._empty()
+        if m == 1:
+            return self._union(children)
+        if m == len(children):
+            return self._intersect(children)
+        tagged = None
+        for i, c in enumerate(children):
+            t = c.docs.select("doc_id", F.lit(i).alias("branch"))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        docs = (
+            tagged.groupBy("doc_id")
+            .agg(F.countDistinct("branch").alias("nb"))
+            .filter(F.col("nb") >= m)
+            .select("doc_id")
+        )
+        if all(c.raw is not None for c in children):
+            raw = None
+            for c in children:
+                raw = c.raw if raw is None else raw.unionByName(c.raw)
+            raw = raw.join(F.broadcast(docs), "doc_id", "left_semi")
+            rows = self._explode_raw(raw)
+        else:
+            raw = None
+            rows = None
+            for c in children:
+                rows = c.rows if rows is None else rows.unionByName(c.rows)
+            rows = rows.join(F.broadcast(docs), "doc_id", "left_semi")
+        # a member doc matched >= m >= 1 complete children, so it has
+        # rows whenever every child is complete (zero-row membership
+        # can only enter through a Phrase child's quirk)
+        return PlanResult(
+            docs=docs,
+            rows=rows,
+            complete=all(c.complete for c in children),
+            raw=raw,
+        )
+
     def compile(self, query: Query) -> PlanResult:
         if isinstance(query, Match):
             return self._match(query.text)
@@ -464,6 +513,10 @@ class FtsEngine:
         if isinstance(query, AndNot):
             return self._subtract(
                 self.compile(query.positive), self.compile(query.negative)
+            )
+        if isinstance(query, AtLeast):
+            return self._at_least(
+                query.m, [self.compile(q) for q in query.children]
             )
         raise TypeError(f"unknown query node: {query!r}")
 
@@ -1002,6 +1055,302 @@ class FtsEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def _require_fulltoken(self, what: str) -> None:
+        if self.index.ngrams:
+            raise ValueError(
+                f"{what} requires a full-token index: an edge-ngram "
+                "term dictionary stores prefixes, not real vocabulary "
+                "entries (build with ngrams=False)"
+            )
+
+    def suggest(
+        self, text: str, max_edits: int = 2, k: int = 3
+    ) -> DataFrame:
+        """Did-you-mean spelling suggestions per analyzed query term.
+
+        For each query term, the ``k`` dictionary tokens within
+        Levenshtein distance ``max_edits``, ranked (dist asc, df desc,
+        term asc) — Lucene DirectSpellChecker's contract, as an engine
+        EXTENSION (the reference has no suggester). A term indexed
+        exactly suggests itself first at dist 0, so callers can gate on
+        ``dist > 0`` for the classic "did you mean" banner.
+
+        Plan: ONE term-dictionary scan, length-banded (|len(cand) -
+        len(q)| <= max_edits — a necessary condition for edit distance,
+        so no sound candidate is lost) against the broadcast query-term
+        list, JVM-side ``F.levenshtein``, then a per-term top-k window.
+        Cost is O(vocab in the length bands), independent of corpus
+        row count — the same envelope as Fuzzy expansion.
+
+        Returns (qterm, suggestion, dist, df, rank), ordered qterm asc,
+        rank asc.
+        """
+        self._require_fulltoken("suggest")
+        qterms: List[str] = []
+        for tok in analyze_query(text):
+            if tok.term not in qterms:
+                qterms.append(tok.term)
+        spark = self.index.docstats.sparkSession
+        if not qterms:
+            return spark.createDataFrame(
+                [], "qterm string, suggestion string, dist int, "
+                    "df long, rank int"
+            )
+        q_df = spark.createDataFrame([(t,) for t in qterms], "qterm string")
+        cand = (
+            self.index.termdict.filter(F.col("df_full") > 0)
+            .select("term", F.col("df_full").alias("df"))
+            .join(
+                F.broadcast(q_df),
+                F.length("term").between(
+                    F.length("qterm") - max_edits,
+                    F.length("qterm") + max_edits,
+                ),
+            )
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("qterm")))
+            .filter(F.col("dist") <= max_edits)
+        )
+        win = Window.partitionBy("qterm").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(
+                "qterm",
+                F.col("term").alias("suggestion"),
+                "dist",
+                "df",
+                "rank",
+            )
+            .orderBy(F.asc("qterm"), F.asc("rank"))
+        )
+
+    def significant_terms(
+        self,
+        query: Query,
+        k: int = 20,
+        min_doc_count: int = 3,
+    ) -> DataFrame:
+        """Terms overrepresented in the query's result set vs the corpus
+        (Elasticsearch significant_terms analog; JLH score).
+
+        fg_rate = fg_df / |result docs|, bg_rate = df_full / N;
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate). Terms seen in
+        fewer than ``min_doc_count`` result docs are dropped (rare-term
+        noise floor). Engine EXTENSION — returns (term, fg_df, bg_df,
+        score), score desc, term asc, top-k.
+
+        Plan: membership docs from the compiled query, one postings
+        semi-join + per-term count for the foreground df (map-side
+        partial agg), broadcast termdict join for the background df.
+        The only corpus-wide pass is the postings semi-join, which
+        Catalyst/AQE shuffles on the already-partitioned term key.
+        """
+        self._require_fulltoken("significant_terms")
+        fg = self.compile(query).docs
+        fg_n = fg.count()
+        spark = self.index.docstats.sparkSession
+        if fg_n == 0:
+            return spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double"
+            )
+        n = float(self.index.n_docs)
+        fg_df = (
+            self.index.postings.filter(F.col("tf") > 0)
+            .select("term", "doc_id")
+            .join(fg, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_df"))
+            .filter(F.col("fg_df") >= min_doc_count)
+        )
+        joined = fg_df.join(
+            self.index.termdict.select(
+                "term", F.col("df_full").alias("bg_df")
+            ),
+            "term",
+        )
+        fg_rate = F.col("fg_df") / F.lit(float(fg_n))
+        bg_rate = F.col("bg_df") / F.lit(n)
+        return (
+            joined.withColumn(
+                "score", (fg_rate - bg_rate) * (fg_rate / bg_rate)
+            )
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
+        )
+
+    def explain_bm25(self, text: str, k: int = 10) -> DataFrame:
+        """Score explanation: the BM25 top-k with each doc's score
+        unrolled into its per-term contributions — the serving-side
+        "why did this hit rank here" surface (Lucene Explanation
+        analog; engine EXTENSION).
+
+        Returns one row per (doc, query term with tf > 0):
+        (doc_id, score, term, tf, df, idf, contrib) where
+        score = sum(contrib) over the doc's rows and contrib is
+        exactly the relational scorer's arithmetic
+        (idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))),
+        so sums reproduce ``bm25`` bit-for-bit. Ordered score desc,
+        doc_id asc, term asc.
+
+        Plan: the bm25 per-term frame computed once, aggregated for the
+        top-k doc set (TakeOrderedAndProject), then semi-joined back to
+        itself — two passes over the pruned postings scan, k rows wide
+        on the second.
+        """
+        terms: List[str] = []
+        for tok in analyze_query(text):
+            if tok.term not in terms:
+                terms.append(tok.term)
+        spark = self.index.docstats.sparkSession
+        schema = (
+            "doc_id long, score double, term string, tf double, "
+            "df double, idf double, contrib double"
+        )
+        if not terms:
+            return spark.createDataFrame([], schema)
+        n, avgdl = float(self.index.n_docs), float(self.index.avgdl)
+        matched = self.index.postings.filter(
+            F.col("term").isin(terms) & (F.col("tf") > 0)
+        ).select("term", "doc_id", "tf")
+        df_tbl = self.index.termdict.filter(F.col("term").isin(terms)).select(
+            "term", F.col("df_full").alias("df")
+        )
+        idf = F.log(
+            (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        per_term = (
+            matched.join(F.broadcast(df_tbl), "term")
+            .join(
+                self.index.docstats.select("doc_id", "doclen_tokens"),
+                "doc_id",
+            )
+            .withColumn("idf", idf)
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * F.col("tf")
+                * (K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + K1
+                    * (1.0 - B + B * F.col("doclen_tokens") / F.lit(avgdl))
+                ),
+            )
+        )
+        top = (
+            per_term.groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return (
+            per_term.join(F.broadcast(top), "doc_id")
+            .select(
+                "doc_id",
+                "score",
+                "term",
+                F.col("tf").cast("double").alias("tf"),
+                F.col("df").cast("double").alias("df"),
+                "idf",
+                "contrib",
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+        )
+
+    def min_window(
+        self, text: str, window: Optional[int] = None
+    ) -> DataFrame:
+        """Unordered proximity: per doc containing ALL the analyzed
+        terms (each Match-expanded like And), the size of the smallest
+        position window covering every term — ``span = max(pos) -
+        min(pos) + 1`` minimized over one position choice per term
+        (Lucene unordered SpanNearQuery / interval "minimum window"
+        semantics; engine EXTENSION). ``window`` filters to
+        ``span <= window``. Returns (doc_id, span), doc_id asc.
+
+        Plan: per-term postings scans tagged with a term ordinal,
+        And-pruned to the all-terms doc intersection FIRST (the
+        candidate set — identical envelope to And), then ONE
+        applyInPandas over doc groups runs the classic two-pointer
+        sliding-window scan (O(rows log rows) for the per-doc sort).
+        Only candidate docs' positions ever reach Python, Arrow-batched;
+        a single term degenerates to span=1 membership with no Python
+        stage.
+        """
+        terms: List[str] = []
+        for tok in analyze_query(text):
+            if tok.term not in terms:
+                terms.append(tok.term)
+        spark = self.index.docstats.sparkSession
+        if not terms:
+            return spark.createDataFrame([], "doc_id long, span int")
+        rows = None
+        for i, t in enumerate(terms):
+            r = (
+                self.index.postings.filter(self._term_pred(t))
+                .select("doc_id", "positions")
+                .select(
+                    "doc_id",
+                    F.explode("positions").alias("p"),
+                    F.lit(i).alias("tid"),
+                )
+                .select("doc_id", F.col("p.pos").alias("pos"), "tid")
+            )
+            rows = r if rows is None else rows.unionByName(r)
+        rows = rows.distinct()  # ngram-expansion can duplicate (doc,pos)
+        cand = (
+            rows.groupBy("doc_id")
+            .agg(F.countDistinct("tid").alias("nt"))
+            .filter(F.col("nt") == len(terms))
+            .select("doc_id")
+        )
+        if len(terms) == 1:
+            return cand.select(
+                "doc_id", F.lit(1).cast("int").alias("span")
+            ).orderBy("doc_id")
+        pruned = rows.join(F.broadcast(cand), "doc_id", "left_semi")
+        n_terms = len(terms)
+
+        def _min_span(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("pos", kind="mergesort")
+            pos = pdf["pos"].to_numpy()
+            tid = pdf["tid"].to_numpy()
+            need = n_terms
+            counts = np.zeros(need, dtype=np.int64)
+            have = 0
+            best = np.iinfo(np.int64).max
+            lo = 0
+            for hi in range(len(pos)):
+                t = tid[hi]
+                counts[t] += 1
+                if counts[t] == 1:
+                    have += 1
+                while have == need:
+                    best = min(best, pos[hi] - pos[lo] + 1)
+                    tl = tid[lo]
+                    counts[tl] -= 1
+                    if counts[tl] == 0:
+                        have -= 1
+                    lo += 1
+            return pd.DataFrame(
+                {
+                    "doc_id": [int(pdf["doc_id"].iloc[0])],
+                    "span": np.array([best], dtype=np.int32),
+                }
+            )
+
+        out = pruned.groupBy("doc_id").applyInPandas(
+            _min_span, "doc_id long, span int"
+        )
+        if window is not None:
+            out = out.filter(F.col("span") <= int(window))
+        return out.orderBy("doc_id")
 
     def facets(
         self,

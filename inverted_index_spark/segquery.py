@@ -42,6 +42,7 @@ from .oracle import prefix_upper_bound
 from .qast import (
     And,
     AndNot,
+    AtLeast,
     Fuzzy,
     Match,
     Near,
@@ -249,6 +250,25 @@ def _compile_node(
         if neg == ("empty",):
             return pos
         return ("not", pos, neg)
+    if isinstance(q, AtLeast):
+        # an empty child can never contribute a vote, so it drops out
+        # with m unchanged; the ends collapse to the or/and kernels.
+        # (A child compiled before the node proves empty has already
+        # registered its ranges — acceptable: that only happens when
+        # the node itself is dead, i.e. usually the whole query.)
+        children = [
+            _compile_node(c, ngrams, ranges, index_path) for c in q.children
+        ]
+        children = [c for c in children if c != ("empty",)]
+        if q.m > len(children):
+            return ("empty",)
+        if len(children) == 1:
+            return children[0]
+        if q.m == 1:
+            return ("or", children)
+        if q.m == len(children):
+            return ("and", children)
+        return ("atleast", int(q.m), children)
     raise TypeError(f"unknown query node: {q!r}")
 
 
@@ -290,6 +310,22 @@ def _node_shards(node: tuple, sets) -> Optional[set]:
         # shard, so the negative's postings for the positive's docs are
         # IN the positive's shards — the negative never widens the scan
         return _node_shards(node[1], sets)
+    if kind == "atleast":
+        # every posting of a doc lives in ONE shard, so a qualifying
+        # doc's shard must appear in >= m children's shard sets: count
+        # shard votes (an unconstrained child votes for every shard)
+        m = node[1]
+        child_sets = [_node_shards(c, sets) for c in node[2]]
+        wild = sum(1 for s in child_sets if s is None)
+        if wild >= m:
+            return None
+        votes: dict = {}
+        for s in child_sets:
+            if s is None:
+                continue
+            for sh in s:
+                votes[sh] = votes.get(sh, 0) + 1
+        return {sh for sh, v in votes.items() if v + wild >= m}
     # or
     out = set()
     for c in node[1]:
@@ -559,6 +595,16 @@ def _eval_node(node: tuple, matchers) -> Tuple[np.ndarray, tuple]:
         member = np.setdiff1d(member, neg_member)
         keep = np.isin(d, member)
         return member, (d[keep], b[keep], e[keep], p[keep])
+    if kind == "atleast":
+        # child member arrays are unique per child -> concat + unique
+        # with counts = number of children voting for each doc
+        votes = [_eval_node(c, matchers) for c in node[2]]
+        alld = np.concatenate([v[0] for v in votes])
+        uniq, counts = np.unique(alld, return_counts=True)
+        member = uniq[counts >= node[1]]
+        d, b, e, p = _concat_rows([r for _, r in votes])
+        keep = np.isin(d, member)
+        return member, (d[keep], b[keep], e[keep], p[keep])
     children = [_eval_node(c, matchers) for c in node[1]]
     if kind == "and":
         member = children[0][0]
@@ -589,6 +635,9 @@ def _render_node(node: tuple, ranges: list) -> str:
             f"AndNot({_render_node(node[1], ranges)}, "
             f"{_render_node(node[2], ranges)})"
         )
+    if kind == "atleast":
+        inner = ", ".join(_render_node(c, ranges) for c in node[2])
+        return f"AtLeast[m={node[1]}]({inner})"
     inner = ", ".join(_render_node(c, ranges) for c in node[1])
     return f"{'And' if kind == 'and' else 'Or'}({inner})"
 

@@ -11,6 +11,7 @@ from inverted_index_spark.oracle import OracleIndex
 from inverted_index_spark.qast import (
     And,
     AndNot,
+    AtLeast,
     Match,
     Near,
     Or,
@@ -63,6 +64,25 @@ def _queries(seed: int):
                 Wildcard(f"{t1[:1]}*{t1[-1:]}"),
                 Wildcard(("?" + t1[1:]) if len(t1) > 1 else "?"),
                 And(Wildcard(f"*{t2[-1:]}"), Match(t1)),
+                # minimum-should-match: the general 1 < m < n shape,
+                # with Phrase children (zero-hit membership quirk must
+                # count as a vote) and nested composition both ways
+                AtLeast(2, Match(t1), Match(t2), Phrase(f"{t1} {t2}")),
+                AtLeast(
+                    2, Match(t1), Near(f"{t1} {t2}", 2), Prefix(t1[:1])
+                ),
+                AtLeast(
+                    3,
+                    Match(t1),
+                    Match(t2),
+                    Or(Match(t1), Match(t2)),
+                    Phrase(f"{t2} {t1}"),
+                ),
+                AndNot(
+                    AtLeast(2, Match(t1), Match(t2), Prefix(t2[:1])),
+                    Phrase(f"{t1} {t2}"),
+                ),
+                And(AtLeast(2, Match(t1), Match(t2), Match("scan")), Match(t1)),
             ]
         )
     return qs

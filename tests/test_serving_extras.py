@@ -1,0 +1,299 @@
+"""Round-4 serving surfaces: AtLeast (minimum-should-match), suggest
+(did-you-mean), significant_terms, explain_bm25 and min_window
+(unordered proximity) — goldens plus pure-Python oracles.
+
+The randomized AtLeast parity (relational / segment / pandas-serving /
+doc_range vs the byte-exact oracle) lives in
+test_engine_vs_oracle_random.py; this file pins the documented
+semantics and the new non-algebra surfaces.
+"""
+
+import itertools
+
+import pytest
+
+from inverted_index_spark.analysis import analyze_index, analyze_query
+from inverted_index_spark.qast import (
+    And,
+    AtLeast,
+    Match,
+    Or,
+    Phrase,
+    Prefix,
+)
+from tests.conftest import build_engine
+
+DOCS = [
+    (0, "scan merge join window"),
+    (1, "scan scan merge"),
+    (2, "merge join stream"),
+    (3, "window stream batch"),
+    (4, "scan batch"),
+    (5, "join scan merge scan join merge"),
+    (6, "unrelated words only here"),
+]
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# AtLeast
+
+
+def test_atleast_membership_golden(spark):
+    eng = build_engine(spark, DOCS)
+    got = sorted(
+        r["doc_id"]
+        for r in eng.results(
+            AtLeast(2, Match("scan"), Match("merge"), Match("join")),
+            with_positions=False,
+        ).collect()
+    )
+    # docs with >= 2 of {scan, merge, join}: 0,1,2,5
+    assert got == [0, 1, 2, 5]
+
+
+def test_atleast_ends_collapse_to_or_and(spark):
+    eng = build_engine(spark, DOCS)
+    children = (Match("scan"), Match("merge"), Match("join"))
+    for q_at, q_eq in [
+        (AtLeast(1, *children), Or(*children)),
+        (AtLeast(3, *children), And(*children)),
+    ]:
+        a = _rows(eng.results(q_at).orderBy("doc_id"))
+        b = _rows(eng.results(q_eq).orderBy("doc_id"))
+        assert a == b
+
+
+def test_atleast_m_bounds(spark):
+    eng = build_engine(spark, DOCS)
+    with pytest.raises(ValueError):
+        AtLeast(0, Match("scan"))
+    assert (
+        eng.results(
+            AtLeast(3, Match("scan"), Match("merge")), with_positions=False
+        ).count()
+        == 0
+    )
+
+
+def test_atleast_phrase_zero_hit_votes(spark):
+    """A Phrase child's zero-adjacency membership (the reference quirk,
+    postings.rs:101-112) must count as a vote: doc 2 has merge+join
+    adjacent, doc 5 has merge..join both present with the pair
+    ``join merge`` adjacent; doc 0 has merge join adjacent."""
+    eng = build_engine(spark, DOCS)
+    got = sorted(
+        r["doc_id"]
+        for r in eng.results(
+            AtLeast(2, Phrase("merge join"), Match("scan"), Match("stream")),
+            with_positions=False,
+        ).collect()
+    )
+    # phrase membership (both terms present): 0, 2, 5; scan: 0,1,4,5;
+    # stream: 2,3  ->  >=2 votes: 0, 2, 5
+    assert got == [0, 2, 5]
+
+
+def test_atleast_segment_parity(spark, tmp_path):
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import segment_query
+
+    path = str(tmp_path / "alseg")
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=True, term_buckets=4)
+    build_segments(spark, idx, path, shard_docs=4, block_docs=2,
+                   positions=True)
+    eng = build_engine(spark, DOCS)
+    q = AtLeast(2, Match("scan"), Match("merge"), Prefix("jo"))
+    rel = [
+        (r["doc_id"],
+         [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+         round(r["score"], 5))
+        for r in eng.results(q).collect()
+    ]
+    seg = [
+        (r["doc_id"],
+         [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+         round(r["score"], 5))
+        for r in segment_query(spark, path, q, with_positions=True).collect()
+    ]
+    assert seg == rel
+
+
+def test_atleast_count_routes(spark):
+    eng = build_engine(spark, DOCS)
+    q = AtLeast(2, Match("scan"), Match("merge"), Match("join"))
+    assert eng.count(q) == 4
+
+
+# ---------------------------------------------------------------------------
+# suggest
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_matches_python_oracle(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    vocab = {}
+    for _, text in DOCS:
+        for t in {tok.term for tok in analyze_index(text, ngrams=False)}:
+            vocab[t] = vocab.get(t, 0) + 1
+    got = [tuple(r) for r in eng.suggest("scn mrege", max_edits=2, k=3).collect()]
+    expect = []
+    for q in ["scn", "mrege"]:
+        cands = [
+            (d, -df, t)
+            for t, df in vocab.items()
+            for d in [_lev(t, q)]
+            if d <= 2
+        ]
+        cands.sort()
+        expect.extend(
+            (q, t, d, -negdf, rank)
+            for rank, (d, negdf, t) in enumerate(cands[:3], 1)
+        )
+    expect.sort(key=lambda r: (r[0], r[4]))
+    assert got == expect
+
+
+def test_suggest_exact_term_is_dist0(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    rows = eng.suggest("merge", max_edits=1, k=2).collect()
+    assert rows[0]["suggestion"] == "merge" and rows[0]["dist"] == 0
+
+
+def test_suggest_requires_fulltoken(spark):
+    eng = build_engine(spark, DOCS, ngrams=True)
+    with pytest.raises(ValueError):
+        eng.suggest("merge")
+
+
+# ---------------------------------------------------------------------------
+# significant_terms
+
+
+def test_significant_terms_matches_python_oracle(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    fg_docs = {
+        d for d, text in DOCS
+        if "scan" in [t.term for t in analyze_index(text, ngrams=False)]
+    }
+    n, fg_n = len(DOCS), len(fg_docs)
+    fg_df, bg_df = {}, {}
+    for d, text in DOCS:
+        for t in {tok.term for tok in analyze_index(text, ngrams=False)}:
+            bg_df[t] = bg_df.get(t, 0) + 1
+            if d in fg_docs:
+                fg_df[t] = fg_df.get(t, 0) + 1
+    expect = []
+    for t, f in fg_df.items():
+        if f < 2:
+            continue
+        fr, br = f / fg_n, bg_df[t] / n
+        expect.append((t, f, bg_df[t], (fr - br) * (fr / br)))
+    expect.sort(key=lambda r: (-r[3], r[0]))
+    got = [
+        (r["term"], r["fg_df"], r["bg_df"], round(r["score"], 10))
+        for r in eng.significant_terms(Match("scan"), k=10, min_doc_count=2)
+        .collect()
+    ]
+    assert got == [(t, f, b, round(s, 10)) for t, f, b, s in expect[:10]]
+    # the query's own term is the most significant one here
+    assert got[0][0] == "scan"
+
+
+def test_significant_terms_empty_query(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    assert eng.significant_terms(Match("zzzzz"), k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# explain_bm25
+
+
+def test_explain_contribs_sum_to_bm25(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    text = "scan merge join"
+    top = [(r["doc_id"], r["score"]) for r in eng.bm25(text, k=4).collect()]
+    rows = eng.explain_bm25(text, k=4).collect()
+    assert sorted({r["doc_id"] for r in rows}) == sorted(d for d, _ in top)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, score in top:
+        contribs = by_doc[doc_id]
+        assert abs(sum(c["contrib"] for c in contribs) - score) < 1e-9
+        for c in contribs:
+            assert abs(c["score"] - score) < 1e-9
+            assert c["tf"] >= 1 and c["df"] >= 1 and c["idf"] > 0
+
+
+def test_explain_df_tf_match_corpus(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    rows = eng.explain_bm25("stream", k=10).collect()
+    # 'stream' occurs once in docs 2 and 3
+    assert {(r["doc_id"], r["tf"], r["df"]) for r in rows} == {
+        (2, 1.0, 2.0),
+        (3, 1.0, 2.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# min_window
+
+
+def _brute_min_window(text: str, terms):
+    toks = analyze_index(text, ngrams=False)
+    per_term = []
+    for t in terms:
+        ps = [tok.pos for tok in toks if tok.term.startswith(t)]
+        if not ps:
+            return None
+        per_term.append(ps)
+    return min(
+        max(combo) - min(combo) + 1
+        for combo in itertools.product(*per_term)
+    )
+
+
+@pytest.mark.parametrize("query", ["scan merge", "scan merge join", "join"])
+def test_min_window_matches_brute_force(spark, query):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    terms = []
+    for tok in analyze_query(query):
+        if tok.term not in terms:
+            terms.append(tok.term)
+    expect = sorted(
+        (d, _brute_min_window(text, terms))
+        for d, text in DOCS
+        if _brute_min_window(text, terms) is not None
+    )
+    got = [(r["doc_id"], r["span"]) for r in eng.min_window(query).collect()]
+    assert got == expect
+
+
+def test_min_window_filter(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    spans = dict(
+        (r["doc_id"], r["span"])
+        for r in eng.min_window("scan join").collect()
+    )
+    tight = [
+        r["doc_id"] for r in eng.min_window("scan join", window=2).collect()
+    ]
+    assert tight == sorted(d for d, s in spans.items() if s <= 2)
+    assert 5 in tight  # "join scan" adjacent in doc 5

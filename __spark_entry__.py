@@ -1134,6 +1134,39 @@ def _q_min_window(spark, sf):
     return eng.min_window("scan merge join")
 
 
+def _q_percolate(spark, sf):
+    """Reverse search (percolate.percolate): every doc evaluated against
+    a registered query set — membership (doc_id, query_id) pairs, no
+    shuffle, queries broadcast with the closure."""
+    from inverted_index_spark.percolate import percolate
+    from inverted_index_spark.qast import AndNot, Match, Phrase
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    registry = {
+        "scan": Match("scan"),
+        "phrase": Phrase("merge join"),
+        "notbatch": AndNot(Match("stream"), Match("batch")),
+    }
+    return percolate(docs, registry)
+
+
+def _q_synonyms(spark, sf):
+    """Query-time synonym expansion (qparse.expand_synonyms): Match
+    leaves widen to Or over the synonym variants, index unexpanded;
+    parity-scored results of the expanded conjunction."""
+    from inverted_index_spark.qast import And, Match
+    from inverted_index_spark.qparse import expand_synonyms
+
+    eng = _engine_fulltoken(spark, sf)
+    q = expand_synonyms(
+        And(Match("scan"), Match("merge")), {"merge": ["join"]}
+    )
+    return eng.results(q).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1143,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail entries all carry green CORRECTNESS_r03 rows, and
     # scripts/check_contract.py remains the full 71-entry local gate.
     return {
+        "percolate": _q_percolate,
+        "synonyms": _q_synonyms,
         "at_least": _q_at_least,
         "suggest": _q_suggest,
         "sig_terms": _q_sig_terms,
@@ -1193,10 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
         "bm25_batch": _q_bm25_batch,
-        "bm25_filtered": _q_bm25_filtered,
-        "snippet": _q_snippet,
         # ---- driver-window boundary (~50): everything below holds a
         # green CORRECTNESS_r03 row ----
+        "bm25_filtered": _q_bm25_filtered,
+        "snippet": _q_snippet,
         "mlt": _q_mlt,
         "facets": _q_facets,
         "doc_count": _q_doc_count,
@@ -1407,6 +1442,61 @@ def oracle_sql() -> dict[str, str]:
         """
 
     out = {
+        # reverse search: per registered query its membership set.
+        # Phrase membership keeps the reference quirk (docs containing
+        # BOTH pair terms, adjacency not required for membership)
+        "percolate": f"""
+            with toks as ({_TOKS}),
+            s as (select distinct doc_id from toks where term like 'scan%'),
+            mj as (
+              select doc_id from (
+                select distinct doc_id from toks where term like 'merge%'
+              )
+              intersect
+              select doc_id from (
+                select distinct doc_id from toks where term like 'join%'
+              )
+            ),
+            nb as (
+              select doc_id from (
+                select distinct doc_id from toks where term like 'stream%'
+              )
+              except
+              select doc_id from (
+                select distinct doc_id from toks where term like 'batch%'
+              )
+            )
+            select doc_id, 'scan' as query_id from s
+            union all select doc_id, 'phrase' from mj
+            union all select doc_id, 'notbatch' from nb
+        """,
+        # query-time synonym expansion: scan AND (merge OR join),
+        # parity score over the union-merged matched tokens (disjoint
+        # prefixes -> no double count)
+        "synonyms": f"""
+            with toks as ({_TOKS}),
+            m as (
+              select doc_id from (
+                select distinct doc_id from toks where term like 'scan%'
+              )
+              intersect
+              select doc_id from (
+                select distinct doc_id from toks
+                where term like 'merge%' or term like 'join%'
+              )
+            ),
+            w as (
+              select t.doc_id, sum(strlen(t.term)) as w
+              from toks t join m using (doc_id)
+              where t.term like 'scan%' or t.term like 'merge%'
+                 or t.term like 'join%'
+              group by t.doc_id
+            )
+            select w.doc_id,
+                   round((w.w::real / sqrt(strlen(d.text)::double)::real
+                         )::real::double, 4)::double as score_r4
+            from w join documents d using (doc_id)
+        """,
         # minimum-should-match: docs with >= 2 of the three prefix-
         # expanded terms; parity score over the matched tokens (the
         # prefixes are pairwise disjoint, so no token is double-counted

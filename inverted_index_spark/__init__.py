@@ -70,7 +70,13 @@ from .segquery import (  # noqa: F401
 )
 from .streaming import compact_stream, refresh_index  # noqa: F401
 from .describe import describe_index  # noqa: F401
-from .qparse import QueryParseError, parse_query, render_query  # noqa: F401
+from .percolate import percolate  # noqa: F401
+from .qparse import (  # noqa: F401
+    QueryParseError,
+    expand_synonyms,
+    parse_query,
+    render_query,
+)
 from .sqlapi import bm25_sql, register_index_views  # noqa: F401
 from .wand import (  # noqa: F401
     wand_topk,
@@ -112,6 +118,8 @@ __all__ = [
     "segment_search",
     "parse_query",
     "render_query",
+    "expand_synonyms",
+    "percolate",
     "QueryParseError",
     "explain_segment_query",
     "describe_index",

@@ -74,7 +74,59 @@ from .qast import (
     Wildcard,
 )
 
-__all__ = ["parse_query", "render_query", "QueryParseError"]
+__all__ = [
+    "parse_query", "render_query", "QueryParseError", "expand_synonyms",
+]
+
+
+def expand_synonyms(q: Query, synonyms) -> Query:
+    """Query-time synonym expansion (Lucene SynonymQuery / ES synonym
+    filter applied at the QUERY side — the index stays unexpanded, so
+    the synonym table can change without a rebuild).
+
+    Every analyzed ``Match`` term with an entry in ``synonyms``
+    ({term: [synonym, ...]}, analyzed-lowercase keys) widens to
+    ``Or(Match(term), Match(syn), ...)``; a multi-word Match is already
+    a union of its terms (reference index.rs:76-86), so it splits
+    per-term and re-unions. ONLY Match leaves rewrite: positional nodes
+    (Phrase/Near) would need graph-token offsets to stay correct, and
+    raw dictionary nodes (Prefix/Wildcard/Fuzzy) are term-set operators
+    already — all pass through untouched, as do the combinators
+    (And/Or/AndNot/AtLeast recurse). Nodes without a synonym hit are
+    returned AS-IS (object identity preserved — cheap no-op when the
+    table misses).
+    """
+    from .analysis import analyze_query
+
+    syn = {str(k).lower(): list(v) for k, v in dict(synonyms).items()}
+    if not syn:
+        return q
+    if isinstance(q, Match):
+        terms: List[str] = []
+        for tok in analyze_query(q.text):
+            if tok.term not in terms:
+                terms.append(tok.term)
+        if not any(t in syn and syn[t] for t in terms):
+            return q
+        parts: List[Query] = []
+        for t in terms:
+            if t in syn and syn[t]:
+                parts.append(Or(Match(t), *[Match(s) for s in syn[t]]))
+            else:
+                parts.append(Match(t))
+        return parts[0] if len(parts) == 1 else Or(*parts)
+    if isinstance(q, And):
+        return And(*[expand_synonyms(c, syn) for c in q.children])
+    if isinstance(q, Or):
+        return Or(*[expand_synonyms(c, syn) for c in q.children])
+    if isinstance(q, AtLeast):
+        return AtLeast(q.m, *[expand_synonyms(c, syn) for c in q.children])
+    if isinstance(q, AndNot):
+        return AndNot(
+            expand_synonyms(q.positive, syn),
+            expand_synonyms(q.negative, syn),
+        )
+    return q
 
 
 class QueryParseError(ValueError):

@@ -153,3 +153,36 @@ def test_expand_synonyms_composes_with_parser():
         parse_query("scan AND NOT batch"), {"scan": ["probe"]}
     )
     assert q == AndNot(Or(Match("scan"), Match("probe")), Match("batch"))
+
+
+def test_percolate_in_streaming_foreach_batch(spark, tmp_path):
+    """The alerting shape: percolate drops into a Structured Streaming
+    foreachBatch unchanged — matches streamed out equal the batch
+    percolation of the same corpus."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    docs_df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    docs_df.write.parquet(src)
+    registry = {"scan": Match("scan"), "phr": Phrase("merge join")}
+
+    def sink(batch_df, batch_id):
+        percolate(batch_df, registry).write.mode("append").parquet(out)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(docs_df, registry).collect()
+    }
+    assert got == want and got

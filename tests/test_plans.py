@@ -193,3 +193,64 @@ def test_near_plan_prunes_inputs_and_pushes_ranges(engine):
     assert "GreaterThanOrEqual(term,merge)" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_atleast_plan_pushes_ranges_no_smj(engine):
+    """AtLeast membership is ONE branch-tagged aggregation with the
+    HAVING threshold; every child term range reaches its scan and the
+    row fetch semi-joins by broadcast — no sort-merge shuffle."""
+    from inverted_index_spark.qast import AtLeast, Match
+
+    plan = _formatted(
+        engine.results(
+            AtLeast(2, Match("scan"), Match("merge"), Match("join")),
+            with_positions=False,
+        )
+    )
+    assert "GreaterThanOrEqual(term,scan)" in plan
+    assert "GreaterThanOrEqual(term,merge)" in plan
+    assert "GreaterThanOrEqual(term,join)" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_suggest_plan_scans_dictionary_only(engine):
+    """suggest touches the TERM DICTIONARY, never the postings table,
+    and the query-term side is a broadcast build of a length-band
+    nested-loop join (the only join shape for a non-equi condition —
+    fine, the build side is the handful of query terms)."""
+    plan = _formatted(engine.suggest("mereg scann", max_edits=2, k=3))
+    assert "postings" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_significant_terms_plan_semi_join_with_pushdown(engine):
+    """The foreground df pass is a semi-join over the postings scan
+    with the query's term range pushed to the membership branch; bg df
+    joins the termdict (no cartesian anywhere)."""
+    from inverted_index_spark.qast import Match
+
+    plan = _formatted(engine.significant_terms(Match("merge"), k=10))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(term,merge)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_explain_bm25_plan_is_top_k_then_broadcast(engine):
+    """explain_bm25: the top-k doc set comes from TakeOrderedAndProject
+    and joins back to the per-term frame by broadcast."""
+    plan = _formatted(engine.explain_bm25("scan merge join", k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_min_window_plan_prunes_before_python(engine):
+    """min_window: the two-pointer kernel is ONE FlatMapGroupsInPandas
+    whose input is already And-pruned (broadcast semi-join on the
+    candidate docs) — non-candidate positions never reach Python."""
+    plan = _formatted(engine.min_window("scan merge join"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

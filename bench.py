@@ -138,6 +138,7 @@ def main() -> None:
     from inverted_index_spark.qast import (
         And,
         AndNot,
+        AtLeast,
         Fuzzy,
         Match,
         Near,
@@ -146,6 +147,7 @@ def main() -> None:
         Prefix,
         Wildcard,
     )
+    from inverted_index_spark.percolate import percolate
     from inverted_index_spark.query import FtsEngine
     from inverted_index_spark.session import get_spark
     from inverted_index_spark.transcripts import (
@@ -381,6 +383,30 @@ def main() -> None:
             spark, idx_path, Wildcard("s?a*"), k=10,
             with_positions=False, mode="spark",
         ).collect(),
+        # minimum-should-match (engine extension): per-shard vote
+        # counting, shard pruning keeps shards in >= m children's sets
+        "atleast_seg": lambda: segment_query(
+            spark, idx_path,
+            AtLeast(2, Match("scan"), Match("merge"), Match("join")),
+            k=10, with_positions=False, mode="spark",
+        ).collect(),
+        # did-you-mean: one length-banded termdict scan, vocab-sized
+        "suggest": lambda: eng.suggest("mereg scann", max_edits=2, k=3)
+        .collect(),
+        # unordered proximity: And-pruned candidates -> one
+        # applyInPandas two-pointer pass (the Python-stage cost is the
+        # honest number here — candidates are most of the synthetic
+        # corpus since every term spans it)
+        "min_window": lambda: eng.min_window("scan merge join", window=8)
+        .count(),
+        # reverse search over a 512-doc slice x 4 registered queries
+        # (per-doc python matcher; cost scales linearly in docs)
+        "percolate512": lambda: percolate(
+            docs.filter(F.col("doc_id") < 512).select("doc_id", "text"),
+            {"a": Match("scan"), "b": Phrase("merge join"),
+             "c": AndNot(Match("stream"), Match("batch")),
+             "d": AtLeast(2, Match("scan"), Match("merge"), Match("join"))},
+        ).count(),
         # metadata-filtered BM25 (filter_docs pins the relational plan
         # inside the routed engine — exact filtered top-k by contract)
         "bm25_filtered": lambda: eng.bm25(

@@ -1274,11 +1274,13 @@ class FtsEngine:
         Plan: per-term postings scans tagged with a term ordinal,
         And-pruned to the all-terms doc intersection FIRST (the
         candidate set — identical envelope to And), then ONE
-        applyInPandas over doc groups runs the classic two-pointer
-        sliding-window scan (O(rows log rows) for the per-doc sort).
-        Only candidate docs' positions ever reach Python, Arrow-batched;
-        a single term degenerates to span=1 membership with no Python
-        stage.
+        collect_list aggregation packs each candidate doc's (pos, tid)
+        rows into an array and a scalar Arrow-batched pandas UDF runs
+        the classic two-pointer sliding-window scan per doc (O(rows log
+        rows) for the sort) — no per-group Python task overhead, the
+        doc-id hash partitioning is the only exchange. Only candidate
+        docs' positions ever reach Python; a single term degenerates to
+        span=1 membership with no Python stage.
         """
         terms: List[str] = []
         for tok in analyze_query(text):
@@ -1314,39 +1316,46 @@ class FtsEngine:
         pruned = rows.join(F.broadcast(cand), "doc_id", "left_semi")
         n_terms = len(terms)
 
-        def _min_span(pdf):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _min_span(col):
             import numpy as np
             import pandas as pd
 
-            pdf = pdf.sort_values("pos", kind="mergesort")
-            pos = pdf["pos"].to_numpy()
-            tid = pdf["tid"].to_numpy()
-            need = n_terms
-            counts = np.zeros(need, dtype=np.int64)
-            have = 0
-            best = np.iinfo(np.int64).max
-            lo = 0
-            for hi in range(len(pos)):
-                t = tid[hi]
-                counts[t] += 1
-                if counts[t] == 1:
-                    have += 1
-                while have == need:
-                    best = min(best, pos[hi] - pos[lo] + 1)
-                    tl = tid[lo]
-                    counts[tl] -= 1
-                    if counts[tl] == 0:
-                        have -= 1
-                    lo += 1
-            return pd.DataFrame(
-                {
-                    "doc_id": [int(pdf["doc_id"].iloc[0])],
-                    "span": np.array([best], dtype=np.int32),
-                }
-            )
+            out = []
+            for lst in col:
+                pos = np.fromiter(
+                    (p["pos"] for p in lst), dtype=np.int64, count=len(lst)
+                )
+                tid = np.fromiter(
+                    (p["tid"] for p in lst), dtype=np.int64, count=len(lst)
+                )
+                order = np.argsort(pos, kind="mergesort")
+                pos, tid = pos[order], tid[order]
+                counts = np.zeros(n_terms, dtype=np.int64)
+                have, lo = 0, 0
+                best = np.iinfo(np.int64).max
+                for hi in range(len(pos)):
+                    t = tid[hi]
+                    counts[t] += 1
+                    if counts[t] == 1:
+                        have += 1
+                    while have == n_terms:
+                        best = min(best, pos[hi] - pos[lo] + 1)
+                        tl = tid[lo]
+                        counts[tl] -= 1
+                        if counts[tl] == 0:
+                            have -= 1
+                        lo += 1
+                out.append(best)
+            return pd.Series(out, dtype="int32")
 
-        out = pruned.groupBy("doc_id").applyInPandas(
-            _min_span, "doc_id long, span int"
+        grouped = pruned.groupBy("doc_id").agg(
+            F.collect_list(F.struct("pos", "tid")).alias("pt")
+        )
+        out = grouped.select(
+            "doc_id", _min_span(F.col("pt")).alias("span")
         )
         if window is not None:
             out = out.filter(F.col("span") <= int(window))

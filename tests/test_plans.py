@@ -247,10 +247,12 @@ def test_explain_bm25_plan_is_top_k_then_broadcast(engine):
 
 
 def test_min_window_plan_prunes_before_python(engine):
-    """min_window: the two-pointer kernel is ONE FlatMapGroupsInPandas
-    whose input is already And-pruned (broadcast semi-join on the
+    """min_window: the two-pointer kernel is ONE scalar Arrow-batched
+    pandas UDF over collect_list arrays (no per-group Python task),
+    and its input is already And-pruned (broadcast semi-join on the
     candidate docs) — non-candidate positions never reach Python."""
     plan = _formatted(engine.min_window("scan merge join"))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan

@@ -70,6 +70,7 @@ from .segquery import (  # noqa: F401
 )
 from .streaming import compact_stream, refresh_index  # noqa: F401
 from .describe import describe_index  # noqa: F401
+from .metacache import suggest_pandas  # noqa: F401
 from .percolate import percolate  # noqa: F401
 from .qparse import (  # noqa: F401
     QueryParseError,
@@ -120,6 +121,7 @@ __all__ = [
     "render_query",
     "expand_synonyms",
     "percolate",
+    "suggest_pandas",
     "QueryParseError",
     "explain_segment_query",
     "describe_index",

@@ -207,6 +207,76 @@ def fuzzy_terms(
     return out
 
 
+def suggest_terms(
+    index_path: str, term: str, max_edits: int = 2, k: int = 3
+) -> List[tuple]:
+    """Ranked did-you-mean candidates for one analyzed query term:
+    ``[(suggestion, dist, df), ...]`` by (dist asc, df_full desc, term
+    asc), top-k — the zero-Spark-job twin of ``FtsEngine.suggest`` for
+    one term (same length-band + Levenshtein + ranking, served from the
+    sorted termdict parquet driver-side). Memoized per snapshot.
+    """
+    snap = _snapshot(index_path, "termdict")
+    if snap is None:
+        return []
+    key = (snap, "suggest", term, max_edits, k)
+    hit = _memo_get(key)
+    if hit is not None:
+        return hit  # type: ignore[return-value]
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from .oracle import levenshtein
+
+    n = len(term)
+    band = (
+        (pc.utf8_length(ds.field("term")) >= n - max_edits)
+        & (pc.utf8_length(ds.field("term")) <= n + max_edits)
+        & (ds.field("df_full") > 0)
+    )
+    table = ds.dataset(snap[0], format="parquet").to_table(
+        columns=["term", "df_full"], filter=band
+    )
+    scored = []
+    for t, df in zip(
+        table.column("term").to_pylist(), table.column("df_full").to_pylist()
+    ):
+        d = levenshtein(t, term)
+        if d <= max_edits:
+            scored.append((d, -int(df), t))
+    scored.sort()
+    out = [(t, d, -negdf) for d, negdf, t in scored[:k]]
+    _memo_put(key, out)
+    return out
+
+
+def suggest_pandas(
+    index_path: str, text: str, max_edits: int = 2, k: int = 3
+):
+    """Driver-side did-you-mean over a SAVED index — no SparkSession,
+    no JVM: the coordinator-serving twin of ``FtsEngine.suggest``
+    (identical rows/order, asserted in tests). Returns a pandas frame
+    (qterm, suggestion, dist, df, rank) ordered qterm asc, rank asc.
+    """
+    import pandas as pd
+
+    from .analysis import analyze_query
+
+    qterms: List[str] = []
+    for tok in analyze_query(text):
+        if tok.term not in qterms:
+            qterms.append(tok.term)
+    rows = []
+    for q in sorted(qterms):
+        for rank, (t, d, df) in enumerate(
+            suggest_terms(index_path, q, max_edits, k), 1
+        ):
+            rows.append((q, t, d, df, rank))
+    return pd.DataFrame(
+        rows, columns=["qterm", "suggestion", "dist", "df", "rank"]
+    )
+
+
 def wildcard_terms(index_path: str, pattern: str) -> List[str]:
     """Expansion set for a ``Wildcard`` node: every dictionary term the
     translated pattern fully matches, sorted. Driver-side, no Spark.

@@ -297,3 +297,18 @@ def test_min_window_filter(spark):
     ]
     assert tight == sorted(d for d, s in spans.items() if s <= 2)
     assert 5 in tight  # "join scan" adjacent in doc 5
+
+
+def test_suggest_pandas_matches_engine(spark, tmp_path):
+    """Zero-job coordinator suggest over a saved index == the engine's
+    Spark-side suggest, row for row."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.metacache import suggest_pandas
+    from inverted_index_spark.query import FtsEngine
+
+    path = str(tmp_path / "sugidx")
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    eng = FtsEngine(build_and_save(spark, df, path, ngrams=False))
+    want = [tuple(r) for r in eng.suggest("scn mrege", max_edits=2, k=3).collect()]
+    got = [tuple(r) for r in suggest_pandas(path, "scn mrege", max_edits=2, k=3).itertuples(index=False)]
+    assert got == want and got

@@ -79,3 +79,96 @@ def bm25_sql(
         ORDER BY score DESC, doc_id ASC
         LIMIT {int(k)}
     """
+
+
+def suggest_sql(
+    text: str,
+    max_edits: int = 2,
+    k: int = 3,
+    prefix: str = "fts",
+) -> Optional[str]:
+    """ANSI-SQL did-you-mean over the registered termdict view —
+    identical ranking to ``FtsEngine.suggest`` ((dist asc, df desc,
+    term asc) per analyzed query term, Spark's built-in ``levenshtein``
+    == ``F.levenshtein``). Returns None for an empty analyzed query."""
+    terms = analyze_terms(text)
+    if not terms:
+        return None
+    qrows = " UNION ALL ".join(
+        "SELECT '" + t.replace("'", "''") + "' AS qterm" for t in terms
+    )
+    return f"""
+        WITH q AS ({qrows}),
+        cand AS (
+          SELECT q.qterm, d.term AS suggestion,
+                 levenshtein(d.term, q.qterm) AS dist,
+                 d.df_full AS df
+          FROM {prefix}_termdict d CROSS JOIN q
+          WHERE d.df_full > 0
+            AND levenshtein(d.term, q.qterm) <= {int(max_edits)}
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY qterm
+                   ORDER BY dist ASC, df DESC, suggestion ASC
+                 ) AS rank
+          FROM cand
+        )
+        SELECT qterm, suggestion, dist, df, rank
+        FROM r WHERE rank <= {int(k)}
+        ORDER BY qterm ASC, rank ASC
+    """
+
+
+def significant_terms_sql(
+    index: FtsIndex,
+    text: str,
+    k: int = 20,
+    min_doc_count: int = 3,
+    prefix: str = "fts",
+) -> Optional[str]:
+    """ANSI-SQL JLH significant terms for a ``Match(text)`` foreground —
+    identical math to ``FtsEngine.significant_terms`` (foreground docs
+    are the Match prefix-expansion's membership; term ranges mirror the
+    engine's sargable [t, succ(t)) scans). Returns None for an empty
+    analyzed query."""
+    from .query import prefix_upper_bound
+
+    terms = analyze_terms(text)
+    if not terms:
+        return None
+    preds = []
+    for t in terms:
+        lit = t.replace("'", "''")
+        hi = prefix_upper_bound(t)
+        if hi is None:
+            preds.append(f"term >= '{lit}'")
+        else:
+            preds.append(
+                f"(term >= '{lit}' AND term < '{hi.replace(chr(39), chr(39) * 2)}')"
+            )
+    member = " OR ".join(preds)
+    n = float(index.n_docs)
+    return f"""
+        WITH fg AS (
+          SELECT DISTINCT doc_id FROM {prefix}_postings
+          WHERE {member}
+        ),
+        fgn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM fg),
+        fgdf AS (
+          SELECT p.term, COUNT(*) AS fg_df
+          FROM {prefix}_postings p
+          JOIN fg ON fg.doc_id = p.doc_id
+          WHERE p.tf > 0
+          GROUP BY p.term
+          HAVING COUNT(*) >= {int(min_doc_count)}
+        )
+        SELECT f.term, f.fg_df, d.df_full AS bg_df,
+               ((f.fg_df / fgn.n) - (d.df_full / {n}))
+               * ((f.fg_df / fgn.n) / (d.df_full / {n})) AS score
+        FROM fgdf f
+        JOIN {prefix}_termdict d ON d.term = f.term
+        CROSS JOIN fgn
+        ORDER BY score DESC, term ASC
+        LIMIT {int(k)}
+    """

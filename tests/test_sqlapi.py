@@ -38,3 +38,46 @@ def test_views_expose_doc_store(spark):
         ).first()["doc_id"]
         == 2
     )
+
+
+def test_sql_suggest_matches_engine(spark):
+    from inverted_index_spark.sqlapi import suggest_sql
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = build_index(spark, docs, ngrams=False)
+    register_index_views(spark, idx)
+    eng = FtsEngine(idx)
+    sql = suggest_sql("mereg scann", max_edits=2, k=3)
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [
+        tuple(r) for r in eng.suggest("mereg scann", max_edits=2, k=3).collect()
+    ]
+    assert got == want and got
+    assert suggest_sql("...") is None
+
+
+def test_sql_significant_terms_matches_engine(spark):
+    from inverted_index_spark.qast import Match
+    from inverted_index_spark.sqlapi import significant_terms_sql
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = build_index(spark, docs, ngrams=False)
+    register_index_views(spark, idx)
+    eng = FtsEngine(idx)
+    sql = significant_terms_sql(idx, "merge", k=10, min_doc_count=3)
+    got = [
+        (r["term"], r["fg_df"], r["bg_df"], round(r["score"], 9))
+        for r in spark.sql(sql).collect()
+    ]
+    want = [
+        (r["term"], r["fg_df"], r["bg_df"], round(r["score"], 9))
+        for r in eng.significant_terms(
+            Match("merge"), k=10, min_doc_count=3
+        ).collect()
+    ]
+    assert got == want and got
+    assert significant_terms_sql(idx, "") is None

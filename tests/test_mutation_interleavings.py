@@ -15,7 +15,7 @@ import pytest
 
 from inverted_index_spark.build import build_and_save, load_index
 from inverted_index_spark.oracle import OracleIndex
-from inverted_index_spark.qast import And, Match, Near, Phrase, Prefix
+from inverted_index_spark.qast import And, AtLeast, Match, Near, Phrase, Prefix
 from inverted_index_spark.query import FtsEngine
 
 WORDS = [
@@ -41,6 +41,7 @@ def _check(spark, path, mirror, rng, label):
         Phrase(f"{t1} {t2}"),
         Prefix(t1[:2]),
         Near(f"{t1} {t2}", rng.randint(1, 3)),
+        AtLeast(2, Match(t1), Match(t2), Phrase(f"{t1} {t2}")),
     ]:
         expect = [
             (r.doc_id, [tuple(p) for p in r.positions], round(r.score, 5))

@@ -312,3 +312,26 @@ def test_suggest_pandas_matches_engine(spark, tmp_path):
     want = [tuple(r) for r in eng.suggest("scn mrege", max_edits=2, k=3).collect()]
     got = [tuple(r) for r in suggest_pandas(path, "scn mrege", max_edits=2, k=3).itertuples(index=False)]
     assert got == want and got
+
+
+def test_explain_previews_atleast_route(spark, tmp_path):
+    """engine.explain handles AtLeast: segment route when fresh, with
+    the rendered vote tree in the preview."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.query import FtsEngine
+
+    path = str(tmp_path / "alx")
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=4, positions=True)
+    eng = FtsEngine(load_saved(spark, path))
+    out = eng.explain(AtLeast(2, Match("scan"), Match("merge"), Match("join")))
+    assert out["route"] == "segments"
+    assert "AtLeast[m=2]" in out["tree"]
+
+
+def load_saved(spark, path):
+    from inverted_index_spark.build import load_index
+
+    return load_index(spark, path)

@@ -1134,6 +1134,22 @@ def _q_min_window(spark, sf):
     return eng.min_window("scan merge join")
 
 
+def _q_at_least_seg(spark, sf):
+    """Scale-path AtLeast: minimum-should-match served from compressed
+    segments (per-shard vote counting; shard pruning keeps shards
+    present in >= m children's term->shard sets) — same oracle as the
+    relational at_least, parity-scored."""
+    from inverted_index_spark.qast import AtLeast, Match
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    q = AtLeast(2, Match("scan"), Match("merge"), Match("join"))
+    return segment_query(spark, path, q, with_positions=False).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
 def _q_percolate(spark, sf):
     """Reverse search (percolate.percolate): every doc evaluated against
     a registered query set — membership (doc_id, query_id) pairs, no
@@ -1179,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": _q_percolate,
         "synonyms": _q_synonyms,
         "at_least": _q_at_least,
+        "at_least_seg": _q_at_least_seg,
         "suggest": _q_suggest,
         "sig_terms": _q_sig_terms,
         "explain_score": _q_explain_score,
@@ -1227,9 +1244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_docs": _q_wildcard_docs,
         "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
-        "bm25_batch": _q_bm25_batch,
         # ---- driver-window boundary (~50): everything below holds a
         # green CORRECTNESS_r03 row ----
+        "bm25_batch": _q_bm25_batch,
         "bm25_filtered": _q_bm25_filtered,
         "snippet": _q_snippet,
         "mlt": _q_mlt,
@@ -2704,6 +2721,7 @@ def oracle_sql() -> dict[str, str]:
         "where doc_a % 5 = 0 or doc_b % 5 = 0"
     )
     out["wand_topk"] = out["bm25_topk"]
+    out["at_least_seg"] = out["at_least"]
     out["phrase_seg"] = out["phrase_match"]
     out["match_seg"] = out["match_docs"]
     out["and_seg"] = out["and_docs"]

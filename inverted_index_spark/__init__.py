@@ -80,6 +80,7 @@ from .qparse import (  # noqa: F401
 )
 from .sqlapi import bm25_sql, register_index_views  # noqa: F401
 from .wand import (  # noqa: F401
+    explain_topk_pandas,
     wand_topk,
     wand_topk_batch,
     wand_topk_batch_pandas,
@@ -116,6 +117,7 @@ __all__ = [
     "wand_topk_batch",
     "wand_topk_pandas",
     "wand_topk_batch_pandas",
+    "explain_topk_pandas",
     "segment_search",
     "parse_query",
     "render_query",

@@ -715,3 +715,123 @@ def wand_topk_federated(
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("index_id"))
         .limit(k)
     )
+
+
+def explain_topk_pandas(
+    index_path: str, text: str, k: int = 10
+) -> pd.DataFrame:
+    """QUERY-NODE score explanation: the BM25 top-k with per-term
+    contributions, straight from the segment files in this process — no
+    SparkSession, no JVM, no job (the zero-Spark twin of
+    ``FtsEngine.explain_bm25``; per-row values agree to float64
+    rounding, asserted in tests).
+
+    Plan: ``wand_topk_pandas`` finds the winners (block-max pruned),
+    then ONLY the shards that (a) hold a winner doc and (b) contain a
+    query term are re-read to decode the winners' (tf, dl) rows — for
+    k winners that is at most k shard files, usually far fewer.
+
+    Columns: (doc_id, score, term, tf, df, idf, contrib), ordered
+    score desc, doc_id asc, term asc; sum(contrib) per doc == score.
+    """
+    import pyarrow.parquet as pq
+
+    from .codecs import decode_doc_ids, decode_tfs, varint_decode
+    from .metacache import term_dfs
+
+    manifest = load_manifest(index_path)
+    seg_dir = os.path.join(index_path, "segments")
+    avgdl = float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    n = float(manifest["n_docs"])
+    terms: List[str] = []
+    for tok in analyze_query(text):
+        if tok.term not in terms:
+            terms.append(tok.term)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+            "term": pd.Series([], dtype="object"),
+            "tf": pd.Series([], dtype="float64"),
+            "df": pd.Series([], dtype="float64"),
+            "idf": pd.Series([], dtype="float64"),
+            "contrib": pd.Series([], dtype="float64"),
+        }
+    )
+    if not terms:
+        return empty
+    dfs = term_dfs(index_path, sorted(terms))
+    weights = {
+        t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+        for t in terms
+        if dfs.get(t, 0) > 0
+    }
+    if not weights:
+        return empty
+    top = wand_topk_pandas(index_path, text, k)
+    if top.empty:
+        return empty
+    top_ids = set(int(d) for d in top["doc_id"])
+    score_of = {int(d): float(s) for d, s in zip(top["doc_id"], top["score"])}
+    shard_docs = int(manifest["shard_docs"])
+    want_shards = {d // shard_docs for d in top_ids}
+    shards = [
+        s
+        for s in shards_for_terms(None, index_path, manifest, weights)
+        if s["shard_id"] in want_shards
+    ]
+    rows = []
+    want_np = np.array(sorted(top_ids), dtype=np.int64)
+    for srow in shards:
+        table = pq.read_table(
+            os.path.join(seg_dir, srow["file"]),
+            columns=["term", "block_id", "n", "doc_ids", "tfs"],
+            filters=[("term", "in", list(weights) + [DOCSTATS_TERM])],
+        )
+        tcol = table.column("term").to_pylist()
+        bcol = table.column("block_id").to_numpy()
+        ncol = table.column("n").to_numpy()
+        ids_col = table.column("doc_ids").to_pylist()
+        tfs_col = table.column("tfs").to_pylist()
+        dl_rows = {
+            int(blk): i
+            for i, (t, blk) in enumerate(zip(tcol, bcol))
+            if t == DOCSTATS_TERM
+        }
+        for i, t in enumerate(tcol):
+            if t == DOCSTATS_TERM:
+                continue
+            ids = decode_doc_ids(ids_col[i], int(ncol[i]))
+            tfs = decode_tfs(tfs_col[i], int(ncol[i])).astype(np.float64)
+            sel = (tfs > 0) & np.isin(ids, want_np)
+            if not sel.any():
+                continue
+            ids, tfs = ids[sel], tfs[sel]
+            di = dl_rows[int(bcol[i])]
+            ds_ids = decode_doc_ids(ids_col[di], int(ncol[di]))
+            ds_dl = varint_decode(tfs_col[di], int(ncol[di])).astype(
+                np.float64
+            )
+            dl = ds_dl[np.searchsorted(ds_ids, ids)]
+            u = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
+            w = weights[t]
+            for d, tf, uu in zip(ids.tolist(), tfs.tolist(), u.tolist()):
+                rows.append(
+                    (
+                        int(d),
+                        score_of[int(d)],
+                        t,
+                        float(tf),
+                        float(dfs[t]),
+                        w,
+                        w * uu,
+                    )
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=["doc_id", "score", "term", "tf", "df", "idf", "contrib"],
+    )
+    return out.sort_values(
+        ["score", "doc_id", "term"], ascending=[False, True, True]
+    ).reset_index(drop=True)

@@ -335,3 +335,35 @@ def load_saved(spark, path):
     from inverted_index_spark.build import load_index
 
     return load_index(spark, path)
+
+
+def test_explain_topk_pandas_matches_engine(spark, tmp_path):
+    """Zero-job explanation over a saved index == the engine's
+    explain_bm25 (same rows; float64 values agree to 9 decimals)."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.wand import explain_topk_pandas
+
+    path = str(tmp_path / "exidx")
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=4, block_docs=2,
+                   positions=False)
+    eng = FtsEngine(idx)
+    want = [
+        (r["doc_id"], round(r["score"], 9), r["term"], r["tf"], r["df"],
+         round(r["idf"], 9), round(r["contrib"], 9))
+        for r in eng.explain_bm25("scan merge join", k=4).collect()
+    ]
+    pdf = explain_topk_pandas(path, "scan merge join", k=4)
+    got = [
+        (int(r.doc_id), round(r.score, 9), r.term, r.tf, r.df,
+         round(r.idf, 9), round(r.contrib, 9))
+        for r in pdf.itertuples(index=False)
+    ]
+    assert got == want and got
+    # contribs sum to the WAND score per doc
+    for d in set(pdf["doc_id"]):
+        sub = pdf[pdf["doc_id"] == d]
+        assert abs(sub["contrib"].sum() - sub["score"].iloc[0]) < 1e-9

@@ -1,4 +1,5 @@
-"""One pipeline-op scaling sample: dedup_corpus + knn_join at one width.
+"""One pipeline-op scaling sample: dedup_corpus + knn_join + percolate
+at one width.
 
 Runs the two headline training-pipeline operators (corpus-level dedup,
 LSH-bucketed batch ANN join) on a fixed pre-materialized input at a
@@ -31,6 +32,8 @@ def main() -> None:
 
     from inverted_index_spark.pipelines.dedup import dedup_corpus
     from inverted_index_spark.pipelines.similarity import knn_join
+    from inverted_index_spark.percolate import percolate
+    from inverted_index_spark.qast import AndNot, AtLeast, Match, Phrase
     from inverted_index_spark.session import get_spark, warm_python_workers
     from inverted_index_spark.transcripts import (
         transcript_docs,
@@ -72,6 +75,15 @@ def main() -> None:
         "knn_join64": lambda: knn_join(
             embs.filter(F.col("vec_id") < 64), embs,
             k=10, n_planes=8, hamming=1,
+        ).count(),
+        # reverse search: per-doc python matcher, embarrassingly
+        # parallel over the doc axis — the width-scaling poster child
+        "percolate4k": lambda: percolate(
+            docs.filter(F.col("doc_id") < 4096),
+            {"a": Match("scan"), "b": Phrase("merge join"),
+             "c": AndNot(Match("stream"), Match("batch")),
+             "d": AtLeast(2, Match("scan"), Match("merge"),
+                          Match("join"))},
         ).count(),
     }
     # warm each path once (python workers, page cache, parquet footers)

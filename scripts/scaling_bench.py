@@ -201,7 +201,8 @@ def main() -> None:
                 best_cpu = c
         runs[n], cpu_s[n] = best, best_cpu
 
-    # pipeline-op width evidence (dedup_corpus + knn_join), 8 vs 32 at
+    # pipeline-op width evidence (dedup_corpus + knn_join + percolate),
+    # 8 vs 32 at
     # the query-bench amplification (x8): best-of-2 per width
     OPS_LEVELS = (8, 32)
     ops_runs: dict = {}
@@ -344,7 +345,7 @@ to raise that ratio. The bandwidth-ceiling normalization is the stable
 signal; this file records the most recent full run, and each bench
 JSON embeds its own ambient probes (`ambient_*`, `ambient_degraded`).
 
-## Pipeline-op width evidence (dedup_corpus + knn_join, amp x8)
+## Pipeline-op width evidence (dedup_corpus + knn_join + percolate, amp x8)
 
 Same strong-scaling protocol (pinned fresh JVMs, identical input,
 best-of-2): wall-basis efficiency = t(8) / (4 x t(32)); task basis =
@@ -361,10 +362,11 @@ aggregate task seconds 8-wide / 32-wide (1.0 = work-conserving).
     for name in ops_eff
 )}
 
-These ops are shuffle-bearing (hash groupBy, banded self-join,
+dedup/knn are shuffle-bearing (hash groupBy, banded self-join,
 signature equi-join) unlike the shuffle-free build, so their width
-behavior evidences the exchange path; the same VM bandwidth ceiling
-applies.
+behavior evidences the exchange path; percolate4k is the opposite pole
+(per-doc python matcher, zero shuffle) and evidences pure map-side
+width. The same VM bandwidth ceiling applies.
 
 Query latencies (full run, local[32]): {json.dumps(full['queries'])}
 Segment compression (delta+varint vs raw 12B/posting):

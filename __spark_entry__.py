@@ -1150,6 +1150,25 @@ def _q_at_least_seg(spark, sf):
     )
 
 
+def _q_facet_stats(spark, sf):
+    """Numeric stats per facet bucket (FtsEngine.facet_stats): per lang
+    among Match('merge') docs, count/min/max/sum/avg of n_chars — one
+    membership join + one algebraic partial-agg groupBy."""
+    from inverted_index_spark.qast import Match
+
+    eng = _engine_fulltoken(spark, sf)
+    meta = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    out = eng.facet_stats(Match("merge"), meta, "lang", "n_chars")
+    return out.select(
+        F.col("group").alias("grp"),
+        "n_docs",
+        "min_v",
+        "max_v",
+        "sum_v",
+        F.round(F.col("avg_v"), 6).alias("avg_r6"),
+    )
+
+
 def _q_percolate(spark, sf):
     """Reverse search (percolate.percolate): every doc evaluated against
     a registered query set — membership (doc_id, query_id) pairs, no
@@ -1192,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail entries all carry green CORRECTNESS_r03 rows, and
     # scripts/check_contract.py remains the full 71-entry local gate.
     return {
+        "facet_stats": _q_facet_stats,
         "percolate": _q_percolate,
         "synonyms": _q_synonyms,
         "at_least": _q_at_least,
@@ -1243,9 +1263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_docs": _q_fuzzy_docs,
         "wildcard_docs": _q_wildcard_docs,
         "bm25_topk": _q_bm25_topk,
-        "wand_topk": _q_wand_topk,
         # ---- driver-window boundary (~50): everything below holds a
         # green CORRECTNESS_r03 row ----
+        "wand_topk": _q_wand_topk,
         "bm25_batch": _q_bm25_batch,
         "bm25_filtered": _q_bm25_filtered,
         "snippet": _q_snippet,
@@ -1459,6 +1479,21 @@ def oracle_sql() -> dict[str, str]:
         """
 
     out = {
+        # numeric stats per facet bucket over the match set
+        "facet_stats": f"""
+            with toks as ({_TOKS}),
+            m as (
+              select distinct doc_id from toks where term like 'merge%'
+            )
+            select d.lang as grp,
+                   count(*)::bigint as n_docs,
+                   min(d.n_chars)::double as min_v,
+                   max(d.n_chars)::double as max_v,
+                   sum(d.n_chars::double) as sum_v,
+                   round(avg(d.n_chars::double), 6) as avg_r6
+            from m join documents d using (doc_id)
+            group by d.lang
+        """,
         # reverse search: per registered query its membership set.
         # Phrase membership keeps the reference quirk (docs containing
         # BOTH pair terms, adjacency not required for membership)

@@ -1406,6 +1406,45 @@ class FtsEngine:
             .agg(F.count(F.lit(1)).alias("n_docs"))
         )
 
+    def facet_stats(
+        self,
+        query: Query,
+        meta: DataFrame,
+        group_col: str,
+        value_col: str,
+    ) -> DataFrame:
+        """Numeric stats per facet bucket over a query's match set
+        (Elasticsearch stats-aggregation analog): for each value of
+        ``group_col`` among matching docs, the count / min / max / sum /
+        avg of ``value_col`` -> (group, n_docs, min_v, max_v, sum_v,
+        avg_v), group asc.
+
+        Same envelope as :meth:`facets`: membership-only docs branch
+        (positions never decoded) joined to meta, ONE partial-agg
+        groupBy — all five statistics are algebraic, so the map-side
+        combine does most of the work and the shuffle carries one row
+        per (partition, group).
+        """
+        for c in (group_col, value_col):
+            if c not in meta.columns:
+                raise ValueError(f"column not in meta: {c}")
+        docs = self.compile(query).docs
+        joined = docs.join(
+            meta.select("doc_id", group_col, value_col), "doc_id"
+        )
+        v = F.col(value_col).cast("double")
+        return (
+            joined.groupBy(F.col(group_col).alias("group"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+                F.sum(v).alias("sum_v"),
+                F.avg(v).alias("avg_v"),
+            )
+            .orderBy("group")
+        )
+
     def highlight(
         self, results: DataFrame, before: str, after: str
     ) -> DataFrame:

@@ -367,3 +367,35 @@ def test_explain_topk_pandas_matches_engine(spark, tmp_path):
     for d in set(pdf["doc_id"]):
         sub = pdf[pdf["doc_id"] == d]
         assert abs(sub["contrib"].sum() - sub["score"].iloc[0]) < 1e-9
+
+
+def test_facet_stats_matches_recount(spark):
+    from pyspark.sql import functions as F
+
+    eng = build_engine(spark, DOCS, ngrams=False)
+    meta = spark.createDataFrame(
+        [(d, d % 2, float(len(t))) for d, t in DOCS],
+        ["doc_id", "bucket", "chars"],
+    )
+    got = {
+        (r["group"], r["n_docs"], r["min_v"], r["max_v"], r["sum_v"],
+         round(r["avg_v"], 9))
+        for r in eng.facet_stats(Match("scan"), meta, "bucket", "chars")
+        .collect()
+    }
+    members = {
+        r["doc_id"]
+        for r in eng.results(Match("scan"), with_positions=False).collect()
+    }
+    import collections
+    buckets = collections.defaultdict(list)
+    for d, t in DOCS:
+        if d in members:
+            buckets[d % 2].append(float(len(t)))
+    want = {
+        (b, len(vs), min(vs), max(vs), sum(vs), round(sum(vs) / len(vs), 9))
+        for b, vs in buckets.items()
+    }
+    assert got == want and got
+    with pytest.raises(ValueError):
+        eng.facet_stats(Match("scan"), meta, "missing", "chars")

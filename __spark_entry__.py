@@ -1150,6 +1150,18 @@ def _q_at_least_seg(spark, sf):
     )
 
 
+def _q_bm25_boosted(spark, sf):
+    """Query-time term boosting (Lucene term^boost): merge^2 in the
+    BM25 conjunction — idf weights scale per term, WAND bounds scale
+    with them so the pruned route stays exact."""
+    eng = _engine_fulltoken(spark, sf)
+    return eng.bm25(
+        "scan merge join", k=10, boosts={"merge": 2.0}
+    ).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score_r4")
+    )
+
+
 def _q_facet_stats(spark, sf):
     """Numeric stats per facet bucket (FtsEngine.facet_stats): per lang
     among Match('merge') docs, count/min/max/sum/avg of n_chars — one
@@ -1211,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail entries all carry green CORRECTNESS_r03 rows, and
     # scripts/check_contract.py remains the full 71-entry local gate.
     return {
+        "bm25_boosted": _q_bm25_boosted,
         "facet_stats": _q_facet_stats,
         "percolate": _q_percolate,
         "synonyms": _q_synonyms,
@@ -1262,9 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_docs": _q_near_docs,
         "fuzzy_docs": _q_fuzzy_docs,
         "wildcard_docs": _q_wildcard_docs,
-        "bm25_topk": _q_bm25_topk,
         # ---- driver-window boundary (~50): everything below holds a
         # green CORRECTNESS_r03 row ----
+        "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
         "bm25_batch": _q_bm25_batch,
         "bm25_filtered": _q_bm25_filtered,
@@ -1479,6 +1492,34 @@ def oracle_sql() -> dict[str, str]:
         """
 
     out = {
+        # query-time term boosting: merge's idf scales by 2.0
+        "bm25_boosted": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl
+                   from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (
+              select * from (values ('scan', 1.0), ('merge', 2.0),
+                                    ('join', 1.0)) as t(term, boost)
+            ),
+            df as (select qt.term, qt.boost, count(*)::double as df
+                   from tf join qt using (term) group by qt.term, qt.boost)
+            select doc_id, round(score, 4) as score_r4 from (
+              select tf.doc_id,
+                     sum( df.boost
+                          * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ) order by score desc, doc_id asc limit 10
+        """,
         # numeric stats per facet bucket over the match set
         "facet_stats": f"""
             with toks as ({_TOKS}),

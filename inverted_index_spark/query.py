@@ -1690,6 +1690,7 @@ class FtsEngine:
         k: Optional[int] = 10,
         filter_docs: Optional[DataFrame] = None,
         doc_range: Optional[tuple] = None,
+        boosts: Optional[dict] = None,
     ) -> DataFrame:
         """BM25 top-k (k1=1.2, b=0.75) over full-token postings.
 
@@ -1724,12 +1725,20 @@ class FtsEngine:
 
             return wand_topk(
                 self.index.docstats.sparkSession, seg, text, k=k,
-                doc_range=doc_range,
+                doc_range=doc_range, boosts=boosts,
             )
         terms: List[str] = []
         for tok in analyze_query(text):
             if tok.term not in terms:
                 terms.append(tok.term)
+        if boosts:
+            # mirror the WAND path (_apply_boosts): negative rejected,
+            # zero DROPS the term entirely (a 0-weight term must not
+            # keep its otherwise-unmatched docs in the result set)
+            for t, w in boosts.items():
+                if w < 0:
+                    raise ValueError(f"negative boost for {t!r}: {w}")
+            terms = [t for t in terms if float(boosts.get(t, 1.0)) > 0]
         if not terms:
             return (
                 self.index.docstats.select("doc_id")
@@ -1755,6 +1764,21 @@ class FtsEngine:
             .select("term", F.col("df_full").alias("df"))
         )
         idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        if boosts:
+            boost_col = F.coalesce(
+                F.create_map(
+                    *[
+                        x
+                        for t in terms
+                        for x in (
+                            F.lit(t),
+                            F.lit(float(boosts.get(t, 1.0))),
+                        )
+                    ]
+                )[F.col("term")],
+                F.lit(1.0),
+            )
+            idf = idf * boost_col
         per_term = (
             matched.join(F.broadcast(df_tbl), "term")
             .join(self.index.docstats.select("doc_id", "doclen_tokens"), "doc_id")

@@ -213,6 +213,27 @@ def _query_weights(
     ]
 
 
+def _apply_boosts(
+    weights: Dict[str, float], boosts: Optional[Dict[str, float]]
+) -> Dict[str, float]:
+    """Query-time term boosting (Lucene ``term^boost``): each term's idf
+    weight multiplies by its boost. WAND stays EXACT under boosting —
+    block bounds are ``weight * max_u`` per term, so scaling a weight
+    scales its bound identically; a boost of 0 drops the term. Negative
+    boosts are rejected (a negative weight breaks the upper-bound
+    argument)."""
+    if not boosts:
+        return weights
+    for t, w in boosts.items():
+        if w < 0:
+            raise ValueError(f"negative boost for {t!r}: {w}")
+    return {
+        t: w * float(boosts.get(t, 1.0))
+        for t, w in weights.items()
+        if float(boosts.get(t, 1.0)) > 0
+    }
+
+
 def _bound_scale(avgdl_live: float, shard_row: dict) -> float:
     """max(1, avgdl_live/avgdl_built) for a manifest shard row — the
     factor that keeps this shard's stored block-max bounds sound after
@@ -368,6 +389,7 @@ def wand_topk_pandas(
     text: str,
     k: int = 10,
     doc_range: Optional[Tuple[int, int]] = None,
+    boosts: Optional[Dict[str, float]] = None,
 ) -> pd.DataFrame:
     """QUERY-NODE BM25 serving: block-max WAND top-k straight from the
     segment files in this process — no SparkSession, no JVM, no job.
@@ -383,6 +405,7 @@ def wand_topk_pandas(
     avgdl = float(manifest["avgdl"])
     k1, b = float(manifest["k1"]), float(manifest["b"])
     weights = _query_weights(None, index_path, [text], manifest, None)[0]
+    weights = _apply_boosts(weights, boosts)
     if not weights:
         return _empty_wand_pdf()
     shards = shards_for_terms(None, index_path, manifest, weights)
@@ -508,6 +531,7 @@ def wand_topk(
     termdict: Optional[DataFrame] = None,
     mode: str = "auto",
     doc_range: Optional[Tuple[int, int]] = None,
+    boosts: Optional[Dict[str, float]] = None,
 ) -> DataFrame:
     """Distributed BM25 top-k: driver analyzes the query + computes idf,
     executors run block-max WAND per shard, driver merges k*shards rows.
@@ -532,6 +556,7 @@ def wand_topk(
     avgdl = float(manifest["avgdl"])
     k1, b = float(manifest["k1"]), float(manifest["b"])
     weights = _query_weights(spark, index_path, [text], manifest, termdict)[0]
+    weights = _apply_boosts(weights, boosts)
     if not weights:
         return spark.createDataFrame([], RESULT_SCHEMA)
 

@@ -399,3 +399,66 @@ def test_facet_stats_matches_recount(spark):
     assert got == want and got
     with pytest.raises(ValueError):
         eng.facet_stats(Match("scan"), meta, "missing", "chars")
+
+
+def test_bm25_boosts_relational(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    text = "scan merge"
+    per = eng.explain_bm25(text, k=100).collect()
+    want = {}
+    for r in per:
+        w = 2.0 if r["term"] == "merge" else 1.0
+        want[r["doc_id"]] = want.get(r["doc_id"], 0.0) + w * r["contrib"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in eng.bm25(text, k=None, boosts={"merge": 2.0}).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
+    # neutral boosts are a no-op; zero boost drops the term entirely
+    a = [tuple(r) for r in eng.bm25(text, k=None).collect()]
+    b = [tuple(r) for r in eng.bm25(text, k=None, boosts={"x": 1.0}).collect()]
+    assert a == b
+    z = [tuple(r) for r in eng.bm25(text, k=None, boosts={"merge": 0.0}).collect()]
+    assert z == [tuple(r) for r in eng.bm25("scan", k=None).collect()]
+    with pytest.raises(ValueError):
+        eng.bm25(text, boosts={"merge": -1.0}).collect()
+
+
+def test_bm25_boosts_wand_parity(spark, tmp_path):
+    """Boosted BM25 on the WAND route equals the boosted relational
+    scorer (block bounds scale with the weights — skipping stays
+    exact), in both spark and pandas serving."""
+    from inverted_index_spark.build import build_and_save, load_index
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.wand import wand_topk_pandas
+
+    path = str(tmp_path / "boostidx")
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=4, block_docs=2,
+                   positions=False)
+    eng = FtsEngine(load_index(spark, path))
+    # bm25 routes on the (non-positional) segment freshness check
+    assert eng._segment_path() is not None
+    boosts = {"merge": 3.0, "scan": 0.5}
+    routed = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.bm25("scan merge", k=5, boosts=boosts).collect()
+    ]
+    rel_eng = build_engine(spark, DOCS, ngrams=False)
+    rel = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rel_eng.bm25("scan merge", k=5, boosts=boosts).collect()
+    ]
+    assert routed == rel
+    served = [
+        (int(d), round(float(s), 9))
+        for d, s in zip(*[
+            wand_topk_pandas(path, "scan merge", k=5, boosts=boosts)[c]
+            for c in ("doc_id", "score")
+        ])
+    ]
+    assert served == rel

@@ -1732,13 +1732,12 @@ class FtsEngine:
             if tok.term not in terms:
                 terms.append(tok.term)
         if boosts:
-            # mirror the WAND path (_apply_boosts): negative rejected,
+            # ONE shared contract with the WAND route: invalid rejected,
             # zero DROPS the term entirely (a 0-weight term must not
             # keep its otherwise-unmatched docs in the result set)
-            for t, w in boosts.items():
-                if w < 0:
-                    raise ValueError(f"negative boost for {t!r}: {w}")
-            terms = [t for t in terms if float(boosts.get(t, 1.0)) > 0]
+            from .wand import _apply_boosts
+
+            terms = list(_apply_boosts({t: 1.0 for t in terms}, boosts))
         if not terms:
             return (
                 self.index.docstats.select("doc_id")
@@ -1765,19 +1764,18 @@ class FtsEngine:
         )
         idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
         if boosts:
-            boost_col = F.coalesce(
-                F.create_map(
-                    *[
-                        x
-                        for t in terms
-                        for x in (
-                            F.lit(t),
-                            F.lit(float(boosts.get(t, 1.0))),
-                        )
-                    ]
-                )[F.col("term")],
-                F.lit(1.0),
-            )
+            # the map covers every surviving term, so the lookup
+            # cannot miss (rows are filtered to these terms)
+            boost_col = F.create_map(
+                *[
+                    x
+                    for t in terms
+                    for x in (
+                        F.lit(t),
+                        F.lit(float(boosts.get(t, 1.0))),
+                    )
+                ]
+            )[F.col("term")]
             idf = idf * boost_col
         per_term = (
             matched.join(F.broadcast(df_tbl), "term")

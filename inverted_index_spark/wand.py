@@ -225,8 +225,8 @@ def _apply_boosts(
     if not boosts:
         return weights
     for t, w in boosts.items():
-        if w < 0:
-            raise ValueError(f"negative boost for {t!r}: {w}")
+        if w != w or w < 0:  # NaN or negative
+            raise ValueError(f"invalid boost for {t!r}: {w}")
     return {
         t: w * float(boosts.get(t, 1.0))
         for t, w in weights.items()

@@ -462,3 +462,39 @@ def test_bm25_boosts_wand_parity(spark, tmp_path):
         ])
     ]
     assert served == rel
+
+
+def test_atleast_topk_pushdown_identity(spark, tmp_path):
+    """AtLeast under per-shard top-k pushdown (k set): segment and
+    pandas serving stay bit-identical to the relational two-pass."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import (
+        segment_query,
+        segment_query_pandas,
+    )
+
+    path = str(tmp_path / "alk")
+    df = spark.createDataFrame(DOCS * 1, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=3, block_docs=2,
+                   positions=True)
+    eng = FtsEngine(idx)
+    q = AtLeast(2, Match("scan"), Match("merge"), Phrase("join scan"))
+    rel = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.results(q, k=3, with_positions=False).collect()
+    ]
+    seg = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in segment_query(
+            spark, path, q, k=3, with_positions=False
+        ).collect()
+    ]
+    pdf = segment_query_pandas(path, q, k=3, with_positions=False)
+    srv = [
+        (int(d), round(float(s), 5))
+        for d, s in zip(pdf["doc_id"], pdf["score"])
+    ]
+    assert rel == seg == srv and rel

@@ -65,6 +65,7 @@ from .segquery import (  # noqa: F401
     segment_query,
     segment_query_batch,
     segment_query_batch_pandas,
+    min_window_pandas,
     segment_query_pandas,
     segment_search,
 )
@@ -130,6 +131,7 @@ __all__ = [
     "segment_query",
     "segment_query_batch",
     "segment_query_pandas",
+    "min_window_pandas",
     "segment_query_batch_pandas",
     "segment_phrase",
     "segment_highlight",

@@ -1275,3 +1275,119 @@ def segment_highlight(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def min_window_pandas(
+    index_path: str,
+    text: str,
+    window: Optional[int] = None,
+    doc_range=None,
+) -> pd.DataFrame:
+    """QUERY-NODE unordered proximity: ``FtsEngine.min_window`` served
+    straight from the positional segments in this process — no
+    SparkSession, no JVM, no job (row-identical, asserted in tests).
+
+    Plan: one term range per analyzed query term, shards pruned to the
+    INTERSECTION of the per-term shard sets (And semantics — a doc must
+    contain every term, and all of a doc's postings live in one shard),
+    then per shard: candidate docs = intersection of the ranges' doc
+    sets, and the classic two-pointer minimal-cover scan runs over each
+    candidate's merged (pos, term) rows. Duplicated (doc, pos) rows from
+    edge-ngram dictionaries dedupe per term exactly like the relational
+    plan's ``distinct()``.
+    """
+    from .qast import And as _And
+    from .qast import Match as _Match
+
+    terms: List[str] = []
+    for tok in analyze_query(text):
+        if tok.term not in terms:
+            terms.append(tok.term)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "span": pd.Series([], dtype="int32"),
+        }
+    )
+    if not terms:
+        return empty
+    q = _And(*[_Match(t) for t in terms]) if len(terms) > 1 else _Match(
+        terms[0]
+    )
+    ranges, tree, shards, _ = _plan_query(index_path, q, doc_range)
+    if not shards:
+        return empty
+    # map each term to its range index in compile order: And children
+    # are ("match", [idx]) nodes in term order (Match dedups per node)
+    if len(terms) == 1:
+        term_idxs = [tree[1][0]]
+    else:
+        term_idxs = [c[1][0] for c in tree[1]]
+    n_terms = len(terms)
+    seg_dir = os.path.join(index_path, "segments")
+
+    def one(f):
+        matchers, _docbytes = _read_shard(f, ranges, doc_range)
+        per_term = []
+        member = None
+        for mi in term_idxs:
+            d, _b, _e, p = matchers[mi]
+            # dedupe (doc, pos) within the term's expansion (edge-ngram
+            # dictionaries emit one row per matching ngram per position)
+            key = d * _POS_SHIFT + p
+            _, first = np.unique(key, return_index=True)
+            d, p = d[first], p[first]
+            per_term.append((d, p))
+            ud = np.unique(d)
+            member = ud if member is None else np.intersect1d(member, ud)
+            if member.size == 0:
+                return None
+        out_d, out_s = [], []
+        alld = np.concatenate([d for d, _ in per_term])
+        allp = np.concatenate([p for _, p in per_term])
+        allt = np.concatenate(
+            [np.full(d.size, i, np.int64) for i, (d, _) in enumerate(per_term)]
+        )
+        keep = np.isin(alld, member)
+        alld, allp, allt = alld[keep], allp[keep], allt[keep]
+        order = np.lexsort((allp, alld))
+        alld, allp, allt = alld[order], allp[order], allt[order]
+        starts = np.searchsorted(alld, member, side="left")
+        stops = np.searchsorted(alld, member, side="right")
+        for doc, lo_i, hi_i in zip(member.tolist(), starts, stops):
+            pos = allp[lo_i:hi_i]
+            tid = allt[lo_i:hi_i]
+            counts = np.zeros(n_terms, dtype=np.int64)
+            have, lo = 0, 0
+            best = np.iinfo(np.int64).max
+            for hi in range(pos.size):
+                t = tid[hi]
+                counts[t] += 1
+                if counts[t] == 1:
+                    have += 1
+                while have == n_terms:
+                    best = min(best, pos[hi] - pos[lo] + 1)
+                    tl = tid[lo]
+                    counts[tl] -= 1
+                    if counts[tl] == 0:
+                        have -= 1
+                    lo += 1
+            out_d.append(doc)
+            out_s.append(best)
+        if not out_d:
+            return None
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_d, dtype=np.int64),
+                "span": np.array(out_s, dtype=np.int32),
+            }
+        )
+
+    files = [os.path.join(seg_dir, s["file"]) for s in shards]
+    parts = _map_files(one, files)
+    if not parts:
+        return empty
+    pdf = pd.concat(parts, ignore_index=True)
+    if window is not None:
+        pdf = pdf[pdf["span"] <= int(window)]
+    return pdf.sort_values("doc_id", ignore_index=True)

@@ -498,3 +498,28 @@ def test_atleast_topk_pushdown_identity(spark, tmp_path):
         for d, s in zip(pdf["doc_id"], pdf["score"])
     ]
     assert rel == seg == srv and rel
+
+
+@pytest.mark.parametrize("query", ["scan merge join", "join", "scan merge"])
+def test_min_window_pandas_matches_engine(spark, tmp_path, query):
+    """Zero-job unordered proximity over positional segments == the
+    engine's min_window, row for row (incl. the window filter)."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import min_window_pandas
+
+    path = str(tmp_path / "mwidx")
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=3, block_docs=2,
+                   positions=True)
+    eng = FtsEngine(idx)
+    for window in (None, 4):
+        want = [
+            (r["doc_id"], r["span"])
+            for r in eng.min_window(query, window=window).collect()
+        ]
+        pdf = min_window_pandas(path, query, window=window)
+        got = list(zip(pdf["doc_id"].tolist(), pdf["span"].tolist()))
+        assert got == want

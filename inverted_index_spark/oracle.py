@@ -261,12 +261,16 @@ class OracleIndex:
                     if not pm:
                         del self.index[tok.term]
         self.docs[doc_id] = content
+        touched = set()
         for tok in analyze_index(content):
             plist = self.index.setdefault(tok.term, {}).setdefault(doc_id, [])
             plist.append((tok.begin, tok.end, tok.pos))
-        # normalize: sorted + coalesced per (term, doc)
-        for tok in analyze_index(content):
-            pm = self.index[tok.term]
+            touched.add(tok.term)
+        # normalize: sorted + coalesced per (term, doc) — one analyzer
+        # pass total (the analysis dominates add(); percolation builds
+        # an index per document, so the constant factor is load-bearing)
+        for t in touched:
+            pm = self.index[t]
             pm[doc_id] = coalesce_sorted(pm[doc_id])
 
     # -- read path --

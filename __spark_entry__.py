@@ -553,6 +553,37 @@ def _q_wildcard_seg(spark, sf):
     )
 
 
+def _q_regex_docs(spark, sf):
+    """Raw dictionary regex (engine extension, qast.Regex — Lucene
+    RegexpQuery analog): 's[cp]a(n|rk)' matches whole terms
+    {scan, spark}; sargable leading-literal band + anchored
+    dialect-stable rlike residual (the pattern subset is pre-validated
+    so Java, RE2 and Python agree exactly)."""
+    from inverted_index_spark.qast import Regex
+
+    eng = _engine_fulltoken(spark, sf)
+    return eng.results(Regex("s[cp]a(n|rk)")).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
+def _q_regex_seg(spark, sf):
+    """Regex served from segments: driver-side literal-prefix-banded
+    dictionary expansion (metacache.regex_terms) -> exact-term pruned
+    shard scan."""
+    from inverted_index_spark.qast import Regex
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, Regex("s[cp]a(n|rk)"), with_positions=False
+    ).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
 def _q_facets(spark, sf):
     """Facet counts over a query's match set (search-UI aggregation):
     membership-only plan joined to metadata, ONE pass counts every
@@ -1224,6 +1255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_contract.py remains the full local gate over every
     # entry regardless of order.
     return {
+        "regex_docs": _q_regex_docs,
+        "regex_seg": _q_regex_seg,
         "bm25_boosted": _q_bm25_boosted,
         "facet_stats": _q_facet_stats,
         "percolate": _q_percolate,
@@ -1274,10 +1307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_docs": _q_prefix_docs,
         "phrase_match": _q_phrase_match,
         "near_docs": _q_near_docs,
-        "fuzzy_docs": _q_fuzzy_docs,
-        "wildcard_docs": _q_wildcard_docs,
         # ---- driver-window boundary (~50): everything below holds a
         # green CORRECTNESS_r03 row ----
+        "fuzzy_docs": _q_fuzzy_docs,
+        "wildcard_docs": _q_wildcard_docs,
         "bm25_topk": _q_bm25_topk,
         "wand_topk": _q_wand_topk,
         "bm25_batch": _q_bm25_batch,
@@ -2181,6 +2214,26 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(piece, '' order by pos) as snippet
             from pieces group by doc_id
         """,
+        # Regex('s[cp]a(n|rk)'): whole-term regexp over the
+        # distinct-token dictionary (RE2 evaluates the pattern verbatim
+        # — the engine's subset validator guarantees Java/RE2/Python
+        # agreement), union the matched terms' docs, f32 parity score
+        "regex_docs": f"""
+            with toks as ({_TOKS}),
+            cand as (
+              select distinct term from toks
+              where regexp_full_match(term, 's[cp]a(n|rk)')
+            ),
+            m as (
+              select t.doc_id, sum(strlen(t.term)) as w
+              from toks t join cand using (term)
+              group by t.doc_id
+            )
+            select m.doc_id,
+                   round((m.w::real / sqrt(strlen(d.text)::double)::real
+                         )::real::double, 4)::double as score_r4
+            from m join documents d using (doc_id)
+        """,
         # Wildcard('s?a*'): whole-term regexp over the distinct-token
         # dictionary (RE2 's.a.*' == the engine's translated subset),
         # union the matched terms' docs, f32 parity score
@@ -2808,4 +2861,5 @@ def oracle_sql() -> dict[str, str]:
     out["near_seg"] = out["near_docs"]
     out["fuzzy_seg"] = out["fuzzy_docs"]
     out["wildcard_seg"] = out["wildcard_docs"]
+    out["regex_seg"] = out["regex_docs"]
     return out

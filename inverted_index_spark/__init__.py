@@ -39,6 +39,7 @@ from .qast import (  # noqa: F401
     Phrase,
     Prefix,
     Query,
+    Regex,
     Wildcard,
 )
 from .query import FtsEngine  # noqa: F401
@@ -102,6 +103,7 @@ __all__ = [
     "Near",
     "Fuzzy",
     "Wildcard",
+    "Regex",
     "AtLeast",
     "build_index",
     "build_and_save",

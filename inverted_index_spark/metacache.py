@@ -321,6 +321,60 @@ def wildcard_terms(index_path: str, pattern: str) -> List[str]:
     return out
 
 
+def regex_terms(index_path: str, pattern: str) -> List[str]:
+    """Expansion set for a ``Regex`` node: every dictionary term the
+    pattern fully matches, sorted. Driver-side, no Spark.
+
+    Same shape as :func:`wildcard_terms`: the pattern's leading literal
+    run (qast.regex_parse) restricts the pyarrow termdict read to a
+    sargable ``[prefix, succ(prefix))`` band; the residual fullmatch
+    runs in Python over the band — bit-identical to the relational
+    anchored-``rlike`` plan and the RE2 oracle because the pattern is
+    pre-validated to the dialect-stable subset. A pattern with no
+    literal lead reads the whole dictionary. Memoized per termdict
+    snapshot.
+    """
+    snap = _snapshot(index_path, "termdict")
+    if snap is None or not pattern:
+        return []
+    key = (snap, "regex", pattern)
+    hit = _memo_get(key)
+    if hit is not None:
+        return hit  # type: ignore[return-value]
+    import re
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from .oracle import prefix_upper_bound
+    from .qast import regex_parse
+
+    pre, lit = regex_parse(pattern)
+    if lit is not None:  # pure literal: one exact dictionary probe
+        flt = pc.field("term") == lit
+        table = ds.dataset(snap[0], format="parquet").to_table(
+            columns=["term"], filter=flt
+        )
+        out = sorted(set(table.column("term").to_pylist()))
+        _memo_put(key, out)
+        return out
+    flt = None
+    if pre:
+        flt = pc.field("term") >= pre
+        hi = prefix_upper_bound(pre)
+        if hi is not None:
+            flt = flt & (pc.field("term") < hi)
+    table = ds.dataset(snap[0], format="parquet").to_table(
+        columns=["term"], filter=flt
+    )
+    rx = re.compile(pattern)
+    out = sorted(
+        t for t in table.column("term").to_pylist() if rx.fullmatch(t)
+    )
+    _memo_put(key, out)
+    return out
+
+
 def _first_parquet_file(d: str) -> Optional[str]:
     try:
         for name in sorted(os.listdir(d)):

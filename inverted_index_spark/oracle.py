@@ -155,7 +155,9 @@ from .qast import (  # noqa: E402,F401
     Phrase,
     Prefix,
     Query,
+    Regex,
     Wildcard,
+    regex_parse,
     wildcard_regex,
 )
 
@@ -385,6 +387,23 @@ class OracleIndex:
         ]
         return union_postings(maps)
 
+    def _regex(self, pattern: str) -> PostingsMap:
+        """Raw dictionary regex (qast.Regex): whole-term fullmatch of
+        the dialect-stable validated pattern; empty pattern -> empty
+        (like Prefix/Wildcard)."""
+        if not pattern:
+            return {}
+        regex_parse(pattern)  # same rejection surface as the engine
+        import re
+
+        rx = re.compile(pattern)
+        maps = [
+            pm
+            for term, pm in self.index.items()
+            if rx.fullmatch(term) is not None
+        ]
+        return union_postings(maps)
+
     def postings_for(self, query: Query) -> PostingsMap:
         if isinstance(query, Match):
             return self._match(query.text)
@@ -398,6 +417,8 @@ class OracleIndex:
             return self._prefix(query.text)
         if isinstance(query, Wildcard):
             return self._wildcard(query.pattern)
+        if isinstance(query, Regex):
+            return self._regex(query.pattern)
         if isinstance(query, Near):
             return self._near(query.text, query.slop)
         if isinstance(query, Fuzzy):

@@ -55,7 +55,7 @@ def percolate(
 
     ``queries``: {query_id: Query AST} (or (id, ast) pairs), evaluated
     with the reference's Match/And/Or/Phrase/Prefix semantics plus the
-    engine extensions (AndNot/Near/Fuzzy/Wildcard/AtLeast — Fuzzy
+    engine extensions (AndNot/Near/Fuzzy/Wildcard/Regex/AtLeast — Fuzzy
     expands against the SINGLE doc's vocabulary, the one-doc analog of
     dictionary expansion). Match is prefix-matching, exactly as it is
     in BOTH engine index modes (stored edge-ngrams on parity indexes,

@@ -33,8 +33,210 @@ def wildcard_literal_prefix(pattern: str) -> str:
 
 __all__ = [
     "Query", "Match", "And", "Or", "Phrase", "Prefix", "AndNot",
-    "Near", "Fuzzy", "Wildcard", "AtLeast",
+    "Near", "Fuzzy", "Wildcard", "AtLeast", "Regex",
+    "regex_parse",
 ]
+
+
+# ----------------------------------------------------------------------
+# Regex pattern validation (dialect-stable subset)
+#
+# A Regex query must produce IDENTICAL whole-term membership under
+# three engines: Java regex (Spark ``rlike``), RE2 (DuckDB
+# ``regexp_full_match``) and Python ``re.fullmatch`` (the segment
+# planner's driver-side dictionary expansion and the test oracle).
+# The grammar below is the intersection on which all three agree
+# exactly; everything else is rejected UP FRONT with a ValueError so a
+# dialect divergence can never silently change a result set:
+#
+#     alt    := concat ('|' concat)*
+#     concat := atomq*
+#     atomq  := atom quant?
+#     atom   := literal | '\' metachar | '.' | class | '(' alt ')'
+#     quant  := '*' | '+' | '?' | '{' m '}' | '{' m ',' '}' | '{' m ',' n '}'
+#     class  := '[' '^'? item+ ']'       item := literal | literal '-' literal
+#
+# Deliberately rejected (divergent or error-behavior-unstable across
+# the three engines): anchors ``^``/``$`` (matching is implicitly
+# whole-term, like Lucene RegexpQuery), every ``(?...`` group
+# construct, backslash escapes other than a single metacharacter
+# (``\d``/``\w``/``\b`` have per-engine Unicode semantics), stacked
+# quantifiers (``*?`` lazy / ``*+`` possessive differ), ``&`` inside a
+# class (Java ``&&`` intersection), ``\``/``[`` inside a class, empty
+# classes/branches-with-bad-bounds, and bare ``]``/``}``/``{`` outside
+# their constructs (literal in some engines, an error in others).
+
+_RX_ESCAPABLE = set("\\.[](){}*+?|^$-/")
+_RX_QUANT_START = set("*+?{")
+
+
+class _RxScan:
+    __slots__ = ("p", "i", "n")
+
+    def __init__(self, p: str):
+        self.p, self.i, self.n = p, 0, len(p)
+
+    def peek(self) -> str:
+        return self.p[self.i] if self.i < self.n else ""
+
+    def take(self) -> str:
+        ch = self.p[self.i]
+        self.i += 1
+        return ch
+
+    def err(self, msg: str) -> ValueError:
+        return ValueError(
+            f"Regex pattern {self.p!r}: {msg} at position {self.i} — only "
+            "the dialect-stable subset (literals, '\\'-escaped "
+            "metacharacters, '.', simple [] classes, (), |, * + ? {m,n}) "
+            "is supported"
+        )
+
+
+def _rx_class(s: _RxScan) -> None:
+    if s.peek() == "^":
+        s.take()
+    prev = None  # last literal eligible as a range start
+    n_items = 0
+    while True:
+        ch = s.peek()
+        if ch == "":
+            raise s.err("unterminated character class")
+        if ch == "]":
+            s.take()
+            if n_items == 0:
+                raise s.err("empty character class")
+            return
+        if ch in "\\[&":
+            raise s.err(f"{ch!r} inside a character class")
+        s.take()
+        if ch == "-" and prev is not None and s.peek() not in ("]", ""):
+            hi = s.peek()
+            if hi in "\\[&":
+                raise s.err(f"{hi!r} inside a character class")
+            s.take()
+            if ord(hi) < ord(prev):
+                raise s.err(f"reversed range {prev}-{hi}")
+            prev = None
+        else:
+            prev = ch if ch != "-" else None
+        n_items += 1
+
+
+def _rx_quant(s: _RxScan) -> bool:
+    """Consume one quantifier if present; True when consumed."""
+    ch = s.peek()
+    if ch and ch in "*+?":
+        s.take()
+        nxt = s.peek()
+        if nxt and nxt in "*+?":
+            raise s.err("stacked quantifiers (lazy/possessive forms)")
+        return True
+    if ch == "{":
+        s.take()
+        lo = ""
+        while s.peek().isdigit():
+            lo += s.take()
+        if not lo:
+            raise s.err("bound {m[,n]} needs digits")
+        hi = None
+        if s.peek() == ",":
+            s.take()
+            hi = ""
+            while s.peek().isdigit():
+                hi += s.take()
+        if s.peek() != "}":
+            raise s.err("unterminated {m,n} bound")
+        s.take()
+        if hi:
+            if int(hi) < int(lo):
+                raise s.err(f"reversed bound {{{lo},{hi}}}")
+        if s.peek() in _RX_QUANT_START:
+            raise s.err("stacked quantifiers")
+        return True
+    return False
+
+
+def _rx_concat(s: _RxScan, depth: int) -> list:
+    """Parse one alternation branch; returns [(literal_or_None,
+    quantified)] per atom (literal = the unescaped char when the atom
+    is a single literal character)."""
+    atoms = []
+    while True:
+        ch = s.peek()
+        if ch == "" or ch == "|" or (ch == ")" and depth > 0):
+            return atoms
+        if ch in "^$":
+            raise s.err("anchors (matching is whole-term already)")
+        if ch in "*+?{":
+            raise s.err("quantifier with nothing to repeat")
+        if ch in ")]}":
+            raise s.err(f"unbalanced {ch!r}")
+        lit = None
+        if ch == "\\":
+            s.take()
+            nxt = s.peek()
+            if nxt == "" or nxt not in _RX_ESCAPABLE:
+                raise s.err(
+                    f"escape '\\{nxt}' (only metacharacter escapes are "
+                    "dialect-stable)"
+                )
+            lit = s.take()
+        elif ch == "(":
+            s.take()
+            if s.peek() == "?":
+                raise s.err("'(?...' group constructs")
+            _rx_alt(s, depth + 1)
+            if s.peek() != ")":
+                raise s.err("unbalanced '('")
+            s.take()
+        elif ch == "[":
+            s.take()
+            _rx_class(s)
+        elif ch == ".":
+            s.take()
+        else:
+            lit = s.take()
+        atoms.append((lit, _rx_quant(s)))
+
+
+def _rx_alt(s: _RxScan, depth: int) -> list:
+    branches = [_rx_concat(s, depth)]
+    while s.peek() == "|":
+        s.take()
+        branches.append(_rx_concat(s, depth))
+    return branches
+
+
+def regex_parse(pattern: str) -> Tuple[str, "str | None"]:
+    """Validate ``pattern`` against the dialect-stable subset (see the
+    grammar comment above) and return ``(literal_prefix, literal)``:
+
+    - ``literal_prefix`` — the unescaped literal characters every match
+      must start with (the sargable term-dictionary band; ``""`` when
+      the pattern starts with a non-literal atom or has a top-level
+      alternation).
+    - ``literal`` — the full unescaped string when the pattern is one
+      branch of only unquantified literal atoms (an exact dictionary
+      lookup), else ``None``.
+
+    Raises ``ValueError`` for anything outside the subset, so a Java /
+    RE2 / Python divergence can never silently change a result set.
+    """
+    s = _RxScan(pattern)
+    branches = _rx_alt(s, 0)
+    if s.i != s.n:  # unconsumed ')' at depth 0
+        raise s.err(f"unbalanced {s.peek()!r}")
+    if len(branches) != 1:
+        return "", None
+    atoms = branches[0]
+    prefix_chars = []
+    for lit, quant in atoms:
+        if lit is None or quant:
+            return "".join(prefix_chars), None
+        prefix_chars.append(lit)
+    lit_all = "".join(prefix_chars)
+    return lit_all, lit_all
 
 
 @dataclass(frozen=True)
@@ -151,6 +353,34 @@ class Wildcard(Query):
     """
 
     pattern: str
+
+
+@dataclass(frozen=True)
+class Regex(Query):
+    """Raw (un-analyzed) dictionary regular-expression match: the
+    pattern must match WHOLE dictionary terms (implicitly anchored,
+    like Lucene RegexpQuery) and is restricted to the dialect-stable
+    subset validated by :func:`regex_parse` — literals, ``\\``-escaped
+    metacharacters, ``.``, simple ``[]`` classes (ranges, leading ``^``
+    negation), grouping ``()``, alternation ``|`` and the quantifiers
+    ``* + ? {m} {m,} {m,n}`` — exactly the grammar on which Java
+    (Spark ``rlike``), RE2 (DuckDB) and Python ``re`` agree, so every
+    physical path returns identical membership. Anything outside the
+    subset raises ``ValueError`` at construction.
+
+    Engine EXTENSION (Lucene RegexpQuery analog; the reference's only
+    dictionary operator is Prefix, query.rs:23-25). Completes the
+    multi-term family: Prefix ⊂ Wildcard ⊂ Regex. The pattern's
+    leading literal run prunes as a sargable term range; a pattern with
+    no literal lead scans the whole dictionary — legal, but O(vocab).
+    Empty pattern -> empty result (mirrors Prefix/Wildcard).
+    """
+
+    pattern: str
+
+    def __post_init__(self):
+        if self.pattern:
+            regex_parse(self.pattern)
 
 
 @dataclass(frozen=True)

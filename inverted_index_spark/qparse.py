@@ -71,6 +71,7 @@ from .qast import (
     Phrase,
     Prefix,
     Query,
+    Regex,
     Wildcard,
 )
 
@@ -90,8 +91,8 @@ def expand_synonyms(q: Query, synonyms) -> Query:
     a union of its terms (reference index.rs:76-86), so it splits
     per-term and re-unions. ONLY Match leaves rewrite: positional nodes
     (Phrase/Near) would need graph-token offsets to stay correct, and
-    raw dictionary nodes (Prefix/Wildcard/Fuzzy) are term-set operators
-    already — all pass through untouched, as do the combinators
+    raw dictionary nodes (Prefix/Wildcard/Regex/Fuzzy) are term-set
+    operators already — all pass through untouched, as do the combinators
     (And/Or/AndNot/AtLeast recurse). Nodes without a synonym hit are
     returned AS-IS (object identity preserved — cheap no-op when the
     table misses).
@@ -450,6 +451,12 @@ def render_query(q: Query) -> str:
         raise ValueError(
             "AtLeast has no string form (the query-string grammar stays "
             "the reference's boolean algebra) — construct it via the AST"
+        )
+    if isinstance(q, Regex):
+        raise ValueError(
+            "Regex has no string form (regex metacharacters would "
+            "collide with the query grammar's own * ? ~ lexing) — "
+            "construct it via the AST"
         )
     raise TypeError(f"unknown query node: {q!r}")
 

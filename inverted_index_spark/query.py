@@ -52,7 +52,9 @@ from .qast import (
     Phrase,
     Prefix,
     Query,
+    Regex,
     Wildcard,
+    regex_parse,
     wildcard_literal_prefix,
     wildcard_regex,
 )
@@ -214,6 +216,31 @@ class FtsEngine:
         if pre == pattern:  # no wildcard chars: exact dictionary term
             return self._scan(F.col("term") == pattern)
         pred = F.col("term").rlike("^" + wildcard_regex(pattern) + "$")
+        if pre:
+            pred = (F.col("term") >= pre) & pred
+            hi = prefix_upper_bound(pre)
+            if hi is not None:
+                pred = (F.col("term") < hi) & pred
+        return self._scan(pred)
+
+    def _regex(self, pattern: str) -> PlanResult:
+        """Raw dictionary regex (qast.Regex): the pattern's leading
+        literal run prunes as a sargable term range (parquet min/max
+        fences, like Prefix/Wildcard), the residual whole-term match
+        runs as an anchored JVM ``rlike`` over the surviving rows — the
+        pattern is pre-validated to the dialect-stable subset
+        (qast.regex_parse), so this equals the segment path's
+        driver-side Python expansion and the RE2 oracle exactly. A
+        pure-literal pattern degenerates to an exact dictionary lookup.
+        """
+        if not pattern:
+            return self._empty()
+        pre, lit = regex_parse(pattern)
+        if lit is not None:  # no metacharacters: exact dictionary term
+            return self._scan(F.col("term") == lit)
+        # '(?:...)' so alternation can't leak past the anchors — a
+        # generated wrapper, not part of the user-facing subset
+        pred = F.col("term").rlike("^(?:" + pattern + ")$")
         if pre:
             pred = (F.col("term") >= pre) & pred
             hi = prefix_upper_bound(pre)
@@ -498,6 +525,8 @@ class FtsEngine:
             return self._prefix(query.text)
         if isinstance(query, Wildcard):
             return self._wildcard(query.pattern)
+        if isinstance(query, Regex):
+            return self._regex(query.pattern)
         if isinstance(query, Phrase):
             return self._phrase(query.text)
         if isinstance(query, Near):
@@ -1470,8 +1499,9 @@ class FtsEngine:
         )
 
     def _expansion_terms(self, q: Query, max_expansions: int) -> List[str]:
-        """Flatten a term-bag query (Match / Fuzzy / Wildcard / Prefix /
-        Or of those) to its exact dictionary terms, each leaf capped at
+        """Flatten a term-bag query (Match / Fuzzy / Wildcard / Regex /
+        Prefix / Or of those) to its exact dictionary terms, each leaf
+        capped at
         ``max_expansions`` by (df_full desc, term asc). Driver-side —
         the expansion is at most a few hundred strings by construction."""
         if isinstance(q, Match):
@@ -1516,6 +1546,22 @@ class FtsEngine:
                 if hi is not None:
                     cand = cand.filter(F.col("term") < hi)
             cap = max_expansions
+        elif isinstance(q, Regex):
+            if not q.pattern:
+                return []
+            pre, lit = regex_parse(q.pattern)
+            if lit is not None:
+                cand = td.filter(F.col("term") == lit)
+            else:
+                cand = td.filter(
+                    F.col("term").rlike("^(?:" + q.pattern + ")$")
+                )
+                if pre:
+                    cand = cand.filter(F.col("term") >= pre)
+                    hi = prefix_upper_bound(pre)
+                    if hi is not None:
+                        cand = cand.filter(F.col("term") < hi)
+            cap = max_expansions
         elif isinstance(q, Prefix):
             if not q.text:
                 return []
@@ -1527,7 +1573,7 @@ class FtsEngine:
         else:
             raise ValueError(
                 f"bm25_query ranks term-bag queries (Match/Fuzzy/Wildcard/"
-                f"Prefix/Or of those), not {type(q).__name__} — use "
+                f"Regex/Prefix/Or of those), not {type(q).__name__} — use "
                 "results() for positional/boolean semantics"
             )
         rows = (

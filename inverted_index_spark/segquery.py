@@ -50,6 +50,7 @@ from .qast import (
     Phrase,
     Prefix,
     Query,
+    Regex,
     Wildcard,
 )
 from .segments import DOCSTATS_TERM, load_manifest
@@ -72,9 +73,10 @@ MAX_WILDCARD_EXPANSIONS = int(
 
 
 class WildcardTooBroad(ValueError):
-    """A Wildcard matched more dictionary terms than the segment
-    planner will expand (MAX_WILDCARD_EXPANSIONS). FtsEngine catches
-    this and serves the query from the relational plan instead."""
+    """A dictionary-expansion node (Wildcard/Regex) matched more terms
+    than the segment planner will expand (MAX_WILDCARD_EXPANSIONS).
+    FtsEngine catches this and serves the query from the relational
+    plan instead (a single anchored-rlike scan)."""
 
 
 def _index_ngrams(index_path: str) -> bool:
@@ -176,6 +178,33 @@ def _compile_node(
         if len(expanded) > MAX_WILDCARD_EXPANSIONS:
             raise WildcardTooBroad(
                 f"Wildcard {q.pattern!r} matches {len(expanded)} dictionary "
+                f"terms (> {MAX_WILDCARD_EXPANSIONS}); the segment planner "
+                "won't expand it — use the relational plan (FtsEngine falls "
+                "back automatically) or narrow the pattern"
+            )
+        idxs = []
+        for t in expanded:
+            idxs.append(len(ranges))
+            ranges.append((t, t + "\x00"))
+        return ("match", idxs)
+    if isinstance(q, Regex):
+        # raw dictionary regex: driver-side expansion against the
+        # termdict (literal-prefix-banded read, metacache.regex_terms)
+        # -> exact-term ranges; the dialect-stable validated subset
+        # (qast.regex_parse) makes this identical to the relational
+        # anchored-rlike plan
+        if not q.pattern:
+            return ("empty",)
+        if index_path is None:
+            raise ValueError("Regex needs a saved index (term dictionary)")
+        from . import metacache
+
+        expanded = metacache.regex_terms(index_path, q.pattern)
+        if not expanded:
+            return ("empty",)
+        if len(expanded) > MAX_WILDCARD_EXPANSIONS:
+            raise WildcardTooBroad(
+                f"Regex {q.pattern!r} matches {len(expanded)} dictionary "
                 f"terms (> {MAX_WILDCARD_EXPANSIONS}); the segment planner "
                 "won't expand it — use the relational plan (FtsEngine falls "
                 "back automatically) or narrow the pattern"

@@ -4,6 +4,7 @@ positions, parity scores, and rank order must all agree for every query
 shape (Match / And / Or / Phrase / Prefix)."""
 
 import random
+import re
 
 import pytest
 
@@ -17,6 +18,7 @@ from inverted_index_spark.qast import (
     Or,
     Phrase,
     Prefix,
+    Regex,
     Wildcard,
 )
 from tests.conftest import build_engine
@@ -64,6 +66,17 @@ def _queries(seed: int):
                 Wildcard(f"{t1[:1]}*{t1[-1:]}"),
                 Wildcard(("?" + t1[1:]) if len(t1) > 1 else "?"),
                 And(Wildcard(f"*{t2[-1:]}"), Match(t1)),
+                # raw dictionary regex (engine extension): alternation
+                # of exact terms, class head + dot-star tail, optional
+                # quantifier, and composition with the boolean algebra
+                # (WORDS are alphanumeric after analysis — no escaping
+                # needed inside the dialect-stable subset)
+                Regex(f"{re.escape(t1)}|{re.escape(t2)}"),
+                Regex(f"[{t1[:1]}{t2[:1]}].*"
+                      if t1[:1] != t2[:1] else f"{re.escape(t1[:1])}.*"),
+                Regex(f"{re.escape(t1)}s?"),
+                And(Regex(f"{re.escape(t1)}|{re.escape(t2)}"), Match(t2)),
+                AndNot(Match(t1), Regex(f"{re.escape(t2[:1])}.*")),
                 # minimum-should-match: the general 1 < m < n shape,
                 # with Phrase children (zero-hit membership quirk must
                 # count as a vote) and nested composition both ways

@@ -584,6 +584,24 @@ def _q_regex_seg(spark, sf):
     )
 
 
+def _q_term_vector(spark, sf):
+    """Per-doc term vector (Lucene TermVectors analog): doc 7's
+    distinct analyzed terms with in-doc tf, corpus df and exploded
+    byte-offset positions. ONE sargable doc-store row fetch +
+    driver-side re-analysis; dfs from the termdict."""
+    eng = _engine_fulltoken(spark, sf)
+    return (
+        eng.term_vector(7)
+        .select("term", "tf", "df", F.explode("positions").alias("p"))
+        .select(
+            "term", "tf", "df",
+            F.col("p.pos").alias("pos"),
+            F.col("p.begin").alias("off_b"),
+            F.col("p.end").alias("off_e"),
+        )
+    )
+
+
 def _q_facets(spark, sf):
     """Facet counts over a query's match set (search-UI aggregation):
     membership-only plan joined to metadata, ONE pass counts every
@@ -1257,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "regex_docs": _q_regex_docs,
         "regex_seg": _q_regex_seg,
+        "term_vector": _q_term_vector,
         "bm25_boosted": _q_bm25_boosted,
         "facet_stats": _q_facet_stats,
         "percolate": _q_percolate,
@@ -1306,9 +1325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "andnot_docs": _q_andnot_docs,
         "prefix_docs": _q_prefix_docs,
         "phrase_match": _q_phrase_match,
-        "near_docs": _q_near_docs,
         # ---- driver-window boundary (~50): everything below holds a
         # green CORRECTNESS_r03 row ----
+        "near_docs": _q_near_docs,
         "fuzzy_docs": _q_fuzzy_docs,
         "wildcard_docs": _q_wildcard_docs,
         "bm25_topk": _q_bm25_topk,
@@ -1794,6 +1813,28 @@ def oracle_sql() -> dict[str, str]:
             from ({_TOKS}) group by term
         """,
         "term_positions": f"select doc_id, term, pos from ({_TOKS})",
+        # term_vector(7): doc 7's distinct terms, tf = in-doc count,
+        # df = docs containing the term, byte offsets rebuilt from the
+        # cumulative token lengths (space-joined corpus)
+        "term_vector": f"""
+            with toks as ({_TOKS}),
+            tk as (
+              select doc_id, term, pos,
+                     coalesce(sum(strlen(term) + 1) over (
+                       partition by doc_id order by pos
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) as off
+              from toks
+            ),
+            d7 as (select term, pos, off from tk where doc_id = 7),
+            tf as (select term, count(*)::bigint as tf from d7 group by term),
+            dfx as (select term, count(distinct doc_id)::bigint as df
+                    from toks group by term)
+            select d7.term, tf.tf, dfx.df, d7.pos,
+                   d7.off::int as off_b,
+                   (d7.off + strlen(d7.term))::int as off_e
+            from d7 join tf using (term) join dfx using (term)
+        """,
         "match_docs": f"""
             with m as (
               select doc_id, count(*)::bigint as cnt

@@ -58,16 +58,21 @@ def _memo_put(key: tuple, value) -> None:
     _MEMO[key] = value
 
 
-def term_dfs(index_path: str, terms: List[str]) -> Dict[str, int]:
-    """``term -> df_full`` for the given terms, read driver-side.
+def term_dfs(
+    index_path: str, terms: List[str], column: str = "df_full"
+) -> Dict[str, int]:
+    """``term -> doc frequency`` for the given terms, read driver-side.
 
-    Missing terms are absent from the result (df 0). One filtered
-    pyarrow read of the termdict parquet — no Spark job.
+    ``column`` picks the termdict frequency: ``df_full`` (full-token
+    doc freq, the BM25 statistic) or ``df`` (per-dictionary-entry doc
+    freq — differs only on edge-ngram indexes, where prefixes carry
+    tf=0 postings). Missing terms are absent from the result (df 0).
+    One filtered pyarrow read of the termdict parquet — no Spark job.
     """
     snap = _snapshot(index_path, "termdict")
     if snap is None:
         return {}
-    key = (snap, "df", tuple(sorted(terms)))
+    key = (snap, "df", column, tuple(sorted(terms)))
     hit = _memo_get(key)
     if hit is not None:
         return hit  # type: ignore[return-value]
@@ -75,11 +80,11 @@ def term_dfs(index_path: str, terms: List[str]) -> Dict[str, int]:
 
     table = pq.read_table(
         snap[0],
-        columns=["term", "df_full"],
+        columns=["term", column],
         filters=[("term", "in", list(terms))],
     )
     out = dict(
-        zip(table.column("term").to_pylist(), table.column("df_full").to_pylist())
+        zip(table.column("term").to_pylist(), table.column(column).to_pylist())
     )
     _memo_put(key, out)
     return out

@@ -935,6 +935,70 @@ class FtsEngine:
             out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return out
 
+    def term_vector(self, doc_id: int) -> DataFrame:
+        """Per-document term vector (Lucene TermVectors analog): one
+        row per distinct analyzed term of the doc with its in-doc
+        ``tf``, corpus ``df`` (docs containing the dictionary entry)
+        and byte-offset ``positions``, term-sorted.
+
+        Scale shape (cf. :meth:`more_like_this`): ONE sargable
+        doc-store row fetch, driver-side re-analysis (a single document
+        is always driver-sized), dfs via the metacache with zero Spark
+        jobs on a saved index — the result is a driver-built local
+        relation, so there is no distributed work beyond the row fetch.
+
+        Terms reflect the INDEX analyzer (stored edge-ngrams on parity
+        indexes, full tokens otherwise): the vector lists exactly the
+        dictionary entries this doc contributed to, with df counted per
+        dictionary entry (termdict ``df``, which equals ``df_full`` on
+        full-token indexes).
+        """
+        if self.index.docs is None:
+            raise ValueError(
+                "term_vector needs the doc store (store_docs=True or "
+                "docs= attached to the index)"
+            )
+        rows = (
+            self.index.docs.filter(F.col("doc_id") == doc_id)
+            .select("text")
+            .take(1)
+        )
+        if not rows:
+            raise ValueError(f"doc_id {doc_id} not in the doc store")
+        from .analysis import analyze_index
+
+        by_term: dict = {}
+        for tok in analyze_index(rows[0]["text"], ngrams=self.index.ngrams):
+            by_term.setdefault(tok.term, []).append(
+                (tok.begin, tok.end, tok.pos)
+            )
+        spark = self.index.docstats.sparkSession
+        schema = (
+            "term string, tf long, df long, "
+            "positions array<struct<begin:int,end:int,pos:int>>"
+        )
+        if not by_term:
+            return spark.createDataFrame([], schema)
+        path = getattr(self.index, "path", None)
+        if path:
+            from . import metacache
+
+            dfs = metacache.term_dfs(path, list(by_term), column="df")
+        else:
+            dfs = {
+                r["term"]: r["df"]
+                for r in self.index.termdict.filter(
+                    F.col("term").isin(list(by_term))
+                )
+                .select("term", "df")
+                .collect()
+            }
+        data = [
+            (t, len(ps), int(dfs.get(t, 0)), ps)
+            for t, ps in sorted(by_term.items())
+        ]
+        return spark.createDataFrame(data, schema)
+
     _HISTOGRAM_INTERVALS = (
         "year", "quarter", "month", "week", "day", "hour", "minute",
     )

@@ -523,3 +523,66 @@ def test_min_window_pandas_matches_engine(spark, tmp_path, query):
         pdf = min_window_pandas(path, query, window=window)
         got = list(zip(pdf["doc_id"].tolist(), pdf["span"].tolist()))
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# term_vector (per-doc term/tf/df/positions accessor)
+
+
+def test_term_vector_matches_reanalysis(spark):
+    """Full-token engine: the vector must list exactly the doc's
+    distinct analyzed terms, term-sorted, with tf = occurrence count,
+    positions = the analyzer's byte offsets, df = docs containing the
+    term."""
+    eng = build_engine(spark, DOCS, ngrams=False)
+    text = dict(DOCS)[5]
+    toks = list(analyze_index(text, ngrams=False))
+    want = {}
+    for t in toks:
+        want.setdefault(t.term, []).append((t.begin, t.end, t.pos))
+    got = eng.term_vector(5).collect()
+    assert [r["term"] for r in got] == sorted(want)
+    for r in got:
+        assert r["tf"] == len(want[r["term"]])
+        assert [(p["begin"], p["end"], p["pos"]) for p in r["positions"]] \
+            == want[r["term"]]
+        hand_df = sum(
+            1 for _, txt in DOCS
+            if any(tok.term == r["term"]
+                   for tok in analyze_index(txt, ngrams=False))
+        )
+        assert r["df"] == hand_df, r["term"]
+
+
+def test_term_vector_ngram_index_lists_stored_prefixes(spark):
+    """Parity (edge-ngram) engine: the vector lists the stored
+    dictionary entries (every token prefix), with df counted per
+    ENTRY — 's' covers scan AND stream docs."""
+    eng = build_engine(spark, DOCS, ngrams=True)
+    rows = {r["term"]: r for r in eng.term_vector(4).collect()}
+    assert "scan" in rows and "s" in rows and "sc" in rows
+    assert rows["scan"]["df"] == 4   # docs 0, 1, 4, 5
+    assert rows["s"]["df"] == 6      # + stream docs 2, 3
+    assert rows["batch"]["tf"] == 1
+
+
+def test_term_vector_saved_index_identical(spark, tmp_path):
+    """Saved index (metacache df read, zero Spark jobs) returns the
+    same rows as the in-memory build."""
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.query import FtsEngine
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    path = str(tmp_path / "tv_idx")
+    idx = build_and_save(spark, df, path, ngrams=False, term_buckets=4)
+    eng_saved = FtsEngine(idx)
+    eng_mem = build_engine(spark, DOCS, ngrams=False)
+    a = [tuple(r) for r in eng_saved.term_vector(2).collect()]
+    b = [tuple(r) for r in eng_mem.term_vector(2).collect()]
+    assert a == b and a
+
+
+def test_term_vector_errors(spark):
+    eng = build_engine(spark, DOCS, ngrams=False)
+    with pytest.raises(ValueError, match="not in the doc store"):
+        eng.term_vector(999)

@@ -145,6 +145,7 @@ def main() -> None:
         Or,
         Phrase,
         Prefix,
+        Regex,
         Wildcard,
     )
     from inverted_index_spark.percolate import percolate
@@ -381,6 +382,12 @@ def main() -> None:
         # expansion -> exact-term pruned shard scan
         "wildcard_seg": lambda: segment_query(
             spark, idx_path, Wildcard("s?a*"), k=10,
+            with_positions=False, mode="spark",
+        ).collect(),
+        # regex (engine extension): validated dialect-stable pattern,
+        # literal-banded dictionary expansion -> exact-term pruned scan
+        "regex_seg": lambda: segment_query(
+            spark, idx_path, Regex("s[cp]a(n|rk)"), k=10,
             with_positions=False, mode="spark",
         ).collect(),
         # minimum-should-match (engine extension): per-shard vote

@@ -63,8 +63,13 @@ __all__ = [
 # (``\d``/``\w``/``\b`` have per-engine Unicode semantics), stacked
 # quantifiers (``*?`` lazy / ``*+`` possessive differ), ``&`` inside a
 # class (Java ``&&`` intersection), ``\``/``[`` inside a class, empty
-# classes/branches-with-bad-bounds, and bare ``]``/``}``/``{`` outside
-# their constructs (literal in some engines, an error in others).
+# classes/branches-with-bad-bounds, bare ``]``/``}``/``{`` outside
+# their constructs (literal in some engines, an error in others),
+# repetition bounds above 1000 (the RE2 limit — larger bounds error on
+# one engine only), and UNBOUNDED quantifiers on non-deterministic
+# groups (``(a*)*`` / ``(a|aa)*`` shapes: linear on RE2 but
+# exponential backtracking on the Java/Python evaluators; ``(ab)*``
+# and single-distinct-char alternations like ``(y|z)*`` stay legal).
 
 _RX_ESCAPABLE = set("\\.[](){}*+?|^$-/")
 _RX_QUANT_START = set("*+?{")
@@ -123,15 +128,23 @@ def _rx_class(s: _RxScan) -> None:
         n_items += 1
 
 
-def _rx_quant(s: _RxScan) -> bool:
-    """Consume one quantifier if present; True when consumed."""
+# RE2 (DuckDB) rejects repetition bounds above 1000; Java and Python
+# accept them — a larger bound would be a divergent ERROR surface, so
+# the validator pins the common limit.
+_RX_MAX_BOUND = 1000
+
+
+def _rx_quant(s: _RxScan) -> Tuple[bool, "int | None"]:
+    """Consume one quantifier if present; ``(consumed, max_reps)``
+    where ``max_reps`` is the quantifier's repetition ceiling (None =
+    unbounded)."""
     ch = s.peek()
     if ch and ch in "*+?":
         s.take()
         nxt = s.peek()
         if nxt and nxt in "*+?":
             raise s.err("stacked quantifiers (lazy/possessive forms)")
-        return True
+        return True, (1 if ch == "?" else None)
     if ch == "{":
         s.take()
         lo = ""
@@ -145,27 +158,39 @@ def _rx_quant(s: _RxScan) -> bool:
             hi = ""
             while s.peek().isdigit():
                 hi += s.take()
+            hi = None if hi == "" else hi
+        else:
+            hi = lo  # {m} == {m,m}
         if s.peek() != "}":
             raise s.err("unterminated {m,n} bound")
         s.take()
-        if hi:
-            if int(hi) < int(lo):
-                raise s.err(f"reversed bound {{{lo},{hi}}}")
+        if int(lo) > _RX_MAX_BOUND or (hi is not None and int(hi) > _RX_MAX_BOUND):
+            raise s.err(
+                f"repetition bound above {_RX_MAX_BOUND} (the RE2 limit "
+                "— larger bounds error on one engine only)"
+            )
+        if hi is not None and int(hi) < int(lo):
+            raise s.err(f"reversed bound {{{lo},{hi}}}")
         if s.peek() in _RX_QUANT_START:
             raise s.err("stacked quantifiers")
-        return True
-    return False
+        return True, (None if hi is None else int(hi))
+    return False, 0
 
 
-def _rx_concat(s: _RxScan, depth: int) -> list:
-    """Parse one alternation branch; returns [(literal_or_None,
-    quantified)] per atom (literal = the unescaped char when the atom
-    is a single literal character)."""
+def _rx_concat(s: _RxScan, depth: int) -> Tuple[list, bool, bool]:
+    """Parse one alternation branch. Returns ``(atoms, any_quant,
+    any_alt)``: per-atom ``(literal_or_None, quantified)`` records
+    (literal = the unescaped char when the atom is a single literal
+    character), plus whether the branch contains any quantifier or any
+    alternation at ANY depth (group-body metadata for the
+    backtracking-safety check below)."""
     atoms = []
+    any_quant = False
+    any_alt = False
     while True:
         ch = s.peek()
         if ch == "" or ch == "|" or (ch == ")" and depth > 0):
-            return atoms
+            return atoms, any_quant, any_alt
         if ch in "^$":
             raise s.err("anchors (matching is whole-term already)")
         if ch in "*+?{":
@@ -173,6 +198,7 @@ def _rx_concat(s: _RxScan, depth: int) -> list:
         if ch in ")]}":
             raise s.err(f"unbalanced {ch!r}")
         lit = None
+        grp = None  # (branches, inner_quant, inner_alt) for group atoms
         if ch == "\\":
             s.take()
             nxt = s.peek()
@@ -186,7 +212,7 @@ def _rx_concat(s: _RxScan, depth: int) -> list:
             s.take()
             if s.peek() == "?":
                 raise s.err("'(?...' group constructs")
-            _rx_alt(s, depth + 1)
+            grp = _rx_alt(s, depth + 1)
             if s.peek() != ")":
                 raise s.err("unbalanced '('")
             s.take()
@@ -197,15 +223,58 @@ def _rx_concat(s: _RxScan, depth: int) -> list:
             s.take()
         else:
             lit = s.take()
-        atoms.append((lit, _rx_quant(s)))
+        quant, max_reps = _rx_quant(s)
+        if grp is not None:
+            g_branches, g_quant, g_alt = grp
+            any_quant |= g_quant
+            any_alt |= g_alt or len(g_branches) > 1
+            if quant and (max_reps is None or max_reps > 10):
+                # exponential-backtracking guard for the Java evaluator
+                # (RE2 is immune; Python is not): a many-repetition
+                # quantifier on a group is safe only when the body is
+                # deterministic — no inner quantifier anywhere, and any
+                # alternation is exactly the top-level one with single
+                # DISTINCT literal-char branches ((y|z)* fine, (a|aa)*
+                # / (a|.)* / (a*)* rejected; small bounds like
+                # (a|aa){0,3} stay legal — ambiguity is capped).
+                simple_alt = (
+                    not g_quant
+                    and not g_alt
+                    and all(
+                        len(b) == 1 and b[0][0] is not None and not b[0][1]
+                        for b in g_branches
+                    )
+                    and len({b[0][0] for b in g_branches}) == len(g_branches)
+                )
+                single_literal_run = len(g_branches) == 1 and not g_quant \
+                    and not g_alt and all(
+                        a[0] is not None and not a[1] for a in g_branches[0]
+                    )
+                if not (simple_alt or single_literal_run):
+                    raise s.err(
+                        "unbounded/large-bound quantifier on a "
+                        "non-deterministic group (exponential "
+                        "backtracking on the Java evaluator) — bound "
+                        "it ({m,n}, n <= 10) or simplify the group to "
+                        "literals / a single-char alternation"
+                    )
+        any_quant |= quant
+        atoms.append((lit, quant))
 
 
-def _rx_alt(s: _RxScan, depth: int) -> list:
-    branches = [_rx_concat(s, depth)]
+def _rx_alt(s: _RxScan, depth: int) -> Tuple[list, bool, bool]:
+    """(branches, any_quant_inside, any_alt_inside) — the aggregate
+    flags cover every depth below this point (branch count at THIS
+    level is len(branches), reported by the caller)."""
+    atoms, q, a = _rx_concat(s, depth)
+    branches = [atoms]
     while s.peek() == "|":
         s.take()
-        branches.append(_rx_concat(s, depth))
-    return branches
+        atoms, q2, a2 = _rx_concat(s, depth)
+        branches.append(atoms)
+        q |= q2
+        a |= a2
+    return branches, q, a
 
 
 def regex_parse(pattern: str) -> Tuple[str, "str | None"]:
@@ -224,7 +293,7 @@ def regex_parse(pattern: str) -> Tuple[str, "str | None"]:
     RE2 / Python divergence can never silently change a result set.
     """
     s = _RxScan(pattern)
-    branches = _rx_alt(s, 0)
+    branches, _, _ = _rx_alt(s, 0)
     if s.i != s.n:  # unconsumed ')' at depth 0
         raise s.err(f"unbalanced {s.peek()!r}")
     if len(branches) != 1:

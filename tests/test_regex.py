@@ -63,6 +63,10 @@ def test_regex_parse_accepts_subset():
         ("(ab)cd", "", None),  # group atom: conservative empty prefix
         ("a{2}", "", None),
         ("a{2,}", "", None),
+        ("(ab)*", "", None),      # deterministic group under star
+        ("(y|z)*", "", None),     # distinct single-char alternation
+        ("(a|aa){0,3}", "", None),  # ambiguity capped by a small bound
+        ("a{1000}", "", None),    # exactly the RE2 bound limit
     ]
     for pattern, want_pre, want_lit in table:
         pre, lit = regex_parse(pattern)
@@ -95,6 +99,17 @@ def test_regex_parse_rejects_divergent_constructs():
         "{2}a",
         "a[\\]]",   # backslash inside a class
         "[[ab]",    # [ inside a class
+        "a{1001}",  # above the RE2 repetition limit (error on one engine)
+        "a{5,2000}",
+        # exponential-backtracking shapes on the Java/Python evaluators
+        # (RE2 is linear — a hang on one engine is a divergence too)
+        "(a*)*",
+        "(a+)+",
+        "(a|aa)*",
+        "(a|.)*",
+        "(a?b)*",
+        "(a|aa){0,100}",  # big bounded ambiguity is still exponential
+        "((ab)c)*",       # nested group under star: conservative reject
     ]
     for pattern in bad:
         with pytest.raises(ValueError):
@@ -340,3 +355,120 @@ def test_regex_on_ngram_index_matches_stored_prefixes(spark):
     assert _docs(eng.results(Regex("scan"), with_positions=False)) == [
         1, 2, 3, 4, 5, 7,
     ]
+
+
+# ---------------------------------------------------------------------------
+# grammar-wide dialect parity: random patterns from the validated
+# subset, Java (relational rlike) vs Python (re.fullmatch expectation
+# + the segment planner's driver-side expansion)
+
+
+def _gen_pattern(rng, alphabet):
+    """Random pattern from the dialect-stable grammar subset."""
+    def atom():
+        # returns (fragment, is_group)
+        r = rng.random()
+        if r < 0.45:
+            ch = rng.choice(alphabet)
+            # escape it if it's a metacharacter we allow as a literal
+            frag = re.escape(ch) if ch in ".[](){}*+?|^$-/\\" else ch
+            return frag, False
+        if r < 0.60:
+            return ".", False
+        if r < 0.80:
+            lo, hi = sorted(rng.sample("abcdefgmnstz", 2))
+            neg = "^" if rng.random() < 0.2 else ""
+            extra = rng.choice(alphabet + ["0", "9"])
+            if extra in "\\[&]^-":
+                extra = "q"
+            return f"[{neg}{lo}-{hi}{extra}]", False
+        return "(" + concat(rng.randint(1, 2)) + "|" + concat(1) + ")", True
+
+    def atomq():
+        a, is_group = atom()
+        r = rng.random()
+        # unbounded quantifiers only on non-group atoms: the validator
+        # rejects them on non-deterministic groups (backtracking guard)
+        if r < 0.15 and not is_group:
+            return a + "*"
+        if r < 0.25:
+            return a + "?"
+        if r < 0.30 and not is_group:
+            return a + "+"
+        if r < 0.35:
+            m = rng.randint(0, 2)
+            return a + "{%d,%d}" % (m, m + rng.randint(0, 2))
+        return a
+
+    def concat(n):
+        return "".join(atomq() for _ in range(n))
+
+    pat = concat(rng.randint(1, 4))
+    if rng.random() < 0.25:
+        pat = pat + "|" + concat(rng.randint(1, 2))
+    return pat
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_regex_grammar_fuzz_java_vs_python(spark, seed):
+    """Random patterns over the whole validated grammar: the relational
+    plan (Java regex via rlike) and the segment planner's in-process
+    expansion (Python re.fullmatch) must both equal the direct Python
+    fullmatch expectation over the analyzed vocabulary — the
+    dialect-stability claim, exercised across the grammar rather than
+    hand-picked shapes."""
+    import tempfile
+
+    from inverted_index_spark.analysis import analyze_index
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.segquery import segment_query_pandas
+
+    rng = random.Random(seed)
+    words = [
+        "scan", "scans", "merge", "marge", "mixé", "añejo", "abc",
+        "a.b", "x9", "a-b", "span", "spin", "s", "tz", "gnat", "teem",
+    ]
+    docs = []
+    for i in range(14):
+        docs.append(
+            (i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(1, 6))))
+        )
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        idx = build_and_save(
+            spark, df, d + "/idx", ngrams=False, term_buckets=4
+        )
+        build_segments(spark, idx, d + "/idx", shard_docs=4, positions=True)
+        eng_rel = FtsEngine(idx, use_segments=False)
+
+        vocab = {
+            doc_id: {t.term for t in analyze_index(text, ngrams=False)}
+            for doc_id, text in docs
+        }
+        alphabet = list("amsx") + ["é", "."]
+        n_nonempty = 0
+        for _ in range(30):
+            pat = _gen_pattern(rng, alphabet)
+            pre, lit = regex_parse(pat)  # must be inside the subset
+            rx = re.compile(pat)
+            expect = sorted(
+                i for i, terms in vocab.items()
+                if any(rx.fullmatch(t) for t in terms)
+            )
+            n_nonempty += bool(expect)
+            got_java = _docs(
+                eng_rel.results(Regex(pat), with_positions=False)
+            )
+            assert got_java == expect, f"Java rlike diverged on {pat!r}"
+            got_py = sorted(
+                set(
+                    segment_query_pandas(
+                        d + "/idx", Regex(pat), with_positions=False
+                    )["doc_id"].tolist()
+                )
+            )
+            assert got_py == expect, f"segment expansion diverged on {pat!r}"
+        assert n_nonempty >= 5  # the generator isn't vacuously empty

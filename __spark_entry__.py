@@ -964,6 +964,24 @@ def _q_cosine_topk(spark, sf):
     return cosine_topk(embs, _qvec(spark, sf), k=10)
 
 
+def _q_hybrid_rrf(spark, sf):
+    """Hybrid lexical+vector retrieval: BM25 top-20 fused with cosine
+    top-20 by reciprocal-rank fusion (k_rrf=60). Both sides cut by
+    (score desc, id asc) at full precision — the same cuts bm25_topk
+    and cosine_topk already hash-match; the fused rrf is a sum of
+    1/(60+rank) terms over integer ranks, bit-identical across
+    engines."""
+    eng = _engine(spark, sf)
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    res = eng.hybrid("scan merge join", embs, _qvec(spark, sf), k=10)
+    return res.select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round("rrf", 6).alias("rrf_r6"),
+    )
+
+
 def _q_ivf_topk(spark, sf):
     from inverted_index_spark.pipelines.similarity import ivf_search
 
@@ -1273,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_contract.py remains the full local gate over every
     # entry regardless of order.
     return {
+        "hybrid_rrf": _q_hybrid_rrf,
         "regex_docs": _q_regex_docs,
         "regex_seg": _q_regex_seg,
         "term_vector": _q_term_vector,
@@ -1932,6 +1951,70 @@ def oracle_sql() -> dict[str, str]:
                    round((m.w::real / sqrt(strlen(d.text)::double)::real
                          )::real::double, 4)::double as score_r4
             from m join documents d using (doc_id)
+        """,
+        # hybrid RRF: the bm25_topk CTEs (unrounded score cut) fused
+        # with the cosine_topk CTEs (unrounded cos cut) — ranks 1..20
+        # each side, rrf = sum 1/(60+rank), absent side = rank 0
+        "hybrid_rrf": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            lexs as (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ),
+            lex as (
+              select doc_id,
+                     row_number() over (order by score desc, doc_id asc)::int
+                       as lex_rank
+              from lexs
+            ),
+            q as (select embedding as qe from embeddings where vec_id = 0),
+            vterms as (
+              select e.vec_id,
+                     unnest(e.embedding)::double as x,
+                     unnest(q.qe)::double as y
+              from embeddings e cross join q
+            ),
+            vsums as (
+              select vec_id, sum(x*y) as d, sum(x*x) as nx, sum(y*y) as ny
+              from vterms group by vec_id
+            ),
+            vec as (
+              select vec_id,
+                     row_number() over (
+                       order by d / (sqrt(nx) * sqrt(ny)) desc, vec_id asc
+                     )::int as vec_rank
+              from vsums
+            ),
+            l as (select * from lex where lex_rank <= 20),
+            v as (select * from vec where vec_rank <= 20),
+            fused as (
+              select coalesce(l.doc_id, v.vec_id) as doc_id,
+                     coalesce(l.lex_rank, 0)::int as lex_rank,
+                     coalesce(v.vec_rank, 0)::int as vec_rank,
+                     coalesce(1.0::double / (60 + l.lex_rank), 0.0::double)
+                     + coalesce(1.0::double / (60 + v.vec_rank), 0.0::double)
+                       as rrf
+              from l full outer join v on l.doc_id = v.vec_id
+            )
+            select doc_id, lex_rank, vec_rank, round(rrf, 6) as rrf_r6
+            from fused
+            order by rrf desc, doc_id asc
+            limit 10
         """,
         "bm25_topk": f"""
             with toks as ({_TOKS}),

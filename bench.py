@@ -296,6 +296,11 @@ def main() -> None:
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
+    qvec = list(
+        embs.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
 
     # warm all query paths once (python workers, OS page cache for the
     # segment files, parquet footers) so per-query numbers measure the
@@ -473,6 +478,14 @@ def main() -> None:
             embs.filter(F.col("vec_id") < 64), embs,
             k=10, n_planes=8, hamming=1,
         ).count(),
+        # hybrid lexical+vector: WAND-routed BM25 top-20 + cosine
+        # top-20 fused by RRF; the fusion join itself is <= 40 rows
+        "hybrid_rrf": lambda: eng.hybrid(
+            "scan merge join",
+            embs,
+            qvec,
+            k=10,
+        ).collect(),
     }
     qtimes, query_probes, query_attempts, query_degraded = run_guarded(
         lambda: {name: timed(fn) for name, fn in queries.items()},

@@ -1908,3 +1908,34 @@ class FtsEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
         return scored.limit(k) if k is not None else scored
+
+    def hybrid(
+        self,
+        text: str,
+        embeddings: DataFrame,
+        query_vec,
+        k: int = 10,
+        n_each: int = 20,
+        k_rrf: int = 60,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Hybrid lexical+vector search: fuse this engine's BM25
+        top-``n_each`` with a cosine top-``n_each`` over ``embeddings``
+        by reciprocal-rank fusion (see :mod:`.hybrid`). Engine
+        extension — the reference has no vector side. Returns
+        ``(doc_id, lex_rank, vec_rank, rrf)`` ordered by
+        (rrf desc, doc_id asc), limited to ``k``."""
+        from .hybrid import hybrid_topk
+
+        return hybrid_topk(
+            self,
+            embeddings,
+            text,
+            query_vec,
+            k=k,
+            n_each=n_each,
+            k_rrf=k_rrf,
+            id_col=id_col,
+            vec_col=vec_col,
+        )

@@ -982,6 +982,24 @@ def _q_hybrid_rrf(spark, sf):
     )
 
 
+def _q_lmd_topk(spark, sf):
+    """Pluggable similarity: LM Dirichlet (mu=2000) ranked retrieval —
+    ln(1 + tf/(mu*p(t|C))) + ln(mu/(dl+mu)) per matched term."""
+    eng = _engine(spark, sf)
+    return eng.score_topk("scan merge join", k=10, similarity="lmd").select(
+        "doc_id", F.round(F.col("score"), 4).alias("score_r4")
+    )
+
+
+def _q_tfidf_topk(spark, sf):
+    """Pluggable similarity: Lucene ClassicSimilarity TF-IDF —
+    sqrt(tf) * (1 + ln(N/(df+1)))^2 / sqrt(dl) per matched term."""
+    eng = _engine(spark, sf)
+    return eng.score_topk(
+        "scan merge join", k=10, similarity="tfidf"
+    ).select("doc_id", F.round(F.col("score"), 4).alias("score_r4"))
+
+
 def _q_ivf_topk(spark, sf):
     from inverted_index_spark.pipelines.similarity import ivf_search
 
@@ -1292,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry regardless of order.
     return {
         "hybrid_rrf": _q_hybrid_rrf,
+        "lmd_topk": _q_lmd_topk,
+        "tfidf_topk": _q_tfidf_topk,
         "regex_docs": _q_regex_docs,
         "regex_seg": _q_regex_seg,
         "term_vector": _q_term_vector,
@@ -1951,6 +1971,56 @@ def oracle_sql() -> dict[str, str]:
                    round((m.w::real / sqrt(strlen(d.text)::double)::real
                          )::real::double, 4)::double as score_r4
             from m join documents d using (doc_id)
+        """,
+        # LM Dirichlet (mu=2000): p(t|C) from corpus collection
+        # frequency; per matched term ln(1+tf/(mu*p)) + ln(mu/(dl+mu))
+        "lmd_topk": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            tot as (select sum(dl)::double as total from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            cf as (select term, sum(tf)::double as cf
+                   from tf join qt using (term) group by term)
+            select doc_id, round(score, 4) as score_r4 from (
+              select tf.doc_id,
+                     sum( ln(1.0::double
+                             + tf.tf / (2000.0::double * (cf.cf / tot.total)))
+                          + ln(2000.0::double / (dl.dl + 2000.0::double))
+                        ) as score
+              from tf
+              join cf using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join tot
+              group by tf.doc_id
+            ) order by score desc, doc_id asc limit 10
+        """,
+        # Lucene ClassicSimilarity TF-IDF: sqrt(tf) * idf^2 / sqrt(dl)
+        # with idf = 1 + ln(N/(df+1)); idf^2 written as idf*idf to
+        # mirror the engine's multiplication exactly
+        "tfidf_topk": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term)
+            select doc_id, round(score, 4) as score_r4 from (
+              select tf.doc_id,
+                     sum( sqrt(tf.tf)
+                          * (1.0::double + ln(stats.n / (df.df + 1.0)))
+                          * (1.0::double + ln(stats.n / (df.df + 1.0)))
+                          / sqrt(dl.dl)
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ) order by score desc, doc_id asc limit 10
         """,
         # hybrid RRF: the bm25_topk CTEs (unrounded score cut) fused
         # with the cosine_topk CTEs (unrounded cos cut) — ranks 1..20

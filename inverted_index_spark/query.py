@@ -1909,6 +1909,116 @@ class FtsEngine:
         )
         return scored.limit(k) if k is not None else scored
 
+    def score_topk(
+        self,
+        text: str,
+        k: Optional[int] = 10,
+        similarity: str = "bm25",
+        mu: float = 2000.0,
+        filter_docs: Optional[DataFrame] = None,
+        doc_range: Optional[tuple] = None,
+    ) -> DataFrame:
+        """Ranked retrieval with a pluggable similarity (engine
+        extension — the reference scores only its parity width/√bytes,
+        search_result.rs:21-24; this is the Lucene-style pluggable-
+        Similarity surface).
+
+        ``similarity``:
+
+        - ``"bm25"`` — delegates to :meth:`bm25` (k1=1.2, b=0.75;
+          WAND-routed when segments are fresh).
+        - ``"lmd"`` — language model with Dirichlet smoothing (Zhai &
+          Lafferty 2001; Lucene LMDirichletSimilarity shape), summed
+          over matched query terms:
+          ``ln(1 + tf/(mu*p(t|C))) + ln(mu/(dl+mu))`` with
+          ``p(t|C) = cf_t / total_tokens`` (collection frequency over
+          the full corpus). No per-term zero-clamp: scores may be
+          negative; ordering is (score desc, doc_id asc).
+        - ``"tfidf"`` — Lucene ClassicSimilarity shape:
+          ``sqrt(tf) * (1 + ln(N/(df+1)))^2 / sqrt(dl)`` summed over
+          matched terms (queryNorm/coord omitted, as modern Lucene
+          does).
+
+        All similarities share the same physical plan as the
+        relational BM25 path: term-pruned postings scan (sargable
+        ``doc_range``), broadcast per-term stats (|terms| rows),
+        docstats join, partial-agg sum, TakeOrdered top-k — no
+        corpus-wide shuffle at any scale.
+        """
+        if similarity == "bm25":
+            return self.bm25(
+                text, k=k, filter_docs=filter_docs, doc_range=doc_range
+            )
+        if similarity not in ("lmd", "tfidf"):
+            raise ValueError(
+                f"unknown similarity {similarity!r}; "
+                "expected 'bm25', 'lmd' or 'tfidf'"
+            )
+        if similarity == "lmd" and mu <= 0:
+            raise ValueError(f"mu must be positive, got {mu}")
+        terms: List[str] = []
+        for tok in analyze_query(text):
+            if tok.term not in terms:
+                terms.append(tok.term)
+        if not terms:
+            return (
+                self.index.docstats.select("doc_id")
+                .withColumn("score", F.lit(0.0))
+                .filter(F.lit(False))
+            )
+        matched = self.index.postings.filter(
+            F.col("term").isin(terms) & (F.col("tf") > 0)
+        ).select("term", "doc_id", "tf")
+        if doc_range is not None:
+            matched = matched.filter(
+                (F.col("doc_id") >= int(doc_range[0]))
+                & (F.col("doc_id") < int(doc_range[1]))
+            )
+        if filter_docs is not None:
+            matched = matched.join(
+                filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+        dl = F.col("doclen_tokens")
+        if similarity == "lmd":
+            # per-term collection frequency + corpus token total: two
+            # tiny aggregates (|terms| rows / one scalar), broadcast
+            total_tokens = float(
+                self.index.docstats.agg(
+                    F.sum("doclen_tokens").alias("t")
+                ).first()["t"]
+            )
+            stats_tbl = (
+                self.index.postings.filter(F.col("term").isin(terms))
+                .groupBy("term")
+                .agg(F.sum("tf").alias("cf"))
+            )
+            p_t = F.col("cf") / F.lit(total_tokens)
+            s = F.log(1.0 + F.col("tf") / (F.lit(float(mu)) * p_t)) + F.log(
+                F.lit(float(mu)) / (dl + F.lit(float(mu)))
+            )
+        else:  # tfidf
+            n = float(self.index.n_docs)
+            stats_tbl = (
+                self.index.termdict.filter(F.col("term").isin(terms))
+                .select("term", F.col("df_full").alias("df"))
+            )
+            idf = 1.0 + F.log(F.lit(n) / (F.col("df") + 1.0))
+            s = F.sqrt(F.col("tf")) * idf * idf / F.sqrt(dl)
+        per_term = (
+            matched.join(F.broadcast(stats_tbl), "term")
+            .join(
+                self.index.docstats.select("doc_id", "doclen_tokens"),
+                "doc_id",
+            )
+            .withColumn("s", s)
+        )
+        scored = (
+            per_term.groupBy("doc_id")
+            .agg(F.sum("s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return scored.limit(k) if k is not None else scored
+
     def hybrid(
         self,
         text: str,

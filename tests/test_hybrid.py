@@ -146,6 +146,46 @@ def test_hybrid_topk_matches_manual_fusion(spark, small_engine, embeddings):
     assert keys == sorted(keys)
 
 
+def test_hybrid_composes_with_ann_side(spark, small_engine, embeddings):
+    """The scale path: fuse BM25 with an LSH-ANN top-n instead of the
+    brute cosine side. At full probe (hamming == n_planes) LSH is
+    exact, so the fusion must equal hybrid_topk's brute-force result —
+    proving any (id, score) retriever plugs into rrf_fuse."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.similarity import (
+        build_lsh,
+        lsh_search,
+    )
+
+    qvec = [1.0, 0.1, 0.0, 0.0]
+    n = 5
+    lsh = build_lsh(embeddings, n_planes=2)
+    ann = lsh_search(lsh, qvec, k=n, hamming=2)  # full probe == exact
+    lex = ranked_topn(
+        small_engine.bm25("apple banana", k=n).select("doc_id", "score"),
+        "score", "doc_id", n,
+    )
+    vec = ranked_topn(ann, "cos", "vec_id", n).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = rrf_fuse([lex, vec], k=20, id_col="doc_id").select(
+        "doc_id",
+        F.col("rank_1").alias("lex_rank"),
+        F.col("rank_2").alias("vec_rank"),
+        "rrf",
+    )
+    brute = hybrid_topk(
+        small_engine, embeddings, "apple banana", qvec, k=20, n_each=n
+    )
+    got = sorted(fused.collect(), key=lambda r: r["doc_id"])
+    want = sorted(brute.collect(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    assert [(r["lex_rank"], r["vec_rank"]) for r in got] == [
+        (r["lex_rank"], r["vec_rank"]) for r in want
+    ]
+
+
 def test_engine_hybrid_delegates(spark, small_engine, embeddings):
     qvec = [0.0, 1.0, 0.0, 0.0]
     a = small_engine.hybrid("apple", embeddings, qvec, k=3).collect()

@@ -982,6 +982,24 @@ def _q_hybrid_rrf(spark, sf):
     )
 
 
+def _q_hybrid_weighted(spark, sf):
+    """Weighted score fusion: min-max-normalized BM25 top-20 and
+    cosine top-20 combined as 0.6*lex + 0.4*vec (absent side = 0)."""
+    from inverted_index_spark.hybrid import hybrid_weighted_topk
+
+    eng = _engine(spark, sf)
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    res = hybrid_weighted_topk(
+        eng, embs, "scan merge join", _qvec(spark, sf), alpha=0.6, k=10
+    )
+    return res.select(
+        "doc_id",
+        F.round("lex_norm", 6).alias("lex_n6"),
+        F.round("vec_norm", 6).alias("vec_n6"),
+        F.round("wscore", 6).alias("ws6"),
+    )
+
+
 def _q_lmd_topk(spark, sf):
     """Pluggable similarity: LM Dirichlet (mu=2000) ranked retrieval —
     ln(1 + tf/(mu*p(t|C))) + ln(mu/(dl+mu)) per matched term."""
@@ -1310,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry regardless of order.
     return {
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_weighted": _q_hybrid_weighted,
         "lmd_topk": _q_lmd_topk,
         "tfidf_topk": _q_tfidf_topk,
         "regex_docs": _q_regex_docs,
@@ -1971,6 +1990,86 @@ def oracle_sql() -> dict[str, str]:
                    round((m.w::real / sqrt(strlen(d.text)::double)::real
                          )::real::double, 4)::double as score_r4
             from m join documents d using (doc_id)
+        """,
+        # weighted score fusion: min-max normalize each side's top-20
+        # (all-equal -> 1.0), wscore = 0.6*lex + 0.4*vec, absent = 0
+        "hybrid_weighted": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            lexs as (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ),
+            lex20 as (
+              select doc_id, score from lexs
+              order by score desc, doc_id asc limit 20
+            ),
+            lexn as (
+              select doc_id,
+                     case when max(score) over () = min(score) over ()
+                          then 1.0::double
+                          else (score - min(score) over ())
+                               / (max(score) over () - min(score) over ())
+                     end as nscore
+              from lex20
+            ),
+            q as (select embedding as qe from embeddings where vec_id = 0),
+            vterms as (
+              select e.vec_id,
+                     unnest(e.embedding)::double as x,
+                     unnest(q.qe)::double as y
+              from embeddings e cross join q
+            ),
+            vsums as (
+              select vec_id, sum(x*y) as d, sum(x*x) as nx, sum(y*y) as ny
+              from vterms group by vec_id
+            ),
+            vecs as (
+              select vec_id, d / (sqrt(nx) * sqrt(ny)) as cos from vsums
+            ),
+            vec20 as (
+              select vec_id, cos from vecs
+              order by cos desc, vec_id asc limit 20
+            ),
+            vecn as (
+              select vec_id,
+                     case when max(cos) over () = min(cos) over ()
+                          then 1.0::double
+                          else (cos - min(cos) over ())
+                               / (max(cos) over () - min(cos) over ())
+                     end as nscore
+              from vec20
+            ),
+            fused as (
+              select coalesce(l.doc_id, v.vec_id) as doc_id,
+                     coalesce(l.nscore, 0.0::double) as lex_norm,
+                     coalesce(v.nscore, 0.0::double) as vec_norm,
+                     0.6::double * coalesce(l.nscore, 0.0::double)
+                     + 0.4::double * coalesce(v.nscore, 0.0::double)
+                       as wscore
+              from lexn l full outer join vecn v on l.doc_id = v.vec_id
+            )
+            select doc_id,
+                   round(lex_norm, 6) as lex_n6,
+                   round(vec_norm, 6) as vec_n6,
+                   round(wscore, 6) as ws6
+            from fused
+            order by wscore desc, doc_id asc
+            limit 10
         """,
         # LM Dirichlet (mu=2000): p(t|C) from corpus collection
         # frequency; per matched term ln(1+tf/(mu*p)) + ln(mu/(dl+mu))

@@ -109,6 +109,127 @@ def rrf_fuse(
     return out.limit(k) if k is not None else out
 
 
+def normalized_topn(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n: int,
+    norm_col: str = "nscore",
+) -> DataFrame:
+    """Truncate to the top-``n`` rows by (score desc, id asc) and
+    min-max normalize the surviving scores to [0, 1] (all-equal
+    scores normalize to 1.0). Same scale shape as :func:`ranked_topn`:
+    the unbounded normalization window only ever sees ≤ n rows."""
+    top = df.orderBy(F.desc(score_col), F.asc(id_col)).limit(n)
+    w = Window.partitionBy()
+    lo, hi = F.min(score_col).over(w), F.max(score_col).over(w)
+    norm = F.when(hi == lo, F.lit(1.0)).otherwise(
+        (F.col(score_col) - lo) / (hi - lo)
+    )
+    return top.select(F.col(id_col), norm.alias(norm_col))
+
+
+def weighted_fuse(
+    sides: Sequence[DataFrame],
+    weights: Sequence[float],
+    k: Optional[int] = 10,
+    id_col: str = "doc_id",
+    norm_col: str = "nscore",
+) -> DataFrame:
+    """Convex (weighted-sum) fusion of min-max-normalized lists — the
+    calibrated alternative to :func:`rrf_fuse` when score magnitudes
+    should matter, not just ranks.
+
+    Each side carries ``id_col`` and a [0, 1] ``norm_col`` (produce one
+    with :func:`normalized_topn`). Returns
+    ``(id_col, norm_1..norm_N double, wscore double)`` ordered by
+    (wscore desc, id asc). A document absent from side i has
+    ``norm_i = 0.0`` — indistinguishable from a present-but-minimum
+    score, which is the semantics weighted fusion wants (zero
+    evidence either way).
+    """
+    if not sides:
+        raise ValueError("weighted_fuse needs at least one side")
+    if len(weights) != len(sides):
+        raise ValueError(
+            f"got {len(sides)} sides but {len(weights)} weights"
+        )
+    if any(w < 0 for w in weights):
+        raise ValueError("weights must be non-negative")
+    fused = None
+    for i, side in enumerate(sides, start=1):
+        cur = side.select(
+            F.col(id_col).alias("_id"),
+            F.col(norm_col).cast("double").alias(f"norm_{i}"),
+        )
+        if fused is None:
+            fused = cur
+        else:
+            prev = fused
+            cur_r = cur.withColumnRenamed("_id", "_id_r")
+            fused = prev.join(
+                cur_r, prev["_id"] == cur_r["_id_r"], "full_outer"
+            ).select(
+                F.coalesce(prev["_id"], cur_r["_id_r"]).alias("_id"),
+                *[F.col(f"norm_{j}") for j in range(1, i)],
+                F.col(f"norm_{i}"),
+            )
+    norm_cols = [f"norm_{i}" for i in range(1, len(sides) + 1)]
+    score = None
+    for w, nc in zip(weights, norm_cols):
+        term = F.lit(float(w)) * F.coalesce(F.col(nc), F.lit(0.0))
+        score = term if score is None else score + term
+    out = fused.select(
+        F.col("_id").alias(id_col),
+        *[F.coalesce(F.col(nc), F.lit(0.0)).alias(nc) for nc in norm_cols],
+        score.alias("wscore"),
+    ).orderBy(F.desc("wscore"), F.asc(id_col))
+    return out.limit(k) if k is not None else out
+
+
+def hybrid_weighted_topk(
+    engine,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: Sequence[float],
+    alpha: float = 0.5,
+    k: int = 10,
+    n_each: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid search with weighted score fusion: min-max-normalized
+    BM25 top-``n_each`` and cosine top-``n_each`` combined as
+    ``alpha * lex_norm + (1 - alpha) * vec_norm``. Returns
+    ``(doc_id, lex_norm, vec_norm, wscore)`` ordered by
+    (wscore desc, doc_id asc), limited to ``k``."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    from .pipelines.similarity import cosine_to_query
+
+    lex = normalized_topn(
+        engine.bm25(query_text, k=n_each).select("doc_id", "score"),
+        "score",
+        "doc_id",
+        n_each,
+    )
+    vec = normalized_topn(
+        cosine_to_query(embeddings, query_vec, id_col, vec_col),
+        "cos",
+        "vec_id",
+        n_each,
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = weighted_fuse(
+        [lex, vec], [alpha, 1.0 - alpha], k=k, id_col="doc_id"
+    )
+    return fused.select(
+        "doc_id",
+        F.col("norm_1").alias("lex_norm"),
+        F.col("norm_2").alias("vec_norm"),
+        "wscore",
+    )
+
+
 def hybrid_topk(
     engine,
     embeddings: DataFrame,

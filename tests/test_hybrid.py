@@ -11,7 +11,14 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from inverted_index_spark.hybrid import hybrid_topk, ranked_topn, rrf_fuse
+from inverted_index_spark.hybrid import (
+    hybrid_topk,
+    hybrid_weighted_topk,
+    normalized_topn,
+    ranked_topn,
+    rrf_fuse,
+    weighted_fuse,
+)
 from tests.conftest import build_engine
 
 DOCS = [
@@ -191,3 +198,91 @@ def test_engine_hybrid_delegates(spark, small_engine, embeddings):
     a = small_engine.hybrid("apple", embeddings, qvec, k=3).collect()
     b = hybrid_topk(small_engine, embeddings, "apple", qvec, k=3).collect()
     assert a == b
+
+
+def test_normalized_topn(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 6.0), (3, 4.0), (4, 1.0)], "doc_id long, s double"
+    )
+    out = {r["doc_id"]: r["nscore"]
+           for r in normalized_topn(df, "s", "doc_id", 3).collect()}
+    # top-3 = {2:6, 3:4, 1:2}; min 2, max 6
+    assert out == {2: pytest.approx(1.0), 3: pytest.approx(0.5),
+                   1: pytest.approx(0.0)}
+    # all-equal scores normalize to 1.0, not 0/0
+    same = spark.createDataFrame([(1, 3.0), (2, 3.0)], "doc_id long, s double")
+    outs = {r["doc_id"]: r["nscore"]
+            for r in normalized_topn(same, "s", "doc_id", 5).collect()}
+    assert outs == {1: 1.0, 2: 1.0}
+
+
+def test_weighted_fuse_golden(spark):
+    a = spark.createDataFrame([(1, 1.0), (2, 0.5)], "doc_id long, nscore double")
+    b = spark.createDataFrame([(2, 1.0), (3, 0.25)], "doc_id long, nscore double")
+    out = weighted_fuse([a, b], [0.7, 0.3], k=10).collect()
+    got = {r["doc_id"]: (r["norm_1"], r["norm_2"], r["wscore"]) for r in out}
+    assert got[1] == (1.0, 0.0, pytest.approx(0.7))
+    assert got[2] == (0.5, 1.0, pytest.approx(0.7 * 0.5 + 0.3))
+    assert got[3] == (0.0, 0.25, pytest.approx(0.3 * 0.25))
+    assert [r["doc_id"] for r in out] == [1, 2, 3]  # 0.7, 0.65, 0.075
+
+
+def test_weighted_fuse_validates(spark):
+    a = spark.createDataFrame([(1, 1.0)], "doc_id long, nscore double")
+    with pytest.raises(ValueError):
+        weighted_fuse([], [])
+    with pytest.raises(ValueError):
+        weighted_fuse([a], [0.5, 0.5])
+    with pytest.raises(ValueError):
+        weighted_fuse([a], [-1.0])
+    with pytest.raises(ValueError):
+        hybrid_weighted_topk(None, None, "x", [1.0], alpha=1.5)
+
+
+def test_hybrid_weighted_matches_manual(spark, small_engine, embeddings):
+    qvec = [1.0, 0.0, 0.0, 0.0]
+    n, alpha = 5, 0.6
+    lex_rows = (
+        small_engine.bm25("apple banana", k=n)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    )
+    ls = [r["score"] for r in lex_rows]
+    lex_norm = {
+        r["doc_id"]: (1.0 if max(ls) == min(ls)
+                      else (r["score"] - min(ls)) / (max(ls) - min(ls)))
+        for r in lex_rows
+    }
+    emb_rows = embeddings.collect()
+
+    def cos(v):
+        d = sum(x * y for x, y in zip(v, qvec))
+        return d / (math.sqrt(sum(x * x for x in v)) *
+                    math.sqrt(sum(y * y for y in qvec)))
+
+    vec_sorted = sorted(
+        ((r["vec_id"], cos(r["embedding"])) for r in emb_rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:n]
+    vs = [c for _, c in vec_sorted]
+    vec_norm = {
+        vid: (1.0 if max(vs) == min(vs)
+              else (c - min(vs)) / (max(vs) - min(vs)))
+        for vid, c in vec_sorted
+    }
+    got = hybrid_weighted_topk(
+        small_engine, embeddings, "apple banana", qvec,
+        alpha=alpha, k=20, n_each=n,
+    ).collect()
+    expect_ids = set(lex_norm) | set(vec_norm)
+    assert {r["doc_id"] for r in got} == expect_ids
+    for r in got:
+        ln = lex_norm.get(r["doc_id"], 0.0)
+        vn = vec_norm.get(r["doc_id"], 0.0)
+        assert r["lex_norm"] == pytest.approx(ln, abs=1e-6)
+        assert r["vec_norm"] == pytest.approx(vn, abs=1e-6)
+        assert r["wscore"] == pytest.approx(
+            alpha * ln + (1 - alpha) * vn, abs=1e-6
+        )
+    keys = [(-r["wscore"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)

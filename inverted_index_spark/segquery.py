@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -766,16 +767,65 @@ def _rows_for_spark(pdf: pd.DataFrame) -> list:
     return out
 
 
+# trampoline for the fork-based pool in _map_files: the closure is
+# published here immediately before fork, so children inherit it (and
+# everything it captures) through copy-on-write memory instead of
+# pickling; only this module-level shim crosses the pickle boundary.
+_FORK_FN = None
+_FORK_LOCK = threading.Lock()
+
+
+def _fork_call(arg):
+    return _FORK_FN(arg)
+
+
 def _map_files(fn, files: list) -> list:
-    """Run ``fn`` over shard files with a small thread pool (pyarrow
-    releases the GIL during read/decompress); drops None results."""
+    """Run ``fn`` over shard files in parallel; drops None results.
+
+    The varint/delta decode kernels hold the GIL for real stretches, so
+    a thread pool caps out near one core no matter its width (measured:
+    8/16/32 threads all ~5-7 s on a 79-shard dense-term serve). A
+    fork-based process pool runs the same serve in ~0.3 s — each child
+    decodes its shard slice with a whole core. Processes are used when
+    the shard fan-out is big enough to matter
+    (> SPARK_GRAFT_SERVE_PROC_MIN files, default 8) and fork is
+    available; SPARK_GRAFT_SERVE_PROCS=0 disables them, and any pool
+    failure falls back to the thread path. Driver/coordinator-side
+    only — the distributed path is mapInPandas, not this."""
     if len(files) <= 1:
         parts = [fn(f) for f in files]
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        parts = None
+        proc_min = int(os.environ.get("SPARK_GRAFT_SERVE_PROC_MIN", "8"))
+        procs = os.environ.get("SPARK_GRAFT_SERVE_PROCS", "16")
+        if procs != "0" and len(files) > proc_min:
+            try:
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor
 
-        with ThreadPoolExecutor(min(8, len(files))) as ex:
-            parts = list(ex.map(fn, files))
+                ctx = multiprocessing.get_context("fork")
+                width = min(max(int(procs), 1), len(files))
+                chunk = max(1, len(files) // (width * 2))
+                global _FORK_FN
+                with _FORK_LOCK:
+                    _FORK_FN = fn
+                    try:
+                        with ProcessPoolExecutor(
+                            width, mp_context=ctx
+                        ) as ex:
+                            parts = list(
+                                ex.map(_fork_call, files, chunksize=chunk)
+                            )
+                    finally:
+                        _FORK_FN = None
+            except Exception:
+                parts = None  # fork unavailable/failed: thread fallback
+        if parts is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            width = int(os.environ.get("SPARK_GRAFT_SERVE_THREADS", "8"))
+            with ThreadPoolExecutor(min(max(width, 1), len(files))) as ex:
+                parts = list(ex.map(fn, files))
     return [p for p in parts if p is not None and len(p)]
 
 

@@ -437,3 +437,41 @@ def test_explain_segment_query_previews_the_pruned_plan(spark, tmp_path):
 
     empty = explain_segment_query(path, Phrase("zzzuniqueterm"))
     assert empty["empty"] and empty["shards_open"] == 0
+
+
+def test_map_files_process_pool_matches_threads(spark, pos_indexed, monkeypatch):
+    """The fork-based pool in _map_files (used when shard fan-out is
+    big enough) must be bit-identical to the thread path — same
+    kernels, same merge, only the executor differs. Forced on here via
+    SPARK_GRAFT_SERVE_PROC_MIN=0 so even the small test index exercises
+    the process branch (and its pickle/fork plumbing)."""
+    from inverted_index_spark.qast import And, Match, Or
+    from inverted_index_spark.segquery import segment_query_pandas
+
+    path, _, _ = pos_indexed
+    q = And(Match("merge"), Or(Match("scan"), Match("window")))
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_PROC_MIN", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_PROCS", "4")
+    with_procs = segment_query_pandas(path, q, k=10)
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_PROCS", "0")
+    with_threads = segment_query_pandas(path, q, k=10)
+    assert with_procs.equals(with_threads)
+    assert len(with_procs) > 0
+
+
+def test_map_files_process_pool_fallback(monkeypatch):
+    """An unusable process pool must fall back to threads, not fail."""
+    from inverted_index_spark import segquery
+
+    calls = []
+
+    def fn(x):
+        calls.append(x)
+        import pandas as pd
+
+        return pd.DataFrame({"v": [x]})
+
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_PROC_MIN", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_PROCS", "not-a-number")
+    parts = segquery._map_files(fn, list(range(4)))
+    assert len(parts) == 4 and sorted(calls) == [0, 1, 2, 3]

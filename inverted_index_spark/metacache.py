@@ -436,9 +436,15 @@ def estimate_read_bytes(
 # pruned byte volume says the scan is worth distributing. enc_bytes is
 # the whole shard's encoded postings payload, an upper bound on what the
 # term-filtered read actually touches, so the threshold is conservative.
+#
+# Sized for the fork-pool coordinator (segquery._map_files): the decode
+# kernels run one-process-per-core, so ~128 MB across up to 64 shards
+# decodes in a few hundred ms — still under a Spark job's fixed
+# dispatch latency. Before the pool the serve was GIL-bound to ~one
+# core and these were 32 MB / 16 files.
 
-LOCAL_MAX_BYTES = 32 << 20
-LOCAL_MAX_FILES = 16
+LOCAL_MAX_BYTES = 128 << 20
+LOCAL_MAX_FILES = 64
 
 
 def serve_locally(

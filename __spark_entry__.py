@@ -982,6 +982,37 @@ def _q_hybrid_rrf(spark, sf):
     )
 
 
+def _q_recency_topk(spark, sf):
+    """function_score recency decay: BM25 over every matching turn,
+    then final = score * 0.5^(age_hours/24) against now=2025-01-03
+    (the deterministic ts grid spans 2025-01-01..05, so ages go
+    negative — the unclamped future-boost path is exercised)."""
+    from inverted_index_spark.transcripts import recency_boosted_topk
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    eng = _engine(spark, sf)
+    meta = _docs(spark, sf).select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(1735689600)
+            + F.pmod(F.col("doc_id") * F.lit(37), F.lit(97)) * F.lit(3600)
+        ).alias("ts"),
+    )
+    res = recency_boosted_topk(
+        eng,
+        meta,
+        "scan merge join",
+        now="2025-01-03 00:00:00",
+        half_life_hours=24.0,
+        k=10,
+    )
+    return res.select(
+        "doc_id",
+        F.round("score", 4).alias("score_r4"),
+        F.round("decayed", 4).alias("dec_r4"),
+    )
+
+
 def _q_hybrid_weighted(spark, sf):
     """Weighted score fusion: min-max-normalized BM25 top-20 and
     cosine top-20 combined as 0.6*lex + 0.4*vec (absent side = 0)."""
@@ -1329,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_weighted": _q_hybrid_weighted,
+        "recency_topk": _q_recency_topk,
         "lmd_topk": _q_lmd_topk,
         "tfidf_topk": _q_tfidf_topk,
         "regex_docs": _q_regex_docs,
@@ -1990,6 +2022,47 @@ def oracle_sql() -> dict[str, str]:
                    round((m.w::real / sqrt(strlen(d.text)::double)::real
                          )::real::double, 4)::double as score_r4
             from m join documents d using (doc_id)
+        """,
+        # recency decay: bm25 over ALL matched docs (no pre-decay cut),
+        # final = score * 0.5^(((now - ts)/3600)/24); ts and now are
+        # epoch-second doubles mirroring the Spark timestamp casts
+        "recency_topk": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge','join']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            scored as (
+              select tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                        ) as score
+              from tf
+              join df using (term)
+              join dl on tf.doc_id = dl.doc_id
+              cross join stats
+              group by tf.doc_id
+            ),
+            decayed as (
+              select doc_id, score,
+                     score * power(
+                       0.5::double,
+                       ((1735862400.0::double
+                         - (1735689600 + ((doc_id * 37) % 97) * 3600)::double)
+                        / 3600.0::double) / 24.0::double
+                     ) as dec
+              from scored
+            )
+            select doc_id,
+                   round(score, 4) as score_r4,
+                   round(dec, 4) as dec_r4
+            from decayed
+            order by dec desc, doc_id asc
+            limit 10
         """,
         # weighted score fusion: min-max normalize each side's top-20
         # (all-equal -> 1.0), wscore = 0.6*lex + 0.4*vec, absent = 0

@@ -246,6 +246,54 @@ def conversation_topk(
     )
 
 
+def recency_boosted_topk(
+    engine,
+    meta: DataFrame,
+    text: str,
+    now,
+    half_life_hours: float = 168.0,
+    k: int = 10,
+    ts_col: str = "ts",
+    filter_docs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """BM25 top-k with exponential time decay — the function_score
+    recency pattern for transcript search ("about X, preferring recent
+    turns"). Engine extension; the reference has no timestamps.
+
+    ``final = bm25 * 0.5 ^ (age_hours / half_life_hours)`` with
+    ``age_hours = (now - ts) / 3600`` (negative ages — future turns —
+    boost above 1, deliberately: no clamping). BM25 statistics stay
+    corpus-global; only the final score is scaled.
+
+    ``meta`` carries (doc_id, ``ts_col`` timestamp). Plan shape: score
+    every matching turn (k=None — a turn outside the un-decayed top-k
+    can still win after decay, so no early cut is sound), one hash
+    join to meta on doc_id (matched side is query-sized), JVM-side
+    decay multiply, TakeOrdered top-k. Returns
+    (doc_id, score, decayed) ordered by (decayed desc, doc_id asc).
+    """
+    if half_life_hours <= 0:
+        raise ValueError(
+            f"half_life_hours must be positive, got {half_life_hours}"
+        )
+    scored = engine.bm25(text, k=None, filter_docs=filter_docs)
+    age_h = (
+        F.lit(now).cast("timestamp").cast("double")
+        - F.col(ts_col).cast("double")
+    ) / F.lit(3600.0)
+    return (
+        scored.join(meta.select("doc_id", ts_col), "doc_id")
+        .withColumn(
+            "decayed",
+            F.col("score")
+            * F.pow(F.lit(0.5), age_h / F.lit(float(half_life_hours))),
+        )
+        .select("doc_id", "score", "decayed")
+        .orderBy(F.desc("decayed"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def conversation_context(
     turn_docs: DataFrame,
     results: DataFrame,

@@ -57,3 +57,56 @@ def test_transcripts_from_documents_roundtrip(spark):
     orig = {r["doc_id"]: r["text"] for r in docs.collect()}
     for r in out.collect():
         assert orig[r["doc_id"]] == r["text"]
+
+
+def test_recency_boosted_topk_matches_manual(spark):
+    """function_score recency decay: final = bm25 * 0.5^(age_h/hl),
+    unclamped (future turns boost above 1), checked against a manual
+    recomputation from the engine's own undecayed scores."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.transcripts import recency_boosted_topk
+    from tests.conftest import build_engine
+
+    docs = [
+        (0, "apple banana"),
+        (1, "apple apple"),
+        (2, "banana cherry apple"),
+        (3, "cherry tart"),
+    ]
+    eng = build_engine(spark, docs, ngrams=False)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = 1735689600  # 2025-01-01 00:00:00 UTC
+    # doc i is i days old relative to `now`
+    meta = spark.createDataFrame(
+        [(d, base - d * 86400) for d, _ in docs], "doc_id long, e long"
+    ).select("doc_id", F.timestamp_seconds("e").alias("ts"))
+    now = "2025-01-01 00:00:00"
+    hl = 24.0
+    got = recency_boosted_topk(
+        eng, meta, "apple banana", now, half_life_hours=hl, k=10
+    ).collect()
+    undecayed = {
+        r["doc_id"]: r["score"]
+        for r in eng.bm25("apple banana", k=None).collect()
+    }
+    assert {r["doc_id"] for r in got} == set(undecayed)
+    for r in got:
+        age_h = r["doc_id"] * 24.0
+        assert r["decayed"] == pytest.approx(
+            undecayed[r["doc_id"]] * 0.5 ** (age_h / hl), rel=1e-12
+        )
+    keys = [(-r["decayed"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+    # a future turn (negative age) must boost above its raw score
+    fut = spark.createDataFrame(
+        [(d, base + 86400) for d, _ in docs], "doc_id long, e long"
+    ).select("doc_id", F.timestamp_seconds("e").alias("ts"))
+    boosted = recency_boosted_topk(eng, fut, "apple", now, 24.0, k=10).collect()
+    for r in boosted:
+        assert r["decayed"] == pytest.approx(2.0 * r["score"], rel=1e-12)
+    with pytest.raises(ValueError):
+        recency_boosted_topk(eng, meta, "apple", now, half_life_hours=0)

@@ -982,6 +982,38 @@ def _q_hybrid_rrf(spark, sf):
     )
 
 
+def _q_phonetic_docs(spark, sf):
+    """Sounds-like term match (engine extension, qast.Phonetic):
+    'mirge' is NOT in the dictionary but soundexes to M620 == 'merge',
+    so the phonetic expansion finds the merge docs; parity-scored. The
+    oracle computes Soundex from scratch in SQL (per-char classify +
+    window lag for the H/W and adjacency rules) — fully independent of
+    both oracle.soundex and Spark's F.soundex."""
+    from inverted_index_spark.qast import Phonetic
+
+    eng = _engine_fulltoken(spark, sf)
+    return eng.results(Phonetic("mirge")).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
+def _q_phonetic_seg(spark, sf):
+    """Phonetic served from segments: the expansion happens driver-side
+    against the termdict (metacache.phonetic_terms, letter-banded
+    read), the shard scan reads only the expanded exact-term ranges."""
+    from inverted_index_spark.qast import Phonetic
+    from inverted_index_spark.segquery import segment_query
+
+    path = _seg_index(spark, sf)
+    return segment_query(
+        spark, path, Phonetic("mirge"), with_positions=False
+    ).select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
 def _q_recency_topk(spark, sf):
     """function_score recency decay: BM25 over every matching turn,
     then final = score * 0.5^(age_hours/24) against now=2025-01-03
@@ -1361,6 +1393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_weighted": _q_hybrid_weighted,
         "recency_topk": _q_recency_topk,
+        "phonetic_docs": _q_phonetic_docs,
+        "phonetic_seg": _q_phonetic_seg,
         "lmd_topk": _q_lmd_topk,
         "tfidf_topk": _q_tfidf_topk,
         "regex_docs": _q_regex_docs,
@@ -2018,6 +2052,76 @@ def oracle_sql() -> dict[str, str]:
             )
             -- float32 arithmetic mirrors the engine exactly:
             -- f32(width_sum) / f32(sqrt_double(bytes)), result f32
+            select m.doc_id,
+                   round((m.w::real / sqrt(strlen(d.text)::double)::real
+                         )::real::double, 4)::double as score_r4
+            from m join documents d using (doc_id)
+        """,
+        # phonetic (Soundex) match: the oracle computes American
+        # Soundex from scratch — per-char classification, H/W rows
+        # dropped from the lag sequence (transparent), separators kept
+        # so lag() resets adjacency — then matches code M620
+        # (= soundex('mirge'), a constant of the query). Independent of
+        # both oracle.soundex and Spark F.soundex.
+        "phonetic_docs": f"""
+            with toks as ({_TOKS}),
+            dict as (select distinct term from toks),
+            chars as (
+              select term,
+                     unnest(generate_series(1, length(term))) as i
+              from dict
+            ),
+            cls as (
+              select term, i, upper(substr(term, i, 1)) as ch,
+                     case
+                       when upper(substr(term, i, 1)) between 'A' and 'Z'
+                       then case
+                         when upper(substr(term, i, 1)) in
+                              ('B','F','P','V') then '1'
+                         when upper(substr(term, i, 1)) in
+                              ('C','G','J','K','Q','S','X','Z') then '2'
+                         when upper(substr(term, i, 1)) in ('D','T') then '3'
+                         when upper(substr(term, i, 1)) = 'L' then '4'
+                         when upper(substr(term, i, 1)) in ('M','N') then '5'
+                         when upper(substr(term, i, 1)) = 'R' then '6'
+                         when upper(substr(term, i, 1)) in ('H','W')
+                           then 'hw'
+                         else 'sep'
+                       end
+                       else 'sep'
+                     end as d
+              from chars
+            ),
+            kept as (select * from cls where i = 1 or d <> 'hw'),
+            seq as (
+              select term, i, d,
+                     lag(d) over (partition by term order by i) as pd
+              from kept
+            ),
+            body as (
+              select term,
+                     string_agg(d, '' order by i)
+                       filter (where i > 1
+                               and d in ('1','2','3','4','5','6')
+                               and d <> pd) as digits
+              from seq group by term
+            ),
+            sx as (
+              select term,
+                     case when upper(substr(term, 1, 1))
+                               between 'A' and 'Z'
+                          then rpad(substr(
+                                 upper(substr(term, 1, 1))
+                                   || coalesce(digits, ''), 1, 4), 4, '0')
+                          else term end as code
+              from body
+            ),
+            cand as (select term from sx where code = 'M620'),
+            m as (
+              select t.doc_id, sum(strlen(t.term)) as w
+              from toks t join cand using (term)
+              group by t.doc_id
+            )
             select m.doc_id,
                    round((m.w::real / sqrt(strlen(d.text)::double)::real
                          )::real::double, 4)::double as score_r4
@@ -3228,4 +3332,5 @@ def oracle_sql() -> dict[str, str]:
     out["fuzzy_seg"] = out["fuzzy_docs"]
     out["wildcard_seg"] = out["wildcard_docs"]
     out["regex_seg"] = out["regex_docs"]
+    out["phonetic_seg"] = out["phonetic_docs"]
     return out

@@ -36,6 +36,7 @@ from .qast import (  # noqa: F401
     Match,
     Near,
     Or,
+    Phonetic,
     Phrase,
     Prefix,
     Query,

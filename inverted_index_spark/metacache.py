@@ -326,6 +326,56 @@ def wildcard_terms(index_path: str, pattern: str) -> List[str]:
     return out
 
 
+def phonetic_terms(
+    index_path: str, term: str, max_expansions: int
+) -> List[str]:
+    """Expansion set for a ``Phonetic`` node: distinct indexed full
+    tokens whose American Soundex code (oracle.soundex, Spark-parity)
+    equals ``term``'s, capped at the ``max_expansions`` highest-df
+    tokens (df_full desc, term asc — the Fuzzy cap contract).
+    Driver-side, no Spark.
+
+    A soundex code's first letter is the term's first letter, so the
+    pyarrow termdict read is banded to that letter's sorted slice; for
+    a non-letter-initial query the code is the raw string, which only
+    an identical term can produce, so the read is an exact lookup.
+    Memoized per termdict snapshot.
+    """
+    snap = _snapshot(index_path, "termdict")
+    if snap is None or not term:
+        return []
+    key = (snap, "phonetic", term, max_expansions)
+    hit = _memo_get(key)
+    if hit is not None:
+        return hit  # type: ignore[return-value]
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from .oracle import soundex
+
+    code = soundex(term)
+    first = term[0].upper()
+    if "A" <= first <= "Z":
+        lo = first.lower()
+        flt = (pc.field("term") >= lo) & (pc.field("term") < chr(ord(lo) + 1))
+    else:
+        flt = pc.field("term") == term
+    table = ds.dataset(snap[0], format="parquet").to_table(
+        columns=["term", "df_full"], filter=flt
+    )
+    scored = sorted(
+        (-int(df), t)
+        for t, df in zip(
+            table.column("term").to_pylist(),
+            table.column("df_full").to_pylist(),
+        )
+        if soundex(t) == code
+    )
+    out = [t for _, t in scored[:max_expansions]]
+    _memo_put(key, out)
+    return out
+
+
 def regex_terms(index_path: str, pattern: str) -> List[str]:
     """Expansion set for a ``Regex`` node: every dictionary term the
     pattern fully matches, sorted. Driver-side, no Spark.

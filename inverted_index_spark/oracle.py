@@ -190,6 +190,57 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+_SOUNDEX_CODE = {
+    **{c: "1" for c in "BFPV"},
+    **{c: "2" for c in "CGJKQSXZ"},
+    **{c: "3" for c in "DT"},
+    "L": "4",
+    "M": "5",
+    "N": "5",
+    "R": "6",
+}
+
+
+def soundex(s: str) -> str:
+    """Classic American Soundex with the H/W rule, matching Spark's
+    ``F.soundex`` exactly (parity pinned over the corpus vocabulary
+    plus randomized strings in tests/test_phonetic.py):
+
+    - non-[A-Za-z] FIRST char -> the input is returned unchanged
+      (Spark: soundex('1abc') = '1abc', soundex('über') = 'über');
+    - H and W are transparent — they neither emit nor reset, so
+      letters of equal code across them collapse ('bhb' -> B000);
+    - vowels, Y and any non-letter reset the adjacency ('bab', 'b1b',
+      "b'b" all -> B100);
+    - output is the uppercased first letter + up to three digits,
+      zero-padded to 4.
+    """
+    if not s:
+        return s
+    first = s[0].upper()
+    if not ("A" <= first <= "Z"):
+        return s
+    out = first
+    prev = _SOUNDEX_CODE.get(first)
+    for ch in s[1:]:
+        c = ch.upper()
+        if "A" <= c <= "Z":
+            if c in "HW":
+                continue
+            code = _SOUNDEX_CODE.get(c)
+            if code is None:
+                prev = None
+            else:
+                if code != prev:
+                    out += code
+                    if len(out) == 4:
+                        break
+                prev = code
+        else:
+            prev = None
+    return out.ljust(4, "0")
+
+
 # ---------------------------------------------------------------------------
 # result + highlight
 

@@ -33,7 +33,7 @@ def wildcard_literal_prefix(pattern: str) -> str:
 
 __all__ = [
     "Query", "Match", "And", "Or", "Phrase", "Prefix", "AndNot",
-    "Near", "Fuzzy", "Wildcard", "AtLeast", "Regex",
+    "Near", "Fuzzy", "Wildcard", "AtLeast", "Regex", "Phonetic",
     "regex_parse",
 ]
 
@@ -401,6 +401,27 @@ class Fuzzy(Query):
 
     text: str
     max_edits: int = 1
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
+class Phonetic(Query):
+    """Sounds-like term match: the analyzed query term expands to
+    every distinct indexed FULL TOKEN whose American Soundex code
+    equals the query term's (oracle.soundex == Spark ``F.soundex``,
+    parity pinned), capped at the ``max_expansions`` highest-df tokens
+    (df desc, term asc — the same cap contract as Fuzzy); the result
+    is the union of their exact-token matches.
+
+    Engine EXTENSION (Lucene PhoneticFilter/phonetic-query analog; no
+    phonetic matching in the reference). Full-token indexes only, one
+    analyzed term per node (compose with And/Or). A soundex code's
+    first letter equals the term's first letter, so the dictionary
+    scan prunes to that letter's range — never the whole vocabulary.
+    AST-only (no string-query form).
+    """
+
+    text: str
     max_expansions: int = 50
 
 

@@ -49,6 +49,7 @@ from .qast import (
     Match,
     Near,
     Or,
+    Phonetic,
     Phrase,
     Prefix,
     Query,
@@ -450,6 +451,60 @@ class FtsEngine:
             raw=raw,
         )
 
+    def _phonetic(self, text: str, max_expansions: int) -> PlanResult:
+        """Sounds-like term expansion (qast.Phonetic): one
+        term-dictionary scan picks the ``max_expansions`` highest-df
+        tokens whose ``F.soundex`` equals the query term's code
+        (oracle.soundex — parity pinned in tests); the postings scan is
+        a broadcast semi-join on the expanded set. The scan is sargable
+        on the code's first letter (a soundex code starts with the
+        term's first letter), so it reads one letter's slice of the
+        vocabulary, never all of it.
+        """
+        if self.index.ngrams:
+            raise ValueError(
+                "Phonetic requires a full-token index: an edge-ngram "
+                "term dictionary stores prefixes, where soundex over "
+                "entries is meaningless (build with ngrams=False)"
+            )
+        terms = [t.term for t in analyze_query(text)]
+        if len(terms) != 1:
+            raise ValueError(
+                f"Phonetic wants exactly one analyzed term, got {terms!r}"
+            )
+        from .oracle import soundex
+
+        q = terms[0]
+        code = soundex(q)
+        cand = self.index.termdict
+        first = q[0].upper() if q else ""
+        if "A" <= first <= "Z":
+            lo = first.lower()
+            hi = chr(ord(lo) + 1)
+            cand = cand.filter(
+                (F.col("term") >= lo) & (F.col("term") < hi)
+            )
+        else:
+            # non-letter-initial query: its "code" is the raw string,
+            # which only an identical term can produce (see
+            # oracle.soundex) — the scan is an exact-term lookup
+            cand = cand.filter(F.col("term") == q)
+        cand = (
+            cand.filter(F.soundex(F.col("term")) == F.lit(code))
+            .orderBy(F.col("df_full").desc(), F.col("term").asc())
+            .limit(max_expansions)
+            .select("term")
+        )
+        raw = self.index.postings.join(
+            F.broadcast(cand), "term", "left_semi"
+        ).select("doc_id", "positions")
+        return PlanResult(
+            docs=raw.select("doc_id").distinct(),
+            rows=self._explode_raw(raw),
+            complete=True,
+            raw=raw,
+        )
+
     def _subtract(self, pos: PlanResult, neg: PlanResult) -> PlanResult:
         """AndNot: positive's docs/rows minus the negative's doc set.
 
@@ -535,6 +590,8 @@ class FtsEngine:
             return self._fuzzy(
                 query.text, query.max_edits, query.max_expansions
             )
+        if isinstance(query, Phonetic):
+            return self._phonetic(query.text, query.max_expansions)
         if isinstance(query, And):
             return self._intersect([self.compile(q) for q in query.children])
         if isinstance(query, Or):
@@ -1634,11 +1691,34 @@ class FtsEngine:
             if hi is not None:
                 cand = cand.filter(F.col("term") < hi)
             cap = max_expansions
+        elif isinstance(q, Phonetic):
+            if self.index.ngrams:
+                raise ValueError("Phonetic requires a full-token index")
+            terms = [t.term for t in analyze_query(q.text)]
+            if len(terms) != 1:
+                raise ValueError(
+                    f"Phonetic wants exactly one analyzed term, got {terms!r}"
+                )
+            from .oracle import soundex
+
+            t = terms[0]
+            first = t[0].upper() if t else ""
+            if "A" <= first <= "Z":
+                lo = first.lower()
+                cand = td.filter(
+                    (F.col("term") >= lo)
+                    & (F.col("term") < chr(ord(lo) + 1))
+                )
+            else:
+                cand = td.filter(F.col("term") == t)
+            cand = cand.filter(F.soundex(F.col("term")) == F.lit(soundex(t)))
+            cap = min(q.max_expansions, max_expansions)
         else:
             raise ValueError(
                 f"bm25_query ranks term-bag queries (Match/Fuzzy/Wildcard/"
-                f"Regex/Prefix/Or of those), not {type(q).__name__} — use "
-                "results() for positional/boolean semantics"
+                f"Regex/Prefix/Phonetic/Or of those), not "
+                f"{type(q).__name__} — use results() for "
+                "positional/boolean semantics"
             )
         rows = (
             cand.orderBy(F.col("df_full").desc(), F.col("term").asc())

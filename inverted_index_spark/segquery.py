@@ -48,6 +48,7 @@ from .qast import (
     Match,
     Near,
     Or,
+    Phonetic,
     Phrase,
     Prefix,
     Query,
@@ -252,6 +253,34 @@ def _compile_node(
             idxs.append(len(ranges))
             # EXACT token range [t, t + chr(0)) — fuzzy expansion terms
             # are full dictionary tokens, never prefix-expanded
+            ranges.append((t, t + "\x00"))
+        return ("match", idxs)
+    if isinstance(q, Phonetic):
+        if ngrams:
+            raise ValueError(
+                "Phonetic requires a full-token index: an edge-ngram "
+                "term dictionary stores prefixes, where soundex over "
+                "entries is meaningless (build with ngrams=False)"
+            )
+        terms = [t.term for t in analyze_query(q.text)]
+        if len(terms) != 1:
+            raise ValueError(
+                f"Phonetic wants exactly one analyzed term, got {terms!r}"
+            )
+        if index_path is None:
+            raise ValueError("Phonetic needs a saved index (term dictionary)")
+        from . import metacache
+
+        expanded = metacache.phonetic_terms(
+            index_path, terms[0], q.max_expansions
+        )
+        if not expanded:
+            return ("empty",)
+        idxs = []
+        for t in expanded:
+            idxs.append(len(ranges))
+            # EXACT token range — expansion terms are full dictionary
+            # tokens, never prefix-expanded (same as Fuzzy)
             ranges.append((t, t + "\x00"))
         return ("match", idxs)
     if isinstance(q, And):

@@ -152,6 +152,7 @@ from .qast import (  # noqa: E402,F401
     Match,
     Near,
     Or,
+    Phonetic,
     Phrase,
     Prefix,
     Query,
@@ -412,6 +413,34 @@ class OracleIndex:
             ]
         )
 
+    def _phonetic(self, text: str, max_expansions: int) -> PostingsMap:
+        """Soundex expansion over distinct FULL tokens (qast.Phonetic):
+        candidates with the query term's soundex code, capped at the
+        ``max_expansions`` highest-df tokens (df desc, term asc), each
+        matched exactly; union-merged."""
+        terms = [t.term for t in analyze_query(text)]
+        if len(terms) != 1:
+            raise ValueError(
+                f"Phonetic wants exactly one analyzed term, got {terms!r}"
+            )
+        q = terms[0]
+        code = soundex(q)
+        full: Dict[str, PostingsMap] = {}
+        for doc_id, content in self.docs.items():
+            for tok in analyze_index(content, ngrams=False):
+                full.setdefault(tok.term, {}).setdefault(doc_id, []).append(
+                    (tok.begin, tok.end, tok.pos)
+                )
+        cand = [t for t in full if soundex(t) == code]
+        cand.sort(key=lambda t: (-len(full[t]), t))
+        cand = cand[:max_expansions]
+        return union_postings(
+            [
+                {d: coalesce_sorted(sorted(ps)) for d, ps in full[t].items()}
+                for t in cand
+            ]
+        )
+
     def _prefix(self, prefix: str) -> PostingsMap:
         if not prefix:
             return {}
@@ -474,6 +503,8 @@ class OracleIndex:
             return self._near(query.text, query.slop)
         if isinstance(query, Fuzzy):
             return self._fuzzy(query.text, query.max_edits, query.max_expansions)
+        if isinstance(query, Phonetic):
+            return self._phonetic(query.text, query.max_expansions)
         if isinstance(query, AndNot):
             pos = self.postings_for(query.positive)
             neg = self.postings_for(query.negative)

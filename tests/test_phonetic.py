@@ -134,3 +134,28 @@ def test_phonetic_segment_twin_bit_identical(spark, tmp_path):
     # bm25 over the phonetic term bag (WAND-eligible term-bag query)
     ranked = e.bm25_query(Phonetic("rupert"), k=10).collect()
     assert {r["doc_id"] for r in ranked} == {0, 1, 2}
+
+
+def test_phonetic_three_evaluator_identity(eng):
+    """Relational engine == pure-Python OracleIndex (the segment twin
+    is pinned separately): doc set, positions and parity score."""
+    from inverted_index_spark.oracle import OracleIndex
+
+    oracle = OracleIndex()
+    for doc_id, text in DOCS:
+        oracle.add(doc_id, text)
+    for q in (Phonetic("rupert"), Phonetic("bob"), Phonetic("rapid"),
+              Phonetic("zzz")):
+        expect = [
+            (r.doc_id, [tuple(p) for p in r.positions], round(r.score, 5))
+            for r in oracle.query(q)
+        ]
+        got = sorted(
+            (
+                r["doc_id"],
+                [(p["begin"], p["end"], p["pos"]) for p in r["positions"]],
+                round(r["score"], 5),
+            )
+            for r in eng.results(q).collect()
+        )
+        assert got == sorted(expect), q

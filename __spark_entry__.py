@@ -2116,7 +2116,18 @@ def oracle_sql() -> dict[str, str]:
                           else term end as code
               from body
             ),
-            cand as (select term from sx where code = 'M620'),
+            dfs as (
+              select term, count(distinct doc_id)::bigint as df
+              from toks group by term
+            ),
+            -- the engine caps the expansion at the 50 highest-df terms
+            -- (df desc, term asc), same contract as Fuzzy
+            cand as (
+              select s.term from sx s join dfs using (term)
+              where s.code = 'M620'
+              order by dfs.df desc, s.term asc
+              limit 50
+            ),
             m as (
               select t.doc_id, sum(strlen(t.term)) as w
               from toks t join cand using (term)

@@ -75,24 +75,7 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs at least one ranked side")
     if k_rrf <= 0:
         raise ValueError("k_rrf must be positive")
-    fused = None
-    for i, side in enumerate(sides, start=1):
-        cur = side.select(
-            F.col(id_col).alias("_id"),
-            F.col(rank_col).cast("int").alias(f"rank_{i}"),
-        )
-        if fused is None:
-            fused = cur
-        else:
-            prev = fused
-            cur_r = cur.withColumnRenamed("_id", "_id_r")
-            fused = prev.join(
-                cur_r, prev["_id"] == cur_r["_id_r"], "full_outer"
-            ).select(
-                F.coalesce(prev["_id"], cur_r["_id_r"]).alias("_id"),
-                *[F.col(f"rank_{j}") for j in range(1, i)],
-                F.col(f"rank_{i}"),
-            )
+    fused = _fold_join(sides, id_col, rank_col, "rank", "int")
     rank_cols = [f"rank_{i}" for i in range(1, len(sides) + 1)]
     rrf = None
     for rc in rank_cols:
@@ -107,6 +90,38 @@ def rrf_fuse(
         rrf.alias("rrf"),
     ).orderBy(F.desc("rrf"), F.asc(id_col))
     return out.limit(k) if k is not None else out
+
+
+def _fold_join(
+    sides: Sequence[DataFrame],
+    id_col: str,
+    in_col: str,
+    out_prefix: str,
+    cast: str,
+) -> DataFrame:
+    """Iterative full-outer-join fold shared by the fusion variants:
+    each side's ``in_col`` lands as ``{out_prefix}_{i}`` keyed on a
+    coalesced ``_id``. Inputs are pre-truncated top-n lists, so every
+    join is over ≤ n rows per side."""
+    fused = None
+    for i, side in enumerate(sides, start=1):
+        cur = side.select(
+            F.col(id_col).alias("_id"),
+            F.col(in_col).cast(cast).alias(f"{out_prefix}_{i}"),
+        )
+        if fused is None:
+            fused = cur
+        else:
+            prev = fused
+            cur_r = cur.withColumnRenamed("_id", "_id_r")
+            fused = prev.join(
+                cur_r, prev["_id"] == cur_r["_id_r"], "full_outer"
+            ).select(
+                F.coalesce(prev["_id"], cur_r["_id_r"]).alias("_id"),
+                *[F.col(f"{out_prefix}_{j}") for j in range(1, i)],
+                F.col(f"{out_prefix}_{i}"),
+            )
+    return fused
 
 
 def normalized_topn(
@@ -156,24 +171,7 @@ def weighted_fuse(
         )
     if any(w < 0 for w in weights):
         raise ValueError("weights must be non-negative")
-    fused = None
-    for i, side in enumerate(sides, start=1):
-        cur = side.select(
-            F.col(id_col).alias("_id"),
-            F.col(norm_col).cast("double").alias(f"norm_{i}"),
-        )
-        if fused is None:
-            fused = cur
-        else:
-            prev = fused
-            cur_r = cur.withColumnRenamed("_id", "_id_r")
-            fused = prev.join(
-                cur_r, prev["_id"] == cur_r["_id_r"], "full_outer"
-            ).select(
-                F.coalesce(prev["_id"], cur_r["_id_r"]).alias("_id"),
-                *[F.col(f"norm_{j}") for j in range(1, i)],
-                F.col(f"norm_{i}"),
-            )
+    fused = _fold_join(sides, id_col, norm_col, "norm", "double")
     norm_cols = [f"norm_{i}" for i in range(1, len(sides) + 1)]
     score = None
     for w, nc in zip(weights, norm_cols):

@@ -354,8 +354,8 @@ def phonetic_terms(
     from .oracle import soundex
 
     code = soundex(term)
-    first = term[0].upper()
-    if "A" <= first <= "Z":
+    first = term[0]
+    if ("a" <= first <= "z") or ("A" <= first <= "Z"):
         lo = first.lower()
         flt = (pc.field("term") >= lo) & (pc.field("term") < chr(ord(lo) + 1))
     else:
@@ -487,14 +487,31 @@ def estimate_read_bytes(
 # the whole shard's encoded postings payload, an upper bound on what the
 # term-filtered read actually touches, so the threshold is conservative.
 #
-# Sized for the fork-pool coordinator (segquery._map_files): the decode
-# kernels run one-process-per-core, so ~128 MB across up to 64 shards
-# decodes in a few hundred ms — still under a Spark job's fixed
-# dispatch latency. Before the pool the serve was GIL-bound to ~one
-# core and these were 32 MB / 16 files.
+# Two default tiers, picked by fork-pool availability (segquery.
+# _map_files): with the process pool the decode kernels run
+# one-process-per-core, so ~128 MB across up to 64 shards decodes in a
+# few hundred ms — still under a Spark job's fixed dispatch latency.
+# When the pool is unavailable (SPARK_GRAFT_SERVE_PROCS=0, no fork
+# start method) the serve is GIL-bound to ~one core, so the old
+# conservative tier applies — routing 128 MB at a thread-pool ~5-7 s
+# would be strictly worse than distributing.
 
 LOCAL_MAX_BYTES = 128 << 20
 LOCAL_MAX_FILES = 64
+LOCAL_MAX_BYTES_THREADED = 32 << 20
+LOCAL_MAX_FILES_THREADED = 16
+
+
+def _fork_serve_enabled() -> bool:
+    """True when segquery._map_files would use the fork process pool."""
+    if os.environ.get("SPARK_GRAFT_SERVE_PROCS", "16") == "0":
+        return False
+    try:
+        import multiprocessing
+
+        return "fork" in multiprocessing.get_all_start_methods()
+    except Exception:
+        return False
 
 
 def serve_locally(
@@ -520,11 +537,16 @@ def serve_locally(
         raise ValueError(f"mode must be auto|local|spark, got {mode!r}")
     if os.environ.get("SPARK_GRAFT_LOCAL_QUERY", "1") in ("0", "false"):
         return False
+    if _fork_serve_enabled():
+        dflt_files, dflt_bytes = LOCAL_MAX_FILES, LOCAL_MAX_BYTES
+    else:
+        dflt_files = LOCAL_MAX_FILES_THREADED
+        dflt_bytes = LOCAL_MAX_BYTES_THREADED
     max_files = int(
-        os.environ.get("SPARK_GRAFT_LOCAL_QUERY_MAX_FILES", LOCAL_MAX_FILES)
+        os.environ.get("SPARK_GRAFT_LOCAL_QUERY_MAX_FILES", dflt_files)
     )
     max_bytes = int(
-        os.environ.get("SPARK_GRAFT_LOCAL_QUERY_MAX_BYTES", LOCAL_MAX_BYTES)
+        os.environ.get("SPARK_GRAFT_LOCAL_QUERY_MAX_BYTES", dflt_bytes)
     )
     if len(shards) > max_files:
         return False

@@ -208,23 +208,29 @@ def soundex(s: str) -> str:
     plus randomized strings in tests/test_phonetic.py):
 
     - non-[A-Za-z] FIRST char -> the input is returned unchanged
-      (Spark: soundex('1abc') = '1abc', soundex('über') = 'über');
+      (Spark: soundex('1abc') = '1abc', soundex('über') = 'über',
+      soundex('ßuber') = 'ßuber' — the check is on the RAW char, so a
+      char that only full-Unicode-uppercases into A-Z ('ß' -> 'SS',
+      'ſ' -> 'S') still disqualifies; Java maps chars one-by-one);
     - H and W are transparent — they neither emit nor reset, so
       letters of equal code across them collapse ('bhb' -> B000);
-    - vowels, Y and any non-letter reset the adjacency ('bab', 'b1b',
-      "b'b" all -> B100);
+    - vowels, Y and any non-[A-Za-z] char reset the adjacency ('bab',
+      'b1b', "b'b", 'bßb', 'bſb' all -> B100 — mid-string non-ASCII
+      letters are separators, never coded);
     - output is the uppercased first letter + up to three digits,
       zero-padded to 4.
     """
     if not s:
         return s
-    first = s[0].upper()
+    first = s[0]
+    if "a" <= first <= "z":
+        first = first.upper()
     if not ("A" <= first <= "Z"):
         return s
     out = first
     prev = _SOUNDEX_CODE.get(first)
     for ch in s[1:]:
-        c = ch.upper()
+        c = ch.upper() if "a" <= ch <= "z" else ch
         if "A" <= c <= "Z":
             if c in "HW":
                 continue

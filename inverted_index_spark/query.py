@@ -477,8 +477,12 @@ class FtsEngine:
         q = terms[0]
         code = soundex(q)
         cand = self.index.termdict
-        first = q[0].upper() if q else ""
-        if "A" <= first <= "Z":
+        first = q[0] if q else ""
+        # RAW ASCII-letter check, mirroring oracle.soundex: a char that
+        # only full-Unicode-uppercases into A-Z ('ß' -> 'SS') is not a
+        # band letter (and would crash chr(ord(...)+1) on the 2-char
+        # uppercase result)
+        if ("a" <= first <= "z") or ("A" <= first <= "Z"):
             lo = first.lower()
             hi = chr(ord(lo) + 1)
             cand = cand.filter(
@@ -1702,8 +1706,8 @@ class FtsEngine:
             from .oracle import soundex
 
             t = terms[0]
-            first = t[0].upper() if t else ""
-            if "A" <= first <= "Z":
+            first = t[0] if t else ""
+            if ("a" <= first <= "z") or ("A" <= first <= "Z"):
                 lo = first.lower()
                 cand = td.filter(
                     (F.col("term") >= lo)
@@ -2060,13 +2064,17 @@ class FtsEngine:
             )
         dl = F.col("doclen_tokens")
         if similarity == "lmd":
-            # per-term collection frequency + corpus token total: two
-            # tiny aggregates (|terms| rows / one scalar), broadcast
-            total_tokens = float(
-                self.index.docstats.agg(
-                    F.sum("doclen_tokens").alias("t")
-                ).first()["t"]
-            )
+            # per-term collection frequency (|terms| rows, broadcast) +
+            # corpus token total — a per-index constant, so the one
+            # corpus-wide aggregate runs once per engine, not per query
+            total_tokens = getattr(self, "_lmd_total_tokens", None)
+            if total_tokens is None:
+                total_tokens = float(
+                    self.index.docstats.agg(
+                        F.sum("doclen_tokens").alias("t")
+                    ).first()["t"]
+                )
+                self._lmd_total_tokens = total_tokens
             stats_tbl = (
                 self.index.postings.filter(F.col("term").isin(terms))
                 .groupBy("term")

@@ -818,9 +818,19 @@ def _map_files(fn, files: list) -> list:
     decodes its shard slice with a whole core. Processes are used when
     the shard fan-out is big enough to matter
     (> SPARK_GRAFT_SERVE_PROC_MIN files, default 8) and fork is
-    available; SPARK_GRAFT_SERVE_PROCS=0 disables them, and any pool
-    failure falls back to the thread path. Driver/coordinator-side
-    only — the distributed path is mapInPandas, not this."""
+    available; SPARK_GRAFT_SERVE_PROCS=0 disables them (this also
+    drops metacache.serve_locally back to its thread-tier thresholds),
+    and any pool failure falls back to the thread path.
+    Driver/coordinator-side only — the distributed path is
+    mapInPandas, not this.
+
+    Concurrency/caveats: _FORK_LOCK serializes pool runs, so
+    concurrent coordinator serves queue behind each other — deliberate:
+    forking while another serve's threads hold pyarrow/allocator locks
+    is the classic fork-with-threads hazard, and serializing the fork
+    window is the cheap way to keep our own threads quiescent at fork
+    time. A process that runs other lock-holding threads (e.g. heavy
+    JVM callback traffic) should set SPARK_GRAFT_SERVE_PROCS=0."""
     if len(files) <= 1:
         parts = [fn(f) for f in files]
     else:

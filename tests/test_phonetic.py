@@ -27,6 +27,11 @@ SPARK_GOLDEN = {
     "o'neil": "O540", "naïve": "N100", "café": "C100", "über": "über",
     "bhb": "B000", "bwb": "B000", "b'b": "B100", "b1b": "B100",
     "béb": "B100", "bb": "B000", "byb": "B100", "bab": "B100",
+    # raw-ASCII first-char rule: chars that only full-Unicode-uppercase
+    # into A-Z ('ß'->'SS', 'ſ'->'S', 'ﬁ'->'FI') do NOT qualify, and
+    # mid-string they are separators, never coded
+    "ßuber": "ßuber", "ſam": "ſam", "ﬁsh": "ﬁsh", "ĳs": "ĳs",
+    "bßb": "B100", "bſb": "B100", "bﬁb": "B100", "bĳb": "B100",
 }
 
 
@@ -103,6 +108,15 @@ def test_phonetic_validation(spark, eng):
     ngram_eng = build_engine(spark, DOCS[:2], ngrams=True)
     with pytest.raises(ValueError, match="full-token index"):
         ngram_eng.results(Phonetic("robert"))
+
+
+def test_phonetic_multichar_uppercase_first_char(eng):
+    """'ß'.upper() == 'SS' used to slip past the A..Z band check and
+    crash chr(ord(...)+1); it must behave like any other
+    non-ASCII-letter-initial query (code = raw string, exact-term
+    lookup, empty here)."""
+    assert eng.results(Phonetic("ßuber")).count() == 0
+    assert eng.results(Phonetic("ſam")).count() == 0
 
 
 def test_phonetic_segment_twin_bit_identical(spark, tmp_path):

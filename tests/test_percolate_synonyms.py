@@ -75,6 +75,19 @@ def test_percolate_fuzzy_single_doc_vocab(spark):
     assert got == [0, 1, 2, 5, 6]
 
 
+def test_percolate_phonetic_single_doc_vocab(spark):
+    """Phonetic percolation, same one-doc expansion model as Fuzzy:
+    'mirge' soundexes to M620 == 'merge'."""
+    from inverted_index_spark.qast import Phonetic
+
+    docs_df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = sorted(
+        r["doc_id"]
+        for r in percolate(docs_df, {"p": Phonetic("mirge")}).collect()
+    )
+    assert got == [0, 1, 2, 5]
+
+
 def test_percolate_empty_registry_and_null_text(spark):
     docs_df = spark.createDataFrame(
         [(0, "scan"), (1, None)], "doc_id long, text string"

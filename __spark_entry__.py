@@ -982,6 +982,25 @@ def _q_hybrid_rrf(spark, sf):
     )
 
 
+def _q_normalize(spark, sf):
+    """Ingest text normalization: NFC + control strip + ASCII-class
+    whitespace collapse + trim. The input is deliberately dirtied with
+    a combining accent (e + U+0301 -> NFC composes to é), a tab and
+    control bytes so every rule fires; hashes of the normalized text
+    must match DuckDB's native nfc_normalize + RE2 pipeline."""
+    from inverted_index_spark.pipelines.textstats import normalize_text
+
+    dirty = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("e\u0301\t "), F.col("text"), F.lit("\x01 \x02 ")
+        ).alias("text"),
+    )
+    return normalize_text(dirty).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+
+
 def _q_phonetic_docs(spark, sf):
     """Sounds-like term match (engine extension, qast.Phonetic):
     'mirge' is NOT in the dictionary but soundexes to M620 == 'merge',
@@ -1395,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_topk": _q_recency_topk,
         "phonetic_docs": _q_phonetic_docs,
         "phonetic_seg": _q_phonetic_seg,
+        "normalize_text": _q_normalize,
         "lmd_topk": _q_lmd_topk,
         "tfidf_topk": _q_tfidf_topk,
         "regex_docs": _q_regex_docs,
@@ -2056,6 +2076,29 @@ def oracle_sql() -> dict[str, str]:
                    round((m.w::real / sqrt(strlen(d.text)::double)::real
                          )::real::double, 4)::double as score_r4
             from m join documents d using (doc_id)
+        """,
+        # text normalization: DuckDB-native nfc_normalize + RE2 with
+        # the same explicit ASCII whitespace class the engine uses
+        # (backslash escapes reach RE2 verbatim — SQL literals don't
+        # process them)
+        "normalize_text": """
+            select doc_id,
+                   md5(
+                     trim(
+                       regexp_replace(
+                         regexp_replace(
+                           nfc_normalize(
+                             'e' || chr(769) || chr(9) || ' ' || text
+                             || chr(1) || ' ' || chr(2) || ' '
+                           ),
+                           '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'
+                         ),
+                         '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'
+                       ),
+                       ' '
+                     )
+                   ) as h
+            from documents
         """,
         # phonetic (Soundex) match: the oracle computes American
         # Soundex from scratch — per-char classification, H/W rows

@@ -12,6 +12,7 @@ plus one aggregation, no joins, no skew-prone keys (doc_id grouping).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,6 +69,56 @@ def term_df(docs: DataFrame) -> DataFrame:
 def term_positions(docs: DataFrame) -> DataFrame:
     """(doc_id, term, pos) — exploded token stream with ordinals."""
     return tokenize_docs(docs, ngrams=False).select("doc_id", "term", "pos")
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Ingest text hygiene: Unicode-normalize (NFC default), strip
+    control characters, collapse whitespace runs, trim.
+
+    The canonical pre-dedup normalization step — MinHash/SimHash/exact
+    dedup all treat 'e\\u0301' vs '\\u00e9' or stray control bytes as
+    different documents unless the corpus is normalized first.
+
+    Rules (each dialect-stable so the DuckDB oracle mirrors exactly):
+
+    1. ``unicodedata.normalize(form, s)`` — DuckDB ``nfc_normalize``
+       implements the same Unicode NFC;
+    2. strip non-whitespace control chars ``[\\x00-\\x08\\x0e-\\x1f
+       \\x7f]`` (tab/newline/CR/FF/VT survive into rule 3);
+    3. collapse ``[ \\t\\n\\r\\f\\x0b]+`` runs to one space — the
+       EXPLICIT ASCII class, not ``\\s`` (Python ``\\s`` is
+       Unicode-aware, RE2/Java ``\\s`` are not — an explicit class is
+       the dialect-stable subset);
+    4. strip leading/trailing spaces.
+
+    Unicode normalization has no Spark builtin, so this is an
+    Arrow-batched pandas UDF — a narrow map, no shuffle, scales
+    linearly. Nulls pass through as nulls. Returns ``docs`` with
+    ``text_col`` replaced.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import re as _re
+
+    ctrl = _re.compile("[\x00-\x08\x0e-\x1f\x7f]")
+    ws = _re.compile("[ \t\n\r\f\x0b]+")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            t = ctrl.sub("", t)
+            return ws.sub(" ", t).strip(" ")
+
+        return s.map(one)
+
+    return docs.withColumn(text_col, _norm(F.col(text_col)))
 
 
 def quality(docs: DataFrame) -> DataFrame:

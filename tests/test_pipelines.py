@@ -843,3 +843,36 @@ def test_ivf_centroids_survive_adversarial_partition_order(spark, embeddings):
         for r in ivf_topk(embs, qvec, k=3, n_centroids=8, n_probe=2).collect()
     ]
     assert got[0] == 7
+
+
+def test_normalize_text_rules(spark):
+    """NFC composition, control strip, EXPLICIT-ASCII whitespace
+    collapse (U+00A0 must survive — Python \\s would eat it, RE2/Java
+    \\s would not; the explicit class is the dialect-stable subset),
+    trim, null passthrough, and the form whitelist."""
+    import pytest
+
+    from inverted_index_spark.pipelines.textstats import normalize_text
+
+    rows = [
+        (0, "été\t\tok"),   # combining acute -> composed é
+        (1, "  a\x01b\x00c  "),          # control bytes stripped
+        (2, None),
+        (3, "x   y"),               # NBSP is NOT ASCII whitespace
+        (4, "a\r\nb\fc\x0bd"),           # all five ASCII ws chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"] for r in normalize_text(df).collect()
+    }
+    assert got[0] == "été ok"
+    assert got[1] == "abc"
+    assert got[2] is None
+    assert got[3] == "x   y"
+    assert got[4] == "a b c d"
+    # NFKC folds compatibility chars that NFC preserves
+    fi = spark.createDataFrame([(0, "ﬁsh")], "doc_id long, text string")
+    assert normalize_text(fi).collect()[0]["text"] == "ﬁsh"
+    assert normalize_text(fi, form="NFKC").collect()[0]["text"] == "fish"
+    with pytest.raises(ValueError):
+        normalize_text(df, form="NFX")

@@ -40,6 +40,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
+from contextlib import contextmanager
 from typing import Dict, Optional
 
 CATALOG = "catalog.json"
@@ -174,6 +176,38 @@ class DeltaLogCatalog(CatalogAdapter):
     def resolve(self, path: str, name: str) -> Optional[str]:
         return self._state(path).get(name)
 
+    def latest_version(self, path: str) -> Optional[int]:
+        """Highest committed log version, or None for an empty log."""
+        versions = self._commit_versions(self._log_dir(path))
+        return versions[-1] if versions else None
+
+    def state_at(self, path: str, version: int) -> Dict[str, str]:
+        """Snapshot of the name -> directory mapping as of log commit
+        ``version`` (inclusive) — Iceberg/Delta time travel over the
+        append-only log. Replays from commit 0 (checkpoints are NOT
+        used: a checkpoint may compact state past ``version``).
+        Raises for a version the log has never committed. Reading the
+        returned directories requires them to still exist — run with
+        ``SPARK_GRAFT_RETAIN_VERSIONS=1`` so gc_superseded keeps
+        superseded generations (see :func:`pinned_version`)."""
+        log = self._log_dir(path)
+        versions = self._commit_versions(log)
+        if not versions or version > versions[-1] or version < 0:
+            raise ValueError(
+                f"log at {path} has no commit {version} "
+                f"(latest: {versions[-1] if versions else None})"
+            )
+        state: Dict[str, str] = {}
+        for ver in versions:
+            if ver > version:
+                break
+            try:
+                with open(os.path.join(log, f"{ver:020d}.json")) as fh:
+                    state.update(json.load(fh).get("swap", {}))
+            except (OSError, json.JSONDecodeError):
+                pass
+        return state
+
     def swap(self, path: str, mapping: Dict[str, str]) -> None:
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
@@ -246,8 +280,53 @@ def set_catalog(adapter: CatalogAdapter) -> CatalogAdapter:
     return prev
 
 
+_PINNED = threading.local()
+
+
+@contextmanager
+def pinned_version(path: str, version: int):
+    """Time travel: inside the block, every ``table_path`` resolution
+    for ``path`` uses the catalog state as of log commit ``version``
+    instead of the latest — so ``load_index``/queries read the index
+    exactly as it was then (Iceberg snapshot-read semantics).
+
+    Requires a catalog with commit history (``DeltaLogCatalog``) and
+    retained generation directories (``SPARK_GRAFT_RETAIN_VERSIONS=1``
+    while writing — gc_superseded deletes them otherwise, exactly as
+    Iceberg snapshots expire once their files are vacuumed). Pins are
+    thread-local and nest (inner pin wins, outer restored on exit).
+    """
+    if not hasattr(_CATALOG_ADAPTER, "state_at"):
+        raise ValueError(
+            "pinned_version needs a catalog with commit history "
+            "(DeltaLogCatalog); the active adapter "
+            f"{type(_CATALOG_ADAPTER).__name__} keeps none"
+        )
+    state = _CATALOG_ADAPTER.state_at(path, version)
+    key = os.path.abspath(path)
+    maps = getattr(_PINNED, "maps", None)
+    if maps is None:
+        maps = _PINNED.maps = {}
+    prev = maps.get(key)
+    maps[key] = state
+    try:
+        yield state
+    finally:
+        if prev is None:
+            del maps[key]
+        else:
+            maps[key] = prev
+
+
 def table_path(path: str, name: str) -> str:
-    """Resolve a logical table name to its current directory."""
+    """Resolve a logical table name to its current directory — or, under
+    an active :func:`pinned_version` block for this ``path``, to the
+    directory the pinned snapshot mapped it to."""
+    maps = getattr(_PINNED, "maps", None)
+    if maps:
+        state = maps.get(os.path.abspath(path))
+        if state is not None:
+            return os.path.join(path, state.get(name) or name)
     return os.path.join(path, _CATALOG_ADAPTER.resolve(path, name) or name)
 
 
@@ -276,15 +355,32 @@ def next_version(path: str, name: str) -> int:
     return max(used) + 1
 
 
-def publish(path: str, updates: Dict[str, int]) -> Dict[str, Optional[str]]:
+def pinned_state(path: str) -> Optional[Dict[str, str]]:
+    """The snapshot mapping pinned for ``path`` by an enclosing
+    :func:`pinned_version` block, or None when reading latest."""
+    maps = getattr(_PINNED, "maps", None)
+    if maps:
+        return maps.get(os.path.abspath(path))
+    return None
+
+
+def publish(
+    path: str,
+    updates: Dict[str, int],
+    extra: Optional[Dict[str, str]] = None,
+) -> Dict[str, Optional[str]]:
     """Atomically point each table at its new generation directory.
 
     ``updates`` maps table name -> generation written via
-    ``version_dir``. Returns the superseded directory per table (None
-    when there was none) for ``gc_superseded``.
+    ``version_dir``. ``extra`` adds raw marker entries to the same
+    commit (e.g. ``@delta_gen``, the delta high-water mark a pinned
+    snapshot read filters by — ``@``-prefixed keys are never table
+    names, so they ride the catalog inertly). Returns the superseded
+    directory per table (None when there was none) for
+    ``gc_superseded``.
     """
     old: Dict[str, Optional[str]] = {}
-    mapping: Dict[str, str] = {}
+    mapping: Dict[str, str] = dict(extra or {})
     for name, gen in updates.items():
         prev = _CATALOG_ADAPTER.resolve(path, name)
         # bare <name> dirs (gen-0 base) are also superseded targets
@@ -302,7 +398,14 @@ def publish(path: str, updates: Dict[str, int]) -> Dict[str, Optional[str]]:
 
 def gc_superseded(path: str, old: Dict[str, Optional[str]]) -> None:
     """Best-effort removal of superseded version directories (call only
-    after ``publish`` returned them)."""
+    after ``publish`` returned them).
+
+    ``SPARK_GRAFT_RETAIN_VERSIONS=1`` (or any non-``0`` value) skips
+    removal so historical snapshots stay readable via
+    :func:`pinned_version` — the Iceberg retention analog; a real
+    deployment would expire by age instead of keeping everything."""
+    if os.environ.get("SPARK_GRAFT_RETAIN_VERSIONS", "0") not in ("0", ""):
+        return
     for prev in old.values():
         if prev:
             shutil.rmtree(os.path.join(path, prev), ignore_errors=True)

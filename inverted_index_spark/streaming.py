@@ -588,7 +588,11 @@ def compact_stream(spark: SparkSession, index_path: str) -> None:
             commitio.version_dir(index_path, "docs", updates["docs"])
         )
 
-    superseded = commitio.publish(index_path, updates)
+    # stream compaction writes delta generation `gen`: record it as the
+    # snapshot's delta high-water mark (time travel, commitio.publish)
+    superseded = commitio.publish(
+        index_path, updates, extra={"@delta_gen": str(gen)}
+    )
     commitio.gc_superseded(index_path, superseded)
 
     if changed is not None:

@@ -65,10 +65,18 @@ def merged_postings(spark: SparkSession, path: str) -> DataFrame:
     base = spark.read.parquet(commitio.table_path(path, "postings")).withColumn(
         "gen", F.lit(0)
     )
+    # time travel: a pinned snapshot carries the delta high-water mark
+    # its commit recorded (@delta_gen) — later delta/tombstone
+    # generations are invisible to the pinned read, exactly as the
+    # catalog-versioned tables are
+    pinned = commitio.pinned_state(path)
+    dmax = int(pinned.get("@delta_gen", 0)) if pinned is not None else None
     delta_path = os.path.join(path, DELTA_DIR)
     if os.path.isdir(delta_path) and os.listdir(delta_path):
-        delta = spark.read.parquet(delta_path).select(*base.columns)
-        allp = base.unionByName(delta)
+        delta = spark.read.parquet(delta_path)
+        if dmax is not None:
+            delta = delta.filter(F.col("gen") <= dmax)
+        allp = base.unionByName(delta.select(*base.columns))
     else:
         allp = base
     tomb_path = os.path.join(path, TOMB_DIR)
@@ -77,11 +85,10 @@ def merged_postings(spark: SparkSession, path: str) -> DataFrame:
         # tombstone-only generation with NO delta, so tombstones must
         # apply even when the delta dir is absent)
         return allp.drop("gen")
-    tombs = (
-        spark.read.parquet(tomb_path)
-        .groupBy("doc_id")
-        .agg(F.max("gen").alias("tomb_gen"))
-    )
+    tombs = spark.read.parquet(tomb_path)
+    if dmax is not None:
+        tombs = tombs.filter(F.col("gen") <= dmax)
+    tombs = tombs.groupBy("doc_id").agg(F.max("gen").alias("tomb_gen"))
     return (
         allp.join(F.broadcast(tombs), "doc_id", "left")
         .filter(F.col("tomb_gen").isNull() | (F.col("gen") >= F.col("tomb_gen")))
@@ -246,7 +253,9 @@ def _refresh_after_mutation(
             commitio.version_dir(path, "docs", updates["docs"])
         )
 
-    superseded = commitio.publish(path, updates)
+    superseded = commitio.publish(
+        path, updates, extra={"@delta_gen": str(gen)}
+    )
     commitio.gc_superseded(path, superseded)
     if "docs" in updates and docs is None:
         docs = spark.read.parquet(commitio.table_path(path, "docs"))
@@ -349,7 +358,11 @@ def compact_index(spark: SparkSession, path: str) -> None:
     ).write.mode("overwrite").parquet(
         commitio.version_dir(path, "postings", pgen)
     )
-    superseded = commitio.publish(path, {"postings": pgen})
+    # compaction folds every delta into the new base: the snapshot
+    # commit resets the delta high-water mark
+    superseded = commitio.publish(
+        path, {"postings": pgen}, extra={"@delta_gen": "0"}
+    )
     commitio.gc_superseded(path, superseded)
     shutil.rmtree(os.path.join(path, DELTA_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(path, TOMB_DIR), ignore_errors=True)

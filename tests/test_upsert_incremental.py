@@ -218,9 +218,13 @@ def test_upsert_compact_upsert_cycle(spark, saved):
     assert _docs_of(spark, saved, "beta") == [1]
     assert _docs_of(spark, saved, "alpha") == [0]
     assert _docs_of(spark, saved, "sorcery") == []
-    # every catalog entry points at a directory that exists
+    # every catalog TABLE entry points at a directory that exists
+    # (@-prefixed keys are inert markers — @delta_gen is the snapshot
+    # high-water mark, never a table name)
     cat = json.load(open(os.path.join(saved, "catalog.json")))
     for name, d in cat.items():
+        if name.startswith("@"):
+            continue
         assert os.path.isdir(os.path.join(saved, d)), (name, d)
     # compact again: must pick a fresh postings version, not overwrite
     # the live directory merged_postings is reading
@@ -263,7 +267,11 @@ def test_catalog_adapter_seam(spark, saved):
         )
         # one atomic multi-table swap; pointers live in the adapter
         assert len(fake.swaps) == 1
-        assert set(fake.swaps[0]) == {"termdict", "docstats", "docs"}
+        # tables plus the @delta_gen snapshot marker (time travel)
+        assert set(fake.swaps[0]) == {
+            "termdict", "docstats", "docs", "@delta_gen",
+        }
+        assert fake.swaps[0]["@delta_gen"] == "1"
         assert _docs_of(spark, saved, "adapter") == [0]
         assert not os.path.exists(os.path.join(saved, "catalog.json"))
     finally:
@@ -383,3 +391,71 @@ def test_deltalog_catalog_unreadable_commit_never_dropped(tmp_path):
     # commit files are complete the instant they are visible
     with open(os.path.join(log, f"{2:020d}.json")) as fh:
         assert "u.v1" in fh.read()
+
+
+def test_time_travel_pinned_reads(spark, saved, monkeypatch):
+    """Iceberg-style snapshot reads: with the DeltaLogCatalog and
+    retained generations, pinned_version(path, v) serves the index
+    exactly as of log commit v — catalog-versioned tables via the
+    pinned pointer state, delta/tombstone generations via the
+    @delta_gen high-water mark each commit records."""
+    import pytest
+
+    from inverted_index_spark import commitio
+    from inverted_index_spark.upsert import delete_saved
+
+    monkeypatch.setenv("SPARK_GRAFT_RETAIN_VERSIONS", "1")
+    cat = commitio.DeltaLogCatalog()
+    prev = commitio.set_catalog(cat)
+    try:
+        # base: 0 "learn to program in rust today", 1 "what sorcery
+        # is this", 2 "rust belt cities"
+        upsert_saved(
+            spark, saved,
+            spark.createDataFrame(
+                [(0, "time travel zero")], ["doc_id", "text"]
+            ),
+        )
+        v0 = cat.latest_version(saved)
+        delete_saved(
+            spark, saved,
+            spark.createDataFrame([(2,)], ["doc_id"]),
+        )
+        v1 = cat.latest_version(saved)
+        upsert_saved(
+            spark, saved,
+            spark.createDataFrame(
+                [(3, "future rust doc")], ["doc_id", "text"]
+            ),
+        )
+        assert v0 is not None and v1 is not None and v1 > v0
+        # latest: doc 0 rewritten, doc 2 deleted, doc 3 added
+        assert _docs_of(spark, saved, "rust") == [3]
+        assert _docs_of(spark, saved, "travel") == [0]
+        with commitio.pinned_version(saved, v0):
+            # as of v0: doc 2 still present, doc 3 not yet indexed
+            assert _docs_of(spark, saved, "rust") == [2]
+            assert _docs_of(spark, saved, "travel") == [0]
+            assert _docs_of(spark, saved, "future") == []
+        with commitio.pinned_version(saved, v1):
+            # as of v1: doc 2 deleted, doc 3 still absent
+            assert _docs_of(spark, saved, "rust") == []
+        # unpinned again: latest
+        assert _docs_of(spark, saved, "rust") == [3]
+        # a version the log never committed
+        with pytest.raises(ValueError, match="no commit"):
+            with commitio.pinned_version(saved, 999):
+                pass
+    finally:
+        commitio.set_catalog(prev)
+
+
+def test_pinned_version_requires_history_catalog(tmp_path):
+    import pytest
+
+    from inverted_index_spark import commitio
+
+    # default JsonCatalog keeps no history
+    with pytest.raises(ValueError, match="commit history"):
+        with commitio.pinned_version(str(tmp_path), 0):
+            pass

@@ -982,6 +982,86 @@ def _q_hybrid_rrf(spark, sf):
     )
 
 
+def _tt_setup(spark, sf):
+    """Build the time-travel fixture once per (session, sf): a saved
+    index under the DeltaLogCatalog with retained generations, plus a
+    mutation history — commit v0 adds a sentinel doc (no 'merge'
+    tokens, parity scores are per-doc local so existing rows are
+    unchanged), a later commit rewrites the first 50 docs to junk.
+    Returns (index_path, v0)."""
+    key = (id(spark), sf, "timetravel")
+    if key not in _ENGINES:
+        import tempfile
+
+        from inverted_index_spark import commitio
+        from inverted_index_spark.build import build_and_save
+        from inverted_index_spark.session import ship_package
+        from inverted_index_spark.upsert import upsert_saved
+
+        import os
+
+        ship_package(spark)
+        path = tempfile.mkdtemp(prefix="fts_timetravel_")
+        docs = _docs(spark, sf).select("doc_id", "text")
+        build_and_save(spark, docs, path, ngrams=False)
+        n = docs.count()
+        prev = commitio.set_catalog(commitio.DeltaLogCatalog())
+        prev_env = os.environ.get("SPARK_GRAFT_RETAIN_VERSIONS")
+        os.environ["SPARK_GRAFT_RETAIN_VERSIONS"] = "1"
+        try:
+            upsert_saved(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(int(n) + 1000, "sentinel placeholder zzz")],
+                    ["doc_id", "text"],
+                ),
+            )
+            v0 = commitio._CATALOG_ADAPTER.latest_version(path)
+            upsert_saved(
+                spark,
+                path,
+                docs.filter(F.col("doc_id") < 50).select(
+                    "doc_id", F.lit("zzz junk rewrite").alias("text")
+                ),
+            )
+        finally:
+            commitio.set_catalog(prev)
+            if prev_env is None:
+                os.environ.pop("SPARK_GRAFT_RETAIN_VERSIONS", None)
+            else:
+                os.environ["SPARK_GRAFT_RETAIN_VERSIONS"] = prev_env
+        _ENGINES[key] = (path, int(v0))
+    return _ENGINES[key]
+
+
+def _q_time_travel(spark, sf):
+    """Snapshot read: after a later commit junk-rewrites the first 50
+    docs, a read pinned at commit v0 must reproduce the ORIGINAL
+    corpus's Match('merge') results exactly (same rows the match_docs
+    oracle computes from the unmutated documents table) — table
+    pointers AND delta/tombstone generations both time-travel. The pin
+    only needs to span index loading: paths resolve eagerly, Spark
+    evaluates lazily."""
+    from inverted_index_spark import commitio
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.upsert import load_index_merged
+
+    path, v0 = _tt_setup(spark, sf)
+    prev = commitio.set_catalog(commitio.DeltaLogCatalog())
+    try:
+        with commitio.pinned_version(path, v0):
+            eng = FtsEngine(load_index_merged(spark, path),
+                            use_segments=False)
+            res = eng.search("merge", k=None)
+    finally:
+        commitio.set_catalog(prev)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r4"),
+    )
+
+
 def _q_normalize(spark, sf):
     """Ingest text normalization: NFC + control strip + ASCII-class
     whitespace collapse + trim. The input is deliberately dirtied with
@@ -1415,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_docs": _q_phonetic_docs,
         "phonetic_seg": _q_phonetic_seg,
         "normalize_text": _q_normalize,
+        "time_travel": _q_time_travel,
         "lmd_topk": _q_lmd_topk,
         "tfidf_topk": _q_tfidf_topk,
         "regex_docs": _q_regex_docs,
@@ -3387,4 +3468,8 @@ def oracle_sql() -> dict[str, str]:
     out["wildcard_seg"] = out["wildcard_docs"]
     out["regex_seg"] = out["regex_docs"]
     out["phonetic_seg"] = out["phonetic_docs"]
+    # the pinned snapshot must reproduce the ORIGINAL corpus's match
+    # results — i.e. exactly what the match_docs oracle computes from
+    # the unmutated documents table
+    out["time_travel"] = out["match_docs"]
     return out

@@ -19,7 +19,8 @@ DRIVER_WINDOW = 50
 NEED_WINDOW = {
     # round-4 additions (never driver-recorded)
     "hybrid_rrf", "hybrid_weighted", "recency_topk", "phonetic_docs",
-    "phonetic_seg", "normalize_text", "lmd_topk", "tfidf_topk",
+    "phonetic_seg", "normalize_text", "time_travel", "lmd_topk",
+    "tfidf_topk",
     "regex_docs", "regex_seg", "term_vector",
     "percolate", "synonyms", "at_least_seg", "facet_stats", "bm25_boosted",
     "at_least", "suggest", "sig_terms", "explain_score", "min_window",

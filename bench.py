@@ -277,6 +277,11 @@ def main() -> None:
     enc_bytes = sum(s["enc_bytes"] for s in manifest["shards"])
     raw_bytes = sum(s["raw_bytes"] for s in manifest["shards"])
 
+    # the bench measures the ENGINE: the coordinator request cache
+    # would turn every interference-retry of the serve entries into a
+    # cache hit and fake an improvement
+    os.environ["SPARK_GRAFT_SERVE_CACHE"] = "0"
+
     def timed(fn) -> float:
         t = time.perf_counter()
         fn()

@@ -295,6 +295,12 @@ def pinned_version(path: str, version: int):
     while writing — gc_superseded deletes them otherwise, exactly as
     Iceberg snapshots expire once their files are vacuumed). Pins are
     thread-local and nest (inner pin wins, outer restored on exit).
+
+    Compressed segment files are NOT catalog-versioned — query a
+    pinned index relationally (``FtsEngine(idx, use_segments=False)``).
+    The pin only needs to span index LOADING: table paths resolve
+    eagerly into the plan, Spark evaluates lazily, so the returned
+    DataFrames keep reading the snapshot after the block exits.
     """
     if not hasattr(_CATALOG_ADAPTER, "state_at"):
         raise ValueError(

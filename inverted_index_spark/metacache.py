@@ -58,6 +58,59 @@ def _memo_put(key: tuple, value) -> None:
     _MEMO[key] = value
 
 
+# ----------------------------------------------------------------------
+# coordinator request cache (the Lucene/ES request-cache analog):
+# memoize SERVING RESULTS per segment snapshot. The key embeds the
+# manifest's mtime, so refresh_segments / shard invalidation naturally
+# expires every cached answer; entries are small (top-k frames), the
+# store is a bounded LRU. SPARK_GRAFT_SERVE_CACHE sets the entry count
+# (default 64; 0 disables).
+
+from collections import OrderedDict
+
+_REQ_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+
+
+def _req_cache_max() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_SERVE_CACHE", "64"))
+    except ValueError:
+        return 64
+
+
+def request_snapshot(index_path: str) -> Optional[tuple]:
+    """Cache-key component identifying the segment snapshot: the
+    manifest path + mtime (every refresh/invalidation rewrites it).
+    None when there is no manifest (nothing safe to cache against)."""
+    from .segments import MANIFEST_NAME
+
+    p = os.path.join(index_path, MANIFEST_NAME)
+    try:
+        return (p, os.path.getmtime(p))
+    except OSError:
+        return None
+
+
+def request_cache_get(key: tuple):
+    """Cached serving result for ``key`` (a copy), or None."""
+    if _req_cache_max() <= 0:
+        return None
+    hit = _REQ_CACHE.get(key)
+    if hit is None:
+        return None
+    _REQ_CACHE.move_to_end(key)
+    return hit.copy()
+
+
+def request_cache_put(key: tuple, value) -> None:
+    if _req_cache_max() <= 0:
+        return
+    _REQ_CACHE[key] = value.copy()
+    _REQ_CACHE.move_to_end(key)
+    while len(_REQ_CACHE) > _req_cache_max():
+        _REQ_CACHE.popitem(last=False)
+
+
 def term_dfs(
     index_path: str, terms: List[str], column: str = "df_full"
 ) -> Dict[str, int]:

@@ -980,11 +980,25 @@ def segment_query_pandas(
     process memory (/root/reference/src/index.rs:72-74); this is the
     same shape with the index out-of-process and compressed.
     """
+    from . import metacache
+
+    snap = metacache.request_snapshot(index_path)
+    key = None
+    if snap is not None:
+        # frozen-dataclass repr fully describes the AST; the manifest
+        # mtime in `snap` expires the entry on any refresh/invalidation
+        key = (snap, "segq", repr(query), k, with_positions, doc_range)
+        hit = metacache.request_cache_get(key)
+        if hit is not None:
+            return hit
     ranges, tree, shards, _ = _plan_query(index_path, query, doc_range)
     if not shards:
         return _empty_pdf(with_positions)
-    return _local_eval_one(index_path, ranges, tree, shards,
-                           with_positions, k, doc_range)
+    out = _local_eval_one(index_path, ranges, tree, shards,
+                          with_positions, k, doc_range)
+    if key is not None:
+        metacache.request_cache_put(key, out)
+    return out
 
 
 def segment_query(

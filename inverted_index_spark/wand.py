@@ -400,6 +400,16 @@ def wand_topk_pandas(
     O(df) pruned file opens and nothing else — milliseconds, the
     distributed analogue of the reference's in-memory serve
     (/root/reference/src/index.rs:149-160)."""
+    from . import metacache
+
+    snap = metacache.request_snapshot(index_path)
+    key = None
+    if snap is not None:
+        bkey = tuple(sorted(boosts.items())) if boosts else None
+        key = (snap, "wand", text, k, doc_range, bkey)
+        hit = metacache.request_cache_get(key)
+        if hit is not None:
+            return hit
     manifest = load_manifest(index_path)
     seg_dir = os.path.join(index_path, "segments")
     avgdl = float(manifest["avgdl"])
@@ -411,10 +421,13 @@ def wand_topk_pandas(
     shards = shards_for_terms(None, index_path, manifest, weights)
     if doc_range is not None:
         shards = _shards_in_range(shards, manifest, doc_range)
-    return _local_wand(
+    out = _local_wand(
         seg_dir, shards, weights, k, k1, b, avgdl, doc_range,
         int(manifest.get("block_docs") or 0) or None,
     )
+    if key is not None:
+        metacache.request_cache_put(key, out)
+    return out
 
 
 def wand_topk_batch_pandas(

@@ -450,6 +450,9 @@ def test_map_files_process_pool_matches_threads(spark, pos_indexed, monkeypatch)
 
     path, _, _ = pos_indexed
     q = And(Match("merge"), Or(Match("scan"), Match("window")))
+    # the request cache would satisfy the second call without running
+    # the thread path at all, making the comparison vacuous
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_CACHE", "0")
     monkeypatch.setenv("SPARK_GRAFT_SERVE_PROC_MIN", "0")
     monkeypatch.setenv("SPARK_GRAFT_SERVE_PROCS", "4")
     with_procs = segment_query_pandas(path, q, k=10)
@@ -475,3 +478,62 @@ def test_map_files_process_pool_fallback(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SERVE_PROCS", "not-a-number")
     parts = segquery._map_files(fn, list(range(4)))
     assert len(parts) == 4 and sorted(calls) == [0, 1, 2, 3]
+
+
+def test_request_cache_hits_and_invalidates(spark, pos_indexed, monkeypatch):
+    """Coordinator request cache: a repeated serve is answered without
+    touching shard files; rewriting the manifest (what every
+    refresh/invalidation does) expires the entry; returned frames are
+    copies (caller mutation cannot poison the cache); cache=0 disables."""
+    import os
+
+    from inverted_index_spark import metacache, segquery
+    from inverted_index_spark.qast import Match
+    from inverted_index_spark.segquery import segment_query_pandas
+
+    path, _, _ = pos_indexed
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_CACHE", "8")
+    reads = []
+    orig = segquery._read_shard
+
+    def counting(*a, **kw):
+        reads.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(segquery, "_read_shard", counting)
+    metacache._REQ_CACHE.clear()
+    q = Match("merge")
+    first = segment_query_pandas(path, q, k=5, with_positions=False)
+    n_first = len(reads)
+    assert n_first > 0
+    second = segment_query_pandas(path, q, k=5, with_positions=False)
+    assert len(reads) == n_first, "second serve must be a cache hit"
+    assert first.equals(second)
+    # mutating the returned frame must not poison the cache
+    second.loc[:, "score"] = -1.0
+    third = segment_query_pandas(path, q, k=5, with_positions=False)
+    assert third.equals(first)
+    # manifest rewrite (refresh/invalidate) expires the snapshot
+    mpath = os.path.join(path, "manifest.json")
+    os.utime(mpath, (os.path.getmtime(mpath) + 2,) * 2)
+    segment_query_pandas(path, q, k=5, with_positions=False)
+    assert len(reads) > n_first, "new snapshot must re-read"
+    # kill switch
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_CACHE", "0")
+    before = len(reads)
+    segment_query_pandas(path, q, k=5, with_positions=False)
+    segment_query_pandas(path, q, k=5, with_positions=False)
+    assert len(reads) >= before + 2
+
+
+def test_request_cache_wand(spark, pos_indexed, monkeypatch):
+    from inverted_index_spark import metacache
+    from inverted_index_spark.wand import wand_topk_pandas
+
+    path, _, _ = pos_indexed
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_CACHE", "8")
+    metacache._REQ_CACHE.clear()
+    a = wand_topk_pandas(path, "merge scan", k=5)
+    b = wand_topk_pandas(path, "merge scan", k=5)
+    assert a.equals(b)
+    assert any(k[1] == "wand" for k in metacache._REQ_CACHE)

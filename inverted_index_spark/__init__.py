@@ -84,6 +84,7 @@ from .qparse import (  # noqa: F401
 from .sqlapi import bm25_sql, register_index_views  # noqa: F401
 from .wand import (  # noqa: F401
     explain_topk_pandas,
+    score_topk_pandas,
     wand_topk,
     wand_topk_batch,
     wand_topk_batch_pandas,
@@ -119,6 +120,7 @@ __all__ = [
     "load_manifest",
     "wand_topk",
     "wand_topk_batch",
+    "score_topk_pandas",
     "wand_topk_pandas",
     "wand_topk_batch_pandas",
     "explain_topk_pandas",

@@ -143,6 +143,27 @@ def term_dfs(
     return out
 
 
+def docstats_total_tokens(index_path: str) -> Optional[int]:
+    """Exact corpus token total (sum of doclen_tokens), read driver-side
+    from the docstats parquet — the LM-Dirichlet collection statistic.
+    Integer-exact, so it matches the relational path's Spark aggregate
+    bit-for-bit. Memoized per docstats snapshot."""
+    snap = _snapshot(index_path, "docstats")
+    if snap is None:
+        return None
+    key = (snap, "total_tokens")
+    hit = _memo_get(key)
+    if hit is not None:
+        return hit  # type: ignore[return-value]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(snap[0], columns=["doclen_tokens"])
+    out = int(pc.sum(table.column("doclen_tokens")).as_py() or 0)
+    _memo_put(key, out)
+    return out
+
+
 def range_stats_for_ranges(
     index_path: str, ranges: List[Tuple[str, Optional[str]]]
 ) -> Optional[List[Optional[dict]]]:

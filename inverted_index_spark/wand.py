@@ -430,6 +430,151 @@ def wand_topk_pandas(
     return out
 
 
+def score_topk_pandas(
+    index_path: str,
+    text: str,
+    k: int = 10,
+    similarity: str = "lmd",
+    mu: float = 2000.0,
+) -> pd.DataFrame:
+    """Coordinator serving of the pluggable-similarity family
+    (FtsEngine.score_topk's LM Dirichlet / classic TF-IDF) straight
+    from the compressed segments — no SparkSession, no JVM.
+
+    Same planning shape as wand_topk_pandas (driver-side term stats +
+    exact term->shard pruning), but the per-shard kernel scores
+    EXHAUSTIVELY: non-BM25 similarities have no precomputed block-max
+    bounds, so there is no sound skip — every posting of the query
+    terms is decoded (still O(df), never O(corpus)). Shards are
+    doc-disjoint, so per-shard top-k + driver merge is exact, the same
+    argument as WAND's. Rank-identical to ``FtsEngine.score_topk``
+    (scores equal to float ulps — the two paths sum per-term
+    contributions in different orders); pinned in tests.
+    """
+    if similarity not in ("lmd", "tfidf"):
+        raise ValueError(
+            f"unknown similarity {similarity!r}; expected 'lmd' or "
+            "'tfidf' (bm25 serves via wand_topk_pandas)"
+        )
+    if similarity == "lmd" and mu <= 0:
+        raise ValueError(f"mu must be positive, got {mu}")
+    from . import metacache
+    from .analysis import analyze_query
+
+    manifest = load_manifest(index_path)
+    seg_dir = os.path.join(index_path, "segments")
+    terms: List[str] = []
+    for tok in analyze_query(text):
+        if tok.term not in terms:
+            terms.append(tok.term)
+    if not terms:
+        return _empty_wand_pdf()
+    n = float(manifest["n_docs"])
+    if similarity == "lmd":
+        cfs = metacache.term_dfs(index_path, terms, column="cf")
+        total = metacache.docstats_total_tokens(index_path)
+        if not total:
+            return _empty_wand_pdf()
+        # absent terms (cf 0) contribute nothing and would divide by 0
+        consts = {
+            t: float(mu) * (float(cfs[t]) / float(total))
+            for t in terms
+            if cfs.get(t)
+        }
+
+        def term_fn(t, tfs, dl):
+            return np.log(1.0 + tfs / consts[t]) + np.log(
+                float(mu) / (dl + float(mu))
+            )
+
+    else:  # tfidf
+        dfs = metacache.term_dfs(index_path, terms, column="df_full")
+        consts = {}
+        for t in terms:
+            if dfs.get(t):
+                idf = 1.0 + np.log(n / (float(dfs[t]) + 1.0))
+                consts[t] = idf * idf
+
+        def term_fn(t, tfs, dl):
+            return np.sqrt(tfs) * consts[t] / np.sqrt(dl)
+
+    if not consts:
+        return _empty_wand_pdf()
+    shards = shards_for_terms(None, index_path, manifest, list(consts))
+
+    import pyarrow.parquet as pq
+
+    from .segquery import _map_files
+
+    def one(shard_row):
+        f = os.path.join(seg_dir, shard_row["file"])
+        table = pq.read_table(
+            f,
+            columns=["term", "block_id", "n", "doc_ids", "tfs"],
+            filters=[("term", "in", list(consts) + [DOCSTATS_TERM])],
+        )
+        if table.num_rows == 0:
+            return None
+        tcol = table.column("term").to_pylist()
+        bcol = table.column("block_id").to_numpy()
+        ncol = table.column("n").to_numpy()
+        ids_col = table.column("doc_ids").to_pylist()
+        tfs_col = table.column("tfs").to_pylist()
+        blocks: Dict[int, List[int]] = {}
+        dl_rows: Dict[int, int] = {}
+        for i, (t, blk) in enumerate(zip(tcol, bcol)):
+            if t == DOCSTATS_TERM:
+                dl_rows[int(blk)] = i
+            elif t in consts:
+                blocks.setdefault(int(blk), []).append(i)
+        id_parts: List[np.ndarray] = []
+        s_parts: List[np.ndarray] = []
+        for blk, rows in blocks.items():
+            di = dl_rows[blk]
+            ds_ids = decode_doc_ids(ids_col[di], int(ncol[di]))
+            ds_dl = varint_decode(tfs_col[di], int(ncol[di])).astype(
+                np.float64
+            )
+            for i in rows:
+                ids = decode_doc_ids(ids_col[i], int(ncol[i]))
+                tfs = decode_tfs(tfs_col[i], int(ncol[i])).astype(np.float64)
+                sel = tfs > 0  # parity segments carry tf=0 ngram rows
+                if not sel.all():
+                    ids, tfs = ids[sel], tfs[sel]
+                if ids.size == 0:
+                    continue
+                dl = ds_dl[np.searchsorted(ds_ids, ids)]
+                id_parts.append(ids)
+                s_parts.append(term_fn(tcol[i], tfs, dl))
+        if not id_parts:
+            return None
+        all_ids = np.concatenate(id_parts)
+        all_s = np.concatenate(s_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        totals = np.zeros(uids.size, np.float64)
+        np.add.at(totals, inv, all_s)
+        # per-shard top-k pushdown (shards are doc-disjoint -> exact)
+        if uids.size > k:
+            order = np.lexsort((uids, -totals))[:k]
+            uids, totals = uids[order], totals[order]
+        return pd.DataFrame({"doc_id": uids, "score": totals})
+
+    parts = _map_files(one, shards)
+    if not parts:
+        return _empty_wand_pdf()
+    pdf = pd.concat(parts, ignore_index=True)
+    return (
+        pdf.sort_values(
+            ["score", "doc_id"],
+            ascending=[False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def wand_topk_batch_pandas(
     index_path: str, texts: List[str], k: int = 10
 ) -> pd.DataFrame:

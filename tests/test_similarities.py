@@ -145,3 +145,51 @@ def test_validation(eng):
     with pytest.raises(ValueError):
         eng.score_topk("apple", similarity="lmd", mu=0)
     assert eng.score_topk("", similarity="lmd").count() == 0
+
+
+@pytest.fixture(scope="module")
+def sim_segs(spark, tmp_path_factory):
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.segments import build_segments
+    from inverted_index_spark.query import FtsEngine
+
+    path = str(tmp_path_factory.mktemp("simseg"))
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=64, block_docs=16)
+    return path, FtsEngine(idx, use_segments=False)
+
+
+@pytest.mark.parametrize("sim", ["lmd", "tfidf"])
+@pytest.mark.parametrize(
+    "q", ["scan merge join", "merge", "nonexistentterm scan", "zzznothing"]
+)
+def test_segment_score_matches_relational(spark, sim_segs, sim, q):
+    """score_topk_pandas (exhaustive segment kernel, per-shard top-k
+    pushdown, driver merge) is rank-identical to the relational
+    FtsEngine.score_topk, scores equal to float ulps — the two paths
+    sum per-term contributions in different orders."""
+    from inverted_index_spark.wand import score_topk_pandas
+
+    path, eng = sim_segs
+    rel = [
+        (r["doc_id"], r["score"])
+        for r in eng.score_topk(q, k=10, similarity=sim).collect()
+    ]
+    seg = score_topk_pandas(path, q, k=10, similarity=sim)
+    assert [int(d) for d in seg["doc_id"]] == [d for d, _ in rel], (sim, q)
+    for (_, a), b in zip(rel, seg["score"]):
+        assert abs(a - b) <= 1e-9 * max(1.0, abs(a))
+
+
+def test_segment_score_validates(sim_segs):
+    from inverted_index_spark.wand import score_topk_pandas
+
+    path, _ = sim_segs
+    with pytest.raises(ValueError, match="unknown similarity"):
+        score_topk_pandas(path, "scan", similarity="bm25")
+    with pytest.raises(ValueError, match="mu must be positive"):
+        score_topk_pandas(path, "scan", similarity="lmd", mu=0)
+    assert len(score_topk_pandas(path, "", similarity="lmd")) == 0

@@ -585,15 +585,27 @@ def load_index(
         postings = spark.read.parquet(
             commitio.table_path(path, "postings")
         ).filter(F.col("term") != "")
+    docstats = spark.read.parquet(commitio.table_path(path, "docstats"))
+    if commitio.pinned_state(path) is not None:
+        # time travel: meta.json is live and unversioned, so its
+        # n_docs/avgdl describe the CURRENT corpus — derive the
+        # snapshot's statistics from the pinned docstats instead, or
+        # BM25 idf/length-normalization would mix epochs
+        stats = docstats.agg(
+            F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    else:
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
     return FtsIndex(
         # stat rows (term='', build_and_save) never match a real term
         # but must not surface as postings
         postings=postings,
-        docstats=spark.read.parquet(commitio.table_path(path, "docstats")),
+        docstats=docstats,
         termdict=spark.read.parquet(commitio.table_path(path, "termdict")),
         docs=docs,
-        n_docs=meta["n_docs"],
-        avgdl=meta["avgdl"],
+        n_docs=n_docs,
+        avgdl=avgdl,
         ngrams=meta["ngrams"],
         path=path,
     )

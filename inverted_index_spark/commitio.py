@@ -204,8 +204,17 @@ class DeltaLogCatalog(CatalogAdapter):
             try:
                 with open(os.path.join(log, f"{ver:020d}.json")) as fh:
                     state.update(json.load(fh).get("swap", {}))
-            except (OSError, json.JSONDecodeError):
-                pass
+            except (OSError, json.JSONDecodeError) as exc:
+                # unlike _state's latest-read (where an unreadable file
+                # is a concurrent writer mid-flush whose swap simply
+                # isn't visible yet), a historical commit the version
+                # check confirmed exists is complete by protocol — an
+                # unreadable one is real corruption, and silently
+                # skipping it would return a WRONG snapshot
+                raise ValueError(
+                    f"commit {ver} in {log} is unreadable ({exc}); "
+                    "refusing to synthesize a wrong snapshot"
+                )
         return state
 
     def swap(self, path: str, mapping: Dict[str, str]) -> None:
@@ -309,6 +318,21 @@ def pinned_version(path: str, version: int):
             f"{type(_CATALOG_ADAPTER).__name__} keeps none"
         )
     state = _CATALOG_ADAPTER.state_at(path, version)
+    # compaction (upsert.compact_index) folds every delta generation
+    # into a fresh base, resets the generation counter and removes the
+    # delta/tombstone dirs — the VACUUM operation. Snapshots from
+    # before it are physically unreconstructable (a later upsert would
+    # even reuse generation numbers), so a pin across a compaction
+    # epoch must fail loudly instead of returning wrong rows — the
+    # Iceberg expired-snapshot error, not a silent resurrection.
+    cur_epoch = _CATALOG_ADAPTER.resolve(path, "@epoch") or "0"
+    if state.get("@epoch", "0") != cur_epoch:
+        raise ValueError(
+            f"snapshot {version} predates compaction epoch {cur_epoch} "
+            "(compact_index is the vacuum: it physically folds the "
+            "delta generations older pins depend on) — the snapshot "
+            "is expired"
+        )
     key = os.path.abspath(path)
     maps = getattr(_PINNED, "maps", None)
     if maps is None:

@@ -66,9 +66,11 @@ def _memo_put(key: tuple, value) -> None:
 # store is a bounded LRU. SPARK_GRAFT_SERVE_CACHE sets the entry count
 # (default 64; 0 disables).
 
+import threading as _threading
 from collections import OrderedDict
 
 _REQ_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_REQ_LOCK = _threading.Lock()
 
 
 def _req_cache_max() -> int:
@@ -80,35 +82,57 @@ def _req_cache_max() -> int:
 
 def request_snapshot(index_path: str) -> Optional[tuple]:
     """Cache-key component identifying the segment snapshot: the
-    manifest path + mtime (every refresh/invalidation rewrites it).
-    None when there is no manifest (nothing safe to cache against)."""
+    manifest path + a CONTENT fingerprint (md5 of the manifest bytes).
+    Every refresh/invalidation rewrites the manifest, and hashing the
+    bytes — not just the mtime — closes the coarse-filesystem window
+    where two rewrites land in one timestamp tick. None when there is
+    no manifest (nothing safe to cache against)."""
+    import hashlib
+
     from .segments import MANIFEST_NAME
 
     p = os.path.join(index_path, MANIFEST_NAME)
     try:
-        return (p, os.path.getmtime(p))
+        with open(p, "rb") as fh:
+            return (p, hashlib.md5(fh.read()).hexdigest())
     except OSError:
         return None
 
 
+def _req_copy(pdf):
+    """Copy a cached frame INCLUDING object-dtype cells: pandas
+    copy(deep=True) copies only the array of references, so a caller
+    appending to a positions list would mutate the cached entry."""
+    out = pdf.copy()
+    for col in out.columns:
+        if out[col].dtype == object:
+            out[col] = out[col].map(
+                lambda v: list(v) if isinstance(v, list) else v
+            )
+    return out
+
+
 def request_cache_get(key: tuple):
-    """Cached serving result for ``key`` (a copy), or None."""
+    """Cached serving result for ``key`` (an isolated copy), or None."""
     if _req_cache_max() <= 0:
         return None
-    hit = _REQ_CACHE.get(key)
-    if hit is None:
-        return None
-    _REQ_CACHE.move_to_end(key)
-    return hit.copy()
+    with _REQ_LOCK:
+        hit = _REQ_CACHE.get(key)
+        if hit is None:
+            return None
+        _REQ_CACHE.move_to_end(key)
+        return _req_copy(hit)
 
 
 def request_cache_put(key: tuple, value) -> None:
     if _req_cache_max() <= 0:
         return
-    _REQ_CACHE[key] = value.copy()
-    _REQ_CACHE.move_to_end(key)
-    while len(_REQ_CACHE) > _req_cache_max():
-        _REQ_CACHE.popitem(last=False)
+    copied = _req_copy(value)
+    with _REQ_LOCK:
+        _REQ_CACHE[key] = copied
+        _REQ_CACHE.move_to_end(key)
+        while len(_REQ_CACHE) > _req_cache_max():
+            _REQ_CACHE.popitem(last=False)
 
 
 def term_dfs(

@@ -982,12 +982,15 @@ def segment_query_pandas(
     """
     from . import metacache
 
-    snap = metacache.request_snapshot(index_path)
+    # cache only bounded answers: k=None frames are corpus-sized and
+    # would blow the entry-count-bounded LRU's memory
+    snap = metacache.request_snapshot(index_path) if k is not None else None
     key = None
     if snap is not None:
         # frozen-dataclass repr fully describes the AST; the manifest
-        # mtime in `snap` expires the entry on any refresh/invalidation
-        key = (snap, "segq", repr(query), k, with_positions, doc_range)
+        # fingerprint in `snap` expires the entry on refresh/invalidate
+        dr = tuple(doc_range) if doc_range is not None else None
+        key = (snap, "segq", repr(query), k, with_positions, dr)
         hit = metacache.request_cache_get(key)
         if hit is not None:
             return hit

@@ -359,9 +359,15 @@ def compact_index(spark: SparkSession, path: str) -> None:
         commitio.version_dir(path, "postings", pgen)
     )
     # compaction folds every delta into the new base: the snapshot
-    # commit resets the delta high-water mark
+    # commit resets the delta high-water mark AND advances the
+    # compaction epoch — pins from before it are expired (their delta
+    # generations are physically folded/removed below, and a later
+    # upsert reuses generation numbers); pinned_version refuses them
+    cur_epoch = commitio._CATALOG_ADAPTER.resolve(path, "@epoch") or "0"
     superseded = commitio.publish(
-        path, {"postings": pgen}, extra={"@delta_gen": "0"}
+        path,
+        {"postings": pgen},
+        extra={"@delta_gen": "0", "@epoch": str(int(cur_epoch) + 1)},
     )
     commitio.gc_superseded(path, superseded)
     shutil.rmtree(os.path.join(path, DELTA_DIR), ignore_errors=True)

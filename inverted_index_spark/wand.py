@@ -406,7 +406,8 @@ def wand_topk_pandas(
     key = None
     if snap is not None:
         bkey = tuple(sorted(boosts.items())) if boosts else None
-        key = (snap, "wand", text, k, doc_range, bkey)
+        dr = tuple(doc_range) if doc_range is not None else None
+        key = (snap, "wand", text, k, dr, bkey)
         hit = metacache.request_cache_get(key)
         if hit is not None:
             return hit

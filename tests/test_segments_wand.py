@@ -513,11 +513,18 @@ def test_request_cache_hits_and_invalidates(spark, pos_indexed, monkeypatch):
     second.loc[:, "score"] = -1.0
     third = segment_query_pandas(path, q, k=5, with_positions=False)
     assert third.equals(first)
-    # manifest rewrite (refresh/invalidate) expires the snapshot
+    # manifest CONTENT change (what refresh/invalidate does) expires
+    # the snapshot — the key fingerprints the bytes, so even two
+    # rewrites inside one mtime tick on a coarse filesystem expire
     mpath = os.path.join(path, "manifest.json")
-    os.utime(mpath, (os.path.getmtime(mpath) + 2,) * 2)
+    with open(mpath) as fh:
+        mtext = fh.read()
+    with open(mpath, "w") as fh:
+        fh.write(mtext[:-1] + " }" if mtext.endswith("}") else mtext + " ")
     segment_query_pandas(path, q, k=5, with_positions=False)
     assert len(reads) > n_first, "new snapshot must re-read"
+    with open(mpath, "w") as fh:
+        fh.write(mtext)  # restore for other tests
     # kill switch
     monkeypatch.setenv("SPARK_GRAFT_SERVE_CACHE", "0")
     before = len(reads)
@@ -537,3 +544,32 @@ def test_request_cache_wand(spark, pos_indexed, monkeypatch):
     b = wand_topk_pandas(path, "merge scan", k=5)
     assert a.equals(b)
     assert any(k[1] == "wand" for k in metacache._REQ_CACHE)
+
+
+def test_request_cache_bounds_and_isolation(spark, pos_indexed, monkeypatch):
+    """Review regressions: k=None results are never cached (they are
+    corpus-sized); cached position LISTS are isolated from caller
+    mutation (pandas copy() shares object cells); a list doc_range is
+    accepted (hashability normalization)."""
+    from inverted_index_spark import metacache
+    from inverted_index_spark.qast import Match
+    from inverted_index_spark.segquery import segment_query_pandas
+
+    path, _, _ = pos_indexed
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_CACHE", "8")
+    metacache._REQ_CACHE.clear()
+    segment_query_pandas(path, Match("merge"), k=None)
+    assert not metacache._REQ_CACHE, "k=None must not be cached"
+    # positions-list isolation
+    first = segment_query_pandas(path, Match("merge"), k=3)
+    assert len(metacache._REQ_CACHE) == 1
+    first["positions"].iloc[0].append((999, 999, 999))
+    again = segment_query_pandas(path, Match("merge"), k=3)
+    assert (999, 999, 999) not in [
+        tuple(p) for p in again["positions"].iloc[0]
+    ]
+    # list doc_range normalizes into the key instead of raising
+    r = segment_query_pandas(
+        path, Match("merge"), k=3, doc_range=[0, 10**9]
+    )
+    assert len(r) > 0

@@ -459,3 +459,64 @@ def test_pinned_version_requires_history_catalog(tmp_path):
     with pytest.raises(ValueError, match="commit history"):
         with commitio.pinned_version(str(tmp_path), 0):
             pass
+
+
+def test_compaction_expires_pinned_snapshots(spark, saved, monkeypatch):
+    """compact_index is the vacuum: it folds the delta generations old
+    pins depend on and resets the generation counter (a later upsert
+    would reuse gen numbers). A pin from before the compaction epoch
+    must therefore FAIL LOUDLY — never silently resurrect pre-upsert
+    rows or mix epochs — while post-compaction pins keep working."""
+    from inverted_index_spark import commitio
+    from inverted_index_spark.upsert import compact_index
+
+    monkeypatch.setenv("SPARK_GRAFT_RETAIN_VERSIONS", "1")
+    cat = commitio.DeltaLogCatalog()
+    prev = commitio.set_catalog(cat)
+    try:
+        upsert_saved(
+            spark, saved,
+            spark.createDataFrame([(0, "pre compact text")],
+                                  ["doc_id", "text"]),
+        )
+        v_pre = cat.latest_version(saved)
+        with commitio.pinned_version(saved, v_pre):
+            pass  # valid before compaction
+        compact_index(spark, saved)
+        with pytest.raises(ValueError, match="expired"):
+            with commitio.pinned_version(saved, v_pre):
+                pass
+        # a post-compaction mutation pins fine again
+        upsert_saved(
+            spark, saved,
+            spark.createDataFrame([(1, "post compact text")],
+                                  ["doc_id", "text"]),
+        )
+        v_post = cat.latest_version(saved)
+        with commitio.pinned_version(saved, v_post):
+            assert _docs_of(spark, saved, "post") == [1]
+    finally:
+        commitio.set_catalog(prev)
+
+
+def test_state_at_raises_on_unreadable_commit(tmp_path):
+    """A historical commit file that exists but cannot be parsed is
+    real corruption (the hard-link protocol publishes complete files):
+    state_at must raise, not synthesize a wrong snapshot."""
+    import os
+
+    from inverted_index_spark import commitio
+
+    cat = commitio.DeltaLogCatalog()
+    path = str(tmp_path)
+    cat.swap(path, {"t": "t.v1"})
+    cat.swap(path, {"t": "t.v2"})
+    log = os.path.join(path, cat.LOG_DIR)
+    victim = os.path.join(log, f"{0:020d}.json")
+    with open(victim, "w") as fh:
+        fh.write("{ not json")
+    with pytest.raises(ValueError, match="unreadable"):
+        cat.state_at(path, 1)
+    # the latest-read path still treats it as invisible (mid-flush
+    # semantics), unchanged
+    assert cat.resolve(path, "t") == "t.v2"

@@ -585,16 +585,25 @@ def load_index(
         postings = spark.read.parquet(
             commitio.table_path(path, "postings")
         ).filter(F.col("term") != "")
-    docstats = spark.read.parquet(commitio.table_path(path, "docstats"))
+    docstats_dir = commitio.table_path(path, "docstats")
+    docstats = spark.read.parquet(docstats_dir)
     if commitio.pinned_state(path) is not None:
         # time travel: meta.json is live and unversioned, so its
         # n_docs/avgdl describe the CURRENT corpus — derive the
         # snapshot's statistics from the pinned docstats instead, or
-        # BM25 idf/length-normalization would mix epochs
-        stats = docstats.agg(
-            F.count("*").alias("n"), F.avg("doclen_tokens").alias("avgdl")
-        ).collect()[0]
-        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+        # BM25 idf/length-normalization would mix epochs. Driver-side
+        # pyarrow read (docstats is one small table), no Spark job —
+        # same pattern as metacache.docstats_total_tokens.
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(docstats_dir, columns=["doclen_tokens"])
+        n_docs = int(t.num_rows)
+        avgdl = (
+            float(pc.mean(t.column("doclen_tokens")).as_py() or 0.0)
+            if n_docs
+            else 0.0
+        )
     else:
         n_docs, avgdl = meta["n_docs"], meta["avgdl"]
     return FtsIndex(

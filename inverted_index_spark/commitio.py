@@ -320,18 +320,27 @@ def pinned_version(path: str, version: int):
     state = _CATALOG_ADAPTER.state_at(path, version)
     # compaction (upsert.compact_index) folds every delta generation
     # into a fresh base, resets the generation counter and removes the
-    # delta/tombstone dirs — the VACUUM operation. Snapshots from
-    # before it are physically unreconstructable (a later upsert would
-    # even reuse generation numbers), so a pin across a compaction
-    # epoch must fail loudly instead of returning wrong rows — the
-    # Iceberg expired-snapshot error, not a silent resurrection.
+    # delta/tombstone dirs — the VACUUM operation. A snapshot that
+    # DEPENDS on delta generations (@delta_gen > 0) from before it is
+    # physically unreconstructable (a later upsert would even reuse
+    # generation numbers), so such a pin across a compaction epoch must
+    # fail loudly instead of returning wrong rows — the Iceberg
+    # expired-snapshot error, not a silent resurrection. Delta-free
+    # snapshots (@delta_gen == 0) read only versioned base dirs, which
+    # retention keeps reconstructable across compactions, so they stay
+    # pinnable. Each compaction writes a fresh NONCE as its epoch
+    # (never a read-modify-write counter), so two racing compactions
+    # cannot collide on the same epoch value and mask each other.
     cur_epoch = _CATALOG_ADAPTER.resolve(path, "@epoch") or "0"
-    if state.get("@epoch", "0") != cur_epoch:
+    if (
+        int(state.get("@delta_gen", "0") or 0) > 0
+        and state.get("@epoch", "0") != cur_epoch
+    ):
         raise ValueError(
-            f"snapshot {version} predates compaction epoch {cur_epoch} "
-            "(compact_index is the vacuum: it physically folds the "
-            "delta generations older pins depend on) — the snapshot "
-            "is expired"
+            f"snapshot {version} depends on delta generations from a "
+            f"compaction epoch other than {cur_epoch} (compact_index "
+            "is the vacuum: it physically folds the delta generations "
+            "older pins depend on) — the snapshot is expired"
         )
     key = os.path.abspath(path)
     maps = getattr(_PINNED, "maps", None)

@@ -82,33 +82,51 @@ def _req_cache_max() -> int:
 
 def request_snapshot(index_path: str) -> Optional[tuple]:
     """Cache-key component identifying the segment snapshot: the
-    manifest path + a CONTENT fingerprint (md5 of the manifest bytes).
-    Every refresh/invalidation rewrites the manifest, and hashing the
-    bytes — not just the mtime — closes the coarse-filesystem window
-    where two rewrites land in one timestamp tick. None when there is
+    manifest path + a CONTENT fingerprint of the manifest bytes.
+    Every refresh/invalidation rewrites the manifest, and fingerprinting
+    the bytes — not just the mtime — closes the coarse-filesystem window
+    where two rewrites land in one timestamp tick. The digest itself is
+    memoized on (path, mtime_ns, size) so the serving hot path pays one
+    ``stat`` per call, not an O(manifest) read+hash. None when there is
     no manifest (nothing safe to cache against)."""
     import hashlib
+    import zlib
 
     from .segments import MANIFEST_NAME
 
     p = os.path.join(index_path, MANIFEST_NAME)
     try:
-        with open(p, "rb") as fh:
-            return (p, hashlib.md5(fh.read()).hexdigest())
+        st = os.stat(p)
+        mkey = ("manifest_fp", p, st.st_mtime_ns, st.st_size)
+        fp = _memo_get(mkey)
+        if fp is None:
+            with open(p, "rb") as fh:
+                data = fh.read()
+            try:
+                # fingerprint, not security — keep working under FIPS
+                fp = hashlib.md5(data, usedforsecurity=False).hexdigest()
+            except TypeError:  # pre-3.9 signature
+                fp = hashlib.md5(data).hexdigest()
+            except ValueError:  # FIPS build rejecting md5 outright
+                fp = "%08x-%x" % (zlib.crc32(data), len(data))
+            _memo_put(mkey, fp)
+        return (p, fp)
     except OSError:
         return None
 
 
 def _req_copy(pdf):
     """Copy a cached frame INCLUDING object-dtype cells: pandas
-    copy(deep=True) copies only the array of references, so a caller
-    appending to a positions list would mutate the cached entry."""
+    copy(deep=True) copies only the array of references, and a shallow
+    list(v) would still share the position DICTS inside — a caller
+    rebasing offsets in place would corrupt the cached entry. Deep-copy
+    every object cell (frames are top-k-bounded, so this is cheap)."""
+    import copy
+
     out = pdf.copy()
     for col in out.columns:
         if out[col].dtype == object:
-            out[col] = out[col].map(
-                lambda v: list(v) if isinstance(v, list) else v
-            )
+            out[col] = out[col].map(copy.deepcopy)
     return out
 
 
@@ -118,10 +136,14 @@ def request_cache_get(key: tuple):
         return None
     with _REQ_LOCK:
         hit = _REQ_CACHE.get(key)
-        if hit is None:
-            return None
-        _REQ_CACHE.move_to_end(key)
-        return _req_copy(hit)
+        if hit is not None:
+            _REQ_CACHE.move_to_end(key)
+    if hit is None:
+        return None
+    # copy OUTSIDE the lock: entries are immutable once inserted (put
+    # stores a private copy, get hands out copies), so concurrent
+    # readers of different keys don't serialize behind one deep copy
+    return _req_copy(hit)
 
 
 def request_cache_put(key: tuple, value) -> None:

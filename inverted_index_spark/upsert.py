@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -359,15 +360,18 @@ def compact_index(spark: SparkSession, path: str) -> None:
         commitio.version_dir(path, "postings", pgen)
     )
     # compaction folds every delta into the new base: the snapshot
-    # commit resets the delta high-water mark AND advances the
-    # compaction epoch — pins from before it are expired (their delta
-    # generations are physically folded/removed below, and a later
-    # upsert reuses generation numbers); pinned_version refuses them
-    cur_epoch = commitio._CATALOG_ADAPTER.resolve(path, "@epoch") or "0"
+    # commit resets the delta high-water mark AND stamps a fresh
+    # compaction-epoch NONCE — delta-dependent pins from before it are
+    # expired (their delta generations are physically folded/removed
+    # below, and a later upsert reuses generation numbers);
+    # pinned_version refuses them. A nonce, not a counter: a counter
+    # would be a read-modify-write across two commits, and two racing
+    # compactions could both publish the same value, silently
+    # re-validating pins in between them.
     superseded = commitio.publish(
         path,
         {"postings": pgen},
-        extra={"@delta_gen": "0", "@epoch": str(int(cur_epoch) + 1)},
+        extra={"@delta_gen": "0", "@epoch": uuid.uuid4().hex},
     )
     commitio.gc_superseded(path, superseded)
     shutil.rmtree(os.path.join(path, DELTA_DIR), ignore_errors=True)

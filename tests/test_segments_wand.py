@@ -560,16 +560,58 @@ def test_request_cache_bounds_and_isolation(spark, pos_indexed, monkeypatch):
     metacache._REQ_CACHE.clear()
     segment_query_pandas(path, Match("merge"), k=None)
     assert not metacache._REQ_CACHE, "k=None must not be cached"
-    # positions-list isolation
+    # positions-list isolation — outer list AND the dicts inside it
+    # (a shallow list(v) copy would still share the position dicts)
     first = segment_query_pandas(path, Match("merge"), k=3)
     assert len(metacache._REQ_CACHE) == 1
-    first["positions"].iloc[0].append((999, 999, 999))
+    cell = first["positions"].iloc[0]
+    assert cell and isinstance(cell[0], dict), "expected dict positions"
+    orig_len, orig_pos = len(cell), cell[0]["pos"]
+    cell.append({"begin": 9, "end": 9, "pos": 999})
+    cell[0]["pos"] = orig_pos + 10_000  # inner-dict mutation
     again = segment_query_pandas(path, Match("merge"), k=3)
-    assert (999, 999, 999) not in [
-        tuple(p) for p in again["positions"].iloc[0]
-    ]
+    assert len(again["positions"].iloc[0]) == orig_len
+    assert again["positions"].iloc[0][0]["pos"] == orig_pos
     # list doc_range normalizes into the key instead of raising
     r = segment_query_pandas(
         path, Match("merge"), k=3, doc_range=[0, 10**9]
     )
     assert len(r) > 0
+
+
+def test_request_snapshot_memoized_and_fips_safe(pos_indexed, monkeypatch):
+    """The manifest fingerprint is memoized on (mtime_ns, size) — the
+    hot path pays a stat, not a read+hash, per call — and a FIPS build
+    whose md5 raises ValueError falls back to crc32 instead of taking
+    down serving."""
+    import builtins
+    import hashlib
+
+    from inverted_index_spark import metacache
+
+    path, _, _ = pos_indexed
+    snap1 = metacache.request_snapshot(path)
+    assert snap1 is not None
+    opens = []
+    real_open = builtins.open
+
+    def counting_open(f, *a, **kw):
+        opens.append(f)
+        return real_open(f, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    snap2 = metacache.request_snapshot(path)
+    assert snap2 == snap1
+    assert not [f for f in opens if "manifest" in str(f)], (
+        "memoized fingerprint must not re-read the manifest"
+    )
+    monkeypatch.undo()
+
+    def fips_md5(*a, **kw):
+        raise ValueError("md5 disabled for FIPS")
+
+    monkeypatch.setattr(hashlib, "md5", fips_md5)
+    metacache._MEMO.clear()
+    snap3 = metacache.request_snapshot(path)
+    assert snap3 is not None and snap3[0] == snap1[0]
+    metacache._MEMO.clear()

@@ -520,3 +520,39 @@ def test_state_at_raises_on_unreadable_commit(tmp_path):
     # the latest-read path still treats it as invisible (mid-flush
     # semantics), unchanged
     assert cat.resolve(path, "t") == "t.v2"
+
+
+def test_delta_free_pin_survives_compaction(spark, saved, monkeypatch):
+    """A pinned snapshot that depends on NO delta generations
+    (@delta_gen == 0 — e.g. the compaction commit itself) reads only
+    versioned base dirs, which retention keeps reconstructable: a later
+    compaction must NOT expire it. Only delta-dependent pins expire."""
+    from inverted_index_spark import commitio
+    from inverted_index_spark.upsert import compact_index
+
+    monkeypatch.setenv("SPARK_GRAFT_RETAIN_VERSIONS", "1")
+    cat = commitio.DeltaLogCatalog()
+    prev = commitio.set_catalog(cat)
+    try:
+        upsert_saved(
+            spark, saved,
+            spark.createDataFrame([(0, "alpha epoch text")],
+                                  ["doc_id", "text"]),
+        )
+        compact_index(spark, saved)
+        v_c1 = cat.latest_version(saved)  # delta-free snapshot
+        docs_c1 = _docs_of(spark, saved, "alpha")
+        upsert_saved(
+            spark, saved,
+            spark.createDataFrame([(0, "beta epoch text")],
+                                  ["doc_id", "text"]),
+        )
+        v_delta = cat.latest_version(saved)  # delta-dependent snapshot
+        compact_index(spark, saved)
+        with commitio.pinned_version(saved, v_c1):
+            assert _docs_of(spark, saved, "alpha") == docs_c1
+        with pytest.raises(ValueError, match="expired"):
+            with commitio.pinned_version(saved, v_delta):
+                pass
+    finally:
+        commitio.set_catalog(prev)

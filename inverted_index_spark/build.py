@@ -593,17 +593,27 @@ def load_index(
         # snapshot's statistics from the pinned docstats instead, or
         # BM25 idf/length-normalization would mix epochs. Driver-side
         # pyarrow read (docstats is one small table), no Spark job —
-        # same pattern as metacache.docstats_total_tokens.
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+        # same pattern as metacache.docstats_total_tokens. Storage
+        # Spark can read but pyarrow can't (custom Hadoop FS, no
+        # fsspec handler) falls back to the Spark aggregate.
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
 
-        t = pq.read_table(docstats_dir, columns=["doclen_tokens"])
-        n_docs = int(t.num_rows)
-        avgdl = (
-            float(pc.mean(t.column("doclen_tokens")).as_py() or 0.0)
-            if n_docs
-            else 0.0
-        )
+            t = pq.read_table(docstats_dir, columns=["doclen_tokens"])
+            n_docs = int(t.num_rows)
+            avgdl = (
+                float(pc.mean(t.column("doclen_tokens")).as_py() or 0.0)
+                if n_docs
+                else 0.0
+            )
+        except Exception:
+            stats = docstats.agg(
+                F.count("*").alias("n"),
+                F.avg("doclen_tokens").alias("avgdl"),
+            ).collect()[0]
+            n_docs = int(stats["n"])
+            avgdl = float(stats["avgdl"] or 0.0)
     else:
         n_docs, avgdl = meta["n_docs"], meta["avgdl"]
     return FtsIndex(

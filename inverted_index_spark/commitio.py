@@ -342,6 +342,22 @@ def pinned_version(path: str, version: int):
             "is the vacuum: it physically folds the delta generations "
             "older pins depend on) — the snapshot is expired"
         )
+    # without SPARK_GRAFT_RETAIN_VERSIONS, gc_superseded deletes the
+    # versioned base dirs a snapshot maps to; verify they still exist
+    # so a vacuumed pin fails HERE with the expired-snapshot error, not
+    # later as a missing-path crash deep inside a Spark scan
+    missing = [
+        f"{name} -> {dirname}"
+        for name, dirname in state.items()
+        if not name.startswith("@")
+        and not os.path.isdir(os.path.join(path, dirname))
+    ]
+    if missing:
+        raise ValueError(
+            f"snapshot {version} is expired: its table directories "
+            f"were vacuumed ({', '.join(sorted(missing))}); write with "
+            "SPARK_GRAFT_RETAIN_VERSIONS=1 to keep snapshots readable"
+        )
     key = os.path.abspath(path)
     maps = getattr(_PINNED, "maps", None)
     if maps is None:

@@ -46,16 +46,25 @@ def _snapshot(index_path: str, name: str) -> Optional[Tuple[str, float]]:
     return (d, os.path.getmtime(d))
 
 
+import threading as _memo_threading
+
+_MEMO_LOCK = _memo_threading.Lock()
+
+
 def _memo_get(key: tuple):
     return _MEMO.get(key)
 
 
 def _memo_put(key: tuple, value) -> None:
-    if len(_MEMO) >= _MEMO_MAX:
-        # drop the oldest half (insertion-ordered dict)
-        for k in list(_MEMO)[: _MEMO_MAX // 2]:
-            del _MEMO[k]
-    _MEMO[key] = value
+    # locked: request_snapshot writes here from concurrent serving
+    # threads, and two evictors iterating + deleting the same keys
+    # would KeyError each other
+    with _MEMO_LOCK:
+        if len(_MEMO) >= _MEMO_MAX:
+            # drop the oldest half (insertion-ordered dict)
+            for k in list(_MEMO)[: _MEMO_MAX // 2]:
+                _MEMO.pop(k, None)
+        _MEMO[key] = value
 
 
 # ----------------------------------------------------------------------
@@ -86,9 +95,11 @@ def request_snapshot(index_path: str) -> Optional[tuple]:
     Every refresh/invalidation rewrites the manifest, and fingerprinting
     the bytes — not just the mtime — closes the coarse-filesystem window
     where two rewrites land in one timestamp tick. The digest itself is
-    memoized on (path, mtime_ns, size) so the serving hot path pays one
-    ``stat`` per call, not an O(manifest) read+hash. None when there is
-    no manifest (nothing safe to cache against)."""
+    memoized on (path, inode, mtime_ns, size) so the serving hot path
+    pays one ``stat`` per call, not an O(manifest) read+hash — the
+    inode is in the key because manifest rewrites go through an atomic
+    replace, which swaps inodes even when timestamp and size tie. None
+    when there is no manifest (nothing safe to cache against)."""
     import hashlib
     import zlib
 
@@ -97,7 +108,7 @@ def request_snapshot(index_path: str) -> Optional[tuple]:
     p = os.path.join(index_path, MANIFEST_NAME)
     try:
         st = os.stat(p)
-        mkey = ("manifest_fp", p, st.st_mtime_ns, st.st_size)
+        mkey = ("manifest_fp", p, st.st_ino, st.st_mtime_ns, st.st_size)
         fp = _memo_get(mkey)
         if fp is None:
             with open(p, "rb") as fh:
@@ -105,8 +116,11 @@ def request_snapshot(index_path: str) -> Optional[tuple]:
             try:
                 # fingerprint, not security — keep working under FIPS
                 fp = hashlib.md5(data, usedforsecurity=False).hexdigest()
-            except TypeError:  # pre-3.9 signature
-                fp = hashlib.md5(data).hexdigest()
+            except TypeError:  # pre-3.9 signature lacks the kwarg
+                try:
+                    fp = hashlib.md5(data).hexdigest()
+                except ValueError:  # ...and FIPS still rejects md5
+                    fp = "%08x-%x" % (zlib.crc32(data), len(data))
             except ValueError:  # FIPS build rejecting md5 outright
                 fp = "%08x-%x" % (zlib.crc32(data), len(data))
             _memo_put(mkey, fp)

@@ -556,3 +556,35 @@ def test_delta_free_pin_survives_compaction(spark, saved, monkeypatch):
                 pass
     finally:
         commitio.set_catalog(prev)
+
+
+def test_vacuumed_pin_fails_loudly(spark, saved, monkeypatch):
+    """Without retention, gc_superseded vacuums the versioned dirs a
+    snapshot maps to: pinning such a snapshot must raise the
+    expired-snapshot ValueError at pin time, not surface later as a
+    missing-path crash inside a Spark scan."""
+    from inverted_index_spark import commitio
+    from inverted_index_spark.upsert import compact_index
+
+    monkeypatch.delenv("SPARK_GRAFT_RETAIN_VERSIONS", raising=False)
+    cat = commitio.DeltaLogCatalog()
+    prev = commitio.set_catalog(cat)
+    try:
+        upsert_saved(
+            spark, saved,
+            spark.createDataFrame([(0, "vacuum target text")],
+                                  ["doc_id", "text"]),
+        )
+        compact_index(spark, saved)
+        v_c1 = cat.latest_version(saved)  # delta-free snapshot
+        upsert_saved(
+            spark, saved,
+            spark.createDataFrame([(1, "vacuum second text")],
+                                  ["doc_id", "text"]),
+        )
+        compact_index(spark, saved)  # gc deletes v_c1's base dirs
+        with pytest.raises(ValueError, match="expired"):
+            with commitio.pinned_version(saved, v_c1):
+                pass
+    finally:
+        commitio.set_catalog(prev)

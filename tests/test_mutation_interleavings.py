@@ -250,3 +250,90 @@ def test_random_interleavings_with_streaming(spark, tmp_path, seed):
             if os.path.exists(os.path.join(path, MANIFEST_NAME)):
                 refresh_segments(spark, load_index(spark, path), path)
         check(f"step {step}: {op}")
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_time_travel_random_interleavings(spark, tmp_path, seed, monkeypatch):
+    """Time-travel contract under random mutation interleavings: for
+    EVERY commit version the history produced, a pin either reproduces
+    exactly the corpus state as of that commit (doc sets, positions,
+    scores — scores exercise the pinned-docstats n_docs/avgdl
+    derivation) or raises the loud expired-snapshot ValueError. Never
+    wrong rows, never a deep missing-path crash. Expiry must happen
+    exactly when the snapshot depends on delta generations
+    (@delta_gen > 0) that a LATER compaction folded."""
+    from inverted_index_spark import commitio
+    from inverted_index_spark.upsert import (
+        compact_index,
+        delete_saved,
+        upsert_saved,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_RETAIN_VERSIONS", "1")
+    cat = commitio.DeltaLogCatalog()
+    prev = commitio.set_catalog(cat)
+    try:
+        rng = random.Random(seed)
+        path = str(tmp_path / "ttidx")
+        mirror = {i: _text(rng) for i in range(16)}
+        docs = spark.createDataFrame(
+            sorted(mirror.items()), "doc_id long, text string"
+        )
+        build_and_save(spark, docs, path, ngrams=False)
+
+        # (version, mirror-at-version, index of the op that made it)
+        history = []
+        compact_steps = []
+        ops = ["upsert", "upsert", "delete", "compact", "upsert",
+               "delete", "compact", "upsert"]
+        rng.shuffle(ops)
+        next_id = len(mirror)
+        for step, op in enumerate(ops):
+            if op == "compact":
+                compact_index(spark, path)
+                compact_steps.append(step)
+            elif op == "delete":
+                victims = rng.sample(sorted(mirror), min(2, len(mirror)))
+                for d in victims:
+                    del mirror[d]
+                delete_saved(
+                    spark, path,
+                    spark.createDataFrame(
+                        [(int(d),) for d in victims], "doc_id long"
+                    ),
+                )
+            else:
+                changed = {}
+                for _ in range(rng.randint(1, 3)):
+                    if rng.random() < 0.5 and mirror:
+                        doc_id = rng.choice(sorted(mirror))
+                    else:
+                        doc_id, next_id = next_id, next_id + 1
+                    changed[doc_id] = _text(rng)
+                mirror.update(changed)
+                upsert_saved(
+                    spark, path,
+                    spark.createDataFrame(
+                        sorted(changed.items()), "doc_id long, text string"
+                    ),
+                )
+            v = cat.latest_version(path)
+            assert v is not None
+            history.append((v, dict(mirror), step))
+
+        assert compact_steps, "shuffle must keep at least one compact"
+        last_compact = max(compact_steps)
+        for v, mirror_v, step in history:
+            st = cat.state_at(path, v)
+            delta_dependent = int(st.get("@delta_gen", "0") or 0) > 0
+            expect_expired = delta_dependent and step < last_compact
+            if expect_expired:
+                with pytest.raises(ValueError, match="expired"):
+                    with commitio.pinned_version(path, v):
+                        load_index(spark, path)
+            else:
+                with commitio.pinned_version(path, v):
+                    _check(spark, path, mirror_v, random.Random(v),
+                           f"pin v{v} (op {step})")
+    finally:
+        commitio.set_catalog(prev)

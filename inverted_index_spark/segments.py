@@ -8,8 +8,15 @@ for the 10^12-turn design point.
 
 Layout
 ------
-``<path>/segments/shard-NNNNN.parquet`` — one file per **doc-range
-shard**. Rows, sorted by ``(term, block_id)``:
+``<path>/segments/shard-NNNNN-<nonce>.parquet`` — one file per
+**doc-range shard**, WRITE-ONCE: every (re)encode writes a fresh nonce
+name, the manifest is the commit point referencing exactly one
+generation per shard, and superseded generations are deleted only
+after the new manifest lands (``_gc_unreferenced_shards``;
+``SPARK_GRAFT_RETAIN_VERSIONS=1`` keeps them). Concurrent coordinator
+serves therefore read a consistent snapshot — the Lucene
+commit-point/write-once-segment discipline — instead of racing an
+in-place rewrite. Rows, sorted by ``(term, block_id)``:
 
     term:string | block_id:long | n:int | doc_ids:binary | tfs:binary
     | max_u:float
@@ -52,6 +59,7 @@ import hashlib
 import json
 import os
 import time
+import uuid
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -246,7 +254,17 @@ def _write_shard(table, seg_dir: str, block_docs: int, avgdl: float):
         + sum(len(x) for x in id_blobs) + sum(len(x) for x in tf_blobs)
     )
     n_postings = int(len(doc_ids_all))
-    fname = f"shard-{shard_id:05d}.parquet"
+    # WRITE-ONCE naming (Lucene commit-point semantics): every write
+    # gets a fresh nonce, so a refresh NEVER mutates a file a concurrent
+    # coordinator serve may be reading from the old manifest — readers
+    # planning from a manifest see exactly that manifest's immutable
+    # files, and superseded generations are garbage-collected only
+    # after the new manifest is committed (_gc_unreferenced_shards).
+    # A nonce, not the content fingerprint: the fingerprint covers
+    # doc_ids+tfs only, while the bytes also depend on positions and
+    # the avgdl baked into max_u, so equal fingerprints can carry
+    # different bytes — reusing the name would be in-place mutation.
+    fname = f"shard-{shard_id:05d}-{uuid.uuid4().hex[:10]}.parquet"
     fpath = os.path.join(seg_dir, fname)
     tmp = fpath + ".tmp"
     pq.write_table(out, tmp, row_group_size=4096, compression="zstd")
@@ -502,9 +520,19 @@ def build_segments(
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             old = json.load(fh)
+        # pending shards are STALE vs the live postings (the manifest
+        # keeps their rows as the serving commit point): a resume must
+        # rebuild them, never carry them forward
+        pend: set = set()
+        pp = _pending_path(path)
+        if os.path.exists(pp):
+            with open(pp) as fh:
+                pend = {int(s) for s in json.load(fh)}
         if bool(old.get("positional", False)) == positions:
             for row in old.get("shards", []):
-                if os.path.exists(os.path.join(seg_dir, row["file"])):
+                if int(row["shard_id"]) not in pend and os.path.exists(
+                    os.path.join(seg_dir, row["file"])
+                ):
                     done[row["shard_id"]] = row
 
     src = _postings_src(index, shard_docs, positions)
@@ -549,9 +577,40 @@ def build_segments(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, manifest_path)
+    _gc_unreferenced_shards(seg_dir, manifest)
     # a full build over the live view subsumes any recorded deltas
     _clear_pending(path)
     return manifest
+
+
+def _gc_unreferenced_shards(seg_dir: str, manifest: dict) -> None:
+    """Delete shard files the just-committed manifest does not
+    reference — the superseded write-once generations. The manifest is
+    the commit point: readers that planned from it hold only files it
+    references (immutable by the write-once naming), POSIX unlink keeps
+    any already-open file alive for its reader, and a reader still
+    planning from a SUPERSEDED manifest either opened its files in time
+    or fails loudly with FileNotFoundError — never a torn mix of old
+    and new shard content. ``SPARK_GRAFT_RETAIN_VERSIONS=1`` keeps
+    superseded files so old-manifest readers stay fully isolated
+    (the segment analogue of the table-dir retention)."""
+    if os.environ.get("SPARK_GRAFT_RETAIN_VERSIONS", "0") == "1":
+        return
+    live = {r["file"] for r in manifest.get("shards", [])}
+    try:
+        names = os.listdir(seg_dir)
+    except OSError:
+        return
+    for n in names:
+        if (
+            n.startswith("shard-")
+            and n.endswith(".parquet")
+            and n not in live
+        ):
+            try:
+                os.remove(os.path.join(seg_dir, n))
+            except OSError:
+                pass
 
 
 def refresh_segments(
@@ -698,6 +757,7 @@ def refresh_segments(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, manifest_path)
+    _gc_unreferenced_shards(seg_dir, manifest)
     # after the stamped manifest lands, the folded deltas are covered; a
     # crash before this line leaves the sidecar -> refresh reruns (idempotent)
     _clear_pending(path)

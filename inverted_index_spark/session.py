@@ -28,10 +28,24 @@ def ship_package(spark: SparkSession) -> None:
     root = os.path.dirname(pkg_dir)
     zip_base = os.path.join(tempfile.gettempdir(), "inverted_index_spark_pkg")
     zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
+    # rebuild when any package source is newer than the zip — a stale
+    # cached zip makes executors silently run OLD code while the driver
+    # runs new (the worst kind of skew); write-once + atomic replace so
+    # concurrent processes never observe a half-written archive
+    newest = 0.0
+    for dp, _, fs in os.walk(pkg_dir):
+        for f in fs:
+            if f.endswith(".py"):
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(dp, f)))
+                except OSError:
+                    pass
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        tmp_base = f"{zip_base}-{os.getpid()}"
         shutil.make_archive(
-            zip_base, "zip", root_dir=root, base_dir="inverted_index_spark"
+            tmp_base, "zip", root_dir=root, base_dir="inverted_index_spark"
         )
+        os.replace(tmp_base + ".zip", zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 

@@ -288,18 +288,25 @@ def _refresh_after_mutation(
 def _invalidate_segments(
     spark: SparkSession, path: str, changed_docs: DataFrame
 ) -> None:
-    """Drop segment shards whose doc range intersects the upsert batch.
+    """Mark segment shards whose doc range intersects the upsert batch.
 
     Compressed segments are snapshots of the postings; an upsert makes
-    the shards covering its doc ids stale. Removing exactly those
-    entries (and files) means the next ``build_segments(resume=True)``
-    rebuilds only the touched shards — without this, resume would see
-    matching fingerprints for the base build and happily serve
-    superseded postings to WAND. The same shard ids (including brand-new
-    ranges absent from the manifest) are recorded in the
-    ``segments_pending.json`` sidecar so ``segments.refresh_segments``
-    can re-encode exactly these doc ranges with a range-pruned scan
-    instead of a full pass.
+    the shards covering its doc ids stale. The changed shard ids
+    (including brand-new ranges absent from the manifest) are recorded
+    in the ``segments_pending.json`` sidecar: ``refresh_segments``
+    re-encodes exactly these doc ranges with a range-pruned scan, and
+    ``build_segments(resume=True)`` excludes them from its resume set
+    so a stale shard is never carried forward.
+
+    The manifest itself is NOT touched — it is the serving commit
+    point, and dropping rows here would hand a concurrent coordinator
+    serve an INCOMPLETE snapshot (missing doc ranges) for the whole
+    invalidation->refresh window. Readers keep the last complete
+    snapshot (its write-once files stay on disk until the post-refresh
+    GC) until the next manifest commit makes the mutation visible —
+    Lucene's stale-but-consistent reader semantics; freshness-aware
+    routing (segments_fresh) sends LIVE queries to the relational plan
+    meanwhile.
     """
     from .segments import MANIFEST_NAME, record_pending_shards
 
@@ -319,22 +326,7 @@ def _invalidate_segments(
         .distinct()
         .collect()
     }
-    # record BEFORE removing files: a crash in between leaves manifest
-    # rows pointing at missing files, which refresh treats as pending
     record_pending_shards(path, changed_shards)
-    kept = []
-    for s in manifest["shards"]:
-        if s["shard_id"] in changed_shards:
-            f = os.path.join(path, "segments", s["file"])
-            if os.path.exists(f):
-                os.remove(f)
-        else:
-            kept.append(s)
-    manifest["shards"] = kept
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    os.replace(tmp, manifest_path)
 
 
 def compact_index(spark: SparkSession, path: str) -> None:

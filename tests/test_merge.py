@@ -53,11 +53,17 @@ def test_aligned_merge_reuses_every_shard(spark, tmp_path):
     assert segments_fresh(out)
 
     # shard files are the INPUTS' files (hard links, not rewrites)
-    for src, fname in [(p1, "shard-00000.parquet"),
-                       (p2, "shard-00002.parquet")]:
+    def _file_of(path, sid):
+        from inverted_index_spark.segments import load_manifest
+
+        return {
+            r["shard_id"]: r["file"] for r in load_manifest(path)["shards"]
+        }[sid]
+
+    for src, sid in [(p1, 0), (p2, 2)]:
         assert os.path.samefile(
-            os.path.join(out, "segments", fname),
-            os.path.join(src, "segments", fname),
+            os.path.join(out, "segments", _file_of(out, sid)),
+            os.path.join(src, "segments", _file_of(src, sid)),
         )
 
     # answers equal a from-scratch build over the concatenated corpus
@@ -94,15 +100,21 @@ def test_boundary_collision_is_reencoded_incrementally(spark, tmp_path):
     assert summary["segments"] == "reused+reencoded:1"
     assert segments_fresh(out)
     # non-colliding shards stayed links; the boundary shard was rebuilt
+    from inverted_index_spark.segments import load_manifest
+
+    def _files_of(path):
+        return {
+            r["shard_id"]: r["file"] for r in load_manifest(path)["shards"]
+        }
+
+    out_f, p1_f = _files_of(out), _files_of(p1)
     assert os.path.samefile(
-        os.path.join(out, "segments", "shard-00000.parquet"),
-        os.path.join(p1, "segments", "shard-00000.parquet"),
+        os.path.join(out, "segments", out_f[0]),
+        os.path.join(p1, "segments", p1_f[0]),
     )
-    assert not os.path.exists(
-        os.path.join(p1, "segments", "shard-00001.parquet")
-    ) or not os.path.samefile(
-        os.path.join(out, "segments", "shard-00001.parquet"),
-        os.path.join(p1, "segments", "shard-00001.parquet"),
+    assert 1 not in p1_f or not os.path.samefile(
+        os.path.join(out, "segments", out_f[1]),
+        os.path.join(p1, "segments", p1_f[1]),
     )
 
     ref = str(tmp_path / "ref")

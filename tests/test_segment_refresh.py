@@ -57,6 +57,9 @@ def test_refresh_rebuilds_only_touched_shards(spark, tmp_path):
     idx = build_and_save(spark, docs, path, ngrams=False)
     build_segments(spark, idx, path, shard_docs=32)
     before = _seg_state(path)
+    before_files = {
+        r["shard_id"]: r["file"] for r in load_manifest(path)["shards"]
+    }
     assert len(before) >= 6
 
     upsert_saved(
@@ -72,8 +75,19 @@ def test_refresh_rebuilds_only_touched_shards(spark, tmp_path):
     assert m["built_shards"] == 1
     assert m["resumed_shards"] == len(before) - 1
     after = _seg_state(path)
-    changed = {f for f in before if before[f] != after.get(f)}
-    assert changed == {"shard-00000.parquet"}
+    # write-once: untouched shard files are bit-identical AND same-name;
+    # the touched shard got a NEW file (never an in-place rewrite) and
+    # its superseded generation was garbage-collected post-commit
+    after_files = {r["shard_id"]: r["file"] for r in m["shards"]}
+    changed_ids = {
+        sid for sid in before_files
+        if after_files.get(sid) != before_files[sid]
+    }
+    assert changed_ids == {0}
+    assert before_files[0] not in after  # superseded generation GC'd
+    for sid, f in after_files.items():
+        if sid != 0:
+            assert after[f] == before[f]  # untouched, not rewritten
     assert segments_fresh(path)
     assert not os.path.exists(os.path.join(path, PENDING_NAME))
 
@@ -244,3 +258,127 @@ def test_stream_compact_then_refresh(spark, tmp_path):
         for r in segment_search(spark, idx_path, "zzstreamedterm").collect()
     }
     assert got2 == streamed_ids
+
+
+def test_write_once_snapshot_isolation(spark, tmp_path, monkeypatch):
+    """Refresh must never mutate a shard file a concurrent reader may
+    hold: every (re)encode writes a NEW name (the manifest is the
+    commit point), so with retention on, every file the OLD manifest
+    references stays byte-identical after a refresh — an old-manifest
+    reader sees exactly its snapshot. Without retention, the
+    superseded generation is GC'd (loud FileNotFoundError for a
+    too-slow reader, never torn rows)."""
+    import hashlib
+
+    monkeypatch.setenv("SPARK_GRAFT_RETAIN_VERSIONS", "1")
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} w{i % 7}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=32)
+    m0 = load_manifest(path)
+
+    def digests(manifest):
+        out = {}
+        for r in manifest["shards"]:
+            f = os.path.join(path, "segments", r["file"])
+            with open(f, "rb") as fh:
+                out[r["file"]] = hashlib.sha1(fh.read()).hexdigest()
+        return out
+
+    d0 = digests(m0)
+    upsert_saved(
+        spark, path,
+        spark.createDataFrame([(5, "gamma rewritten alpha")],
+                              ["doc_id", "text"]),
+    )
+    m1 = refresh_segments(spark, load_index_merged(spark, path), path)
+    changed = {
+        r["shard_id"] for r in m1["shards"]
+    } & {r["shard_id"] for r in m0["shards"]}
+    assert {r["file"] for r in m1["shards"]} != {
+        r["file"] for r in m0["shards"]
+    }
+    # retention: every old-manifest file still exists, byte-identical
+    assert digests(m0) == d0
+    assert changed  # sanity: shard ids overlap, files differ for 0
+
+    # without retention the next refresh GC's what it supersedes
+    monkeypatch.setenv("SPARK_GRAFT_RETAIN_VERSIONS", "0")
+    upsert_saved(
+        spark, path,
+        spark.createDataFrame([(6, "delta rewritten beta")],
+                              ["doc_id", "text"]),
+    )
+    m2 = refresh_segments(spark, load_index_merged(spark, path), path)
+    live = {r["file"] for r in m2["shards"]}
+    on_disk = {
+        f for f in os.listdir(os.path.join(path, "segments"))
+        if f.startswith("shard-") and f.endswith(".parquet")
+    }
+    assert on_disk == live  # superseded generations collected
+
+
+def test_concurrent_serving_during_refresh(spark, tmp_path, monkeypatch):
+    """Coordinator serves racing refreshes must always return ONE
+    consistent snapshot's answer — never a torn mix of pre- and
+    post-refresh shard content. Write-once files + retained
+    generations give old-manifest readers full snapshot isolation."""
+    import threading
+
+    from inverted_index_spark.wand import wand_topk_pandas
+
+    monkeypatch.setenv("SPARK_GRAFT_RETAIN_VERSIONS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SERVE_CACHE", "0")
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} w{i % 7}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    idx = build_and_save(spark, docs, path, ngrams=False)
+    build_segments(spark, idx, path, shard_docs=32)
+
+    def answer():
+        pdf = wand_topk_pandas(path, "alpha beta", k=5)
+        return tuple(
+            (int(d), round(float(s), 6))
+            for d, s in zip(pdf["doc_id"], pdf["score"])
+        )
+
+    valid = {answer()}
+    seen = []
+    stop = threading.Event()
+    errors = []
+
+    def serve_loop():
+        try:
+            while not stop.is_set():
+                seen.append(answer())
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append(exc)
+
+    threads = [threading.Thread(target=serve_loop) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for round_i in range(3):
+            upsert_saved(
+                spark, path,
+                spark.createDataFrame(
+                    [(round_i, f"alpha alpha alpha beta round{round_i}")],
+                    ["doc_id", "text"],
+                ),
+            )
+            refresh_segments(spark, load_index_merged(spark, path), path)
+            valid.add(answer())
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors
+    assert len(valid) > 1  # the mutations really changed the answer
+    torn = [a for a in seen if a not in valid]
+    assert not torn, f"{len(torn)} torn answers, e.g. {torn[0]}"
+    assert len(seen) > 20

@@ -82,16 +82,23 @@ def test_manifest_metrics(indexed):
 
 def test_resume_skips_done_shards(spark, indexed):
     path, idx, manifest = indexed
-    victim = manifest["shards"][0]["file"]
-    os.remove(os.path.join(path, "segments", victim))
+    victim_row = manifest["shards"][0]
+    os.remove(os.path.join(path, "segments", victim_row["file"]))
     m2 = build_segments(spark, idx, path, shard_docs=64, block_docs=16)
     # only the missing shard was rebuilt; the rest resumed from manifest
     assert m2["built_shards"] == 1
     assert m2["resumed_shards"] == len(manifest["shards"]) - 1
-    assert os.path.exists(os.path.join(path, "segments", victim))
-    assert {s["file"] for s in m2["shards"]} == {
-        s["file"] for s in manifest["shards"]
+    # shard ids are stable; the rebuilt shard carries a NEW write-once
+    # file name, untouched shards keep theirs
+    assert {s["shard_id"] for s in m2["shards"]} == {
+        s["shard_id"] for s in manifest["shards"]
     }
+    by_id = {s["shard_id"]: s["file"] for s in m2["shards"]}
+    rebuilt = by_id[victim_row["shard_id"]]
+    assert rebuilt != victim_row["file"]
+    assert os.path.exists(os.path.join(path, "segments", rebuilt))
+    for s in manifest["shards"][1:]:
+        assert by_id[s["shard_id"]] == s["file"]
 
 
 def test_wand_after_resume_still_correct(spark, indexed):

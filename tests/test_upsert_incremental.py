@@ -128,10 +128,19 @@ def test_upsert_invalidates_stale_segments(spark, tmp_path):
         path,
         spark.createDataFrame([(100, "epsilon zeta replaced")], ["doc_id", "text"]),
     )
-    # the shard covering doc 100 was dropped from the manifest
+    # the manifest is the serving COMMIT POINT: it keeps every row (a
+    # concurrent coordinator serve must see a complete snapshot), the
+    # staleness lives in the pending sidecar + stale source token
+    import json as _json
+
+    from inverted_index_spark.segments import PENDING_NAME, segments_fresh
+
     m = load_manifest(path)
-    assert len(m["shards"]) == n_shards - 1
-    assert all(s["shard_id"] != 100 // 32 for s in m["shards"])
+    assert len(m["shards"]) == n_shards
+    assert _json.load(
+        open(os.path.join(path, PENDING_NAME))
+    ) == [100 // 32]
+    assert not segments_fresh(path)
 
     # rebuilding with resume touches only the invalidated shard, and
     # WAND now serves the new content

@@ -63,23 +63,49 @@ def main() -> None:
             "doc_id", "text", "conv_id", "turn_idx", "role", "ts"
         ).write.mode("overwrite").parquet(corpus_dir)
     docs = spark.read.parquet(corpus_dir).select("doc_id", "text")
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
+
+    # amplify the embedding corpus too (2k rows at sf0.1 measures job
+    # overhead, not the signature equi-join): mult deterministic
+    # near-copies per vector (rep-scaled epsilon keeps them distinct
+    # while preserving neighborhoods), cached so every width reads
+    # identical bytes; query side stays the 64 ORIGINAL vectors
+    embs_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"fts_bench_embs_{os.path.basename(sf_dir.rstrip('/'))}_{mult}",
+    )
+    if not os.path.exists(os.path.join(embs_dir, "_SUCCESS")):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        if mult > 1:
+            reps = spark.range(mult).select(F.col("id").alias("rep"))
+            e = e.crossJoin(reps).select(
+                (F.col("vec_id") * mult + F.col("rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x + F.col("rep").cast("float") * F.lit(1e-4),
+                ).alias("embedding"),
+            )
+        e.write.mode("overwrite").parquet(embs_dir)
+    embs = spark.read.parquet(embs_dir).select("vec_id", "embedding")
+    q_side = embs.filter(
+        (F.col("vec_id") < 64 * mult) & (F.col("vec_id") % mult == 0)
     )
 
+    # percolate doc count scales with mult (512*mult turns) so the
+    # width comparison measures matcher work, not fixed job overhead
     ops = {
         "dedup_corpus": lambda: dedup_corpus(
             docs, num_hashes=8, rows_per_band=2, k=3, threshold=0.5,
             max_bucket_size=64,
         ).count(),
         "knn_join64": lambda: knn_join(
-            embs.filter(F.col("vec_id") < 64), embs,
-            k=10, n_planes=8, hamming=1,
+            q_side, embs, k=10, n_planes=8, hamming=1,
         ).count(),
         # reverse search: per-doc python matcher, embarrassingly
         # parallel over the doc axis — the width-scaling poster child
-        "percolate4k": lambda: percolate(
-            docs.filter(F.col("doc_id") < 4096),
+        "percolate": lambda: percolate(
+            docs.filter(F.col("doc_id") < 512 * mult),
             {"a": Match("scan"), "b": Phrase("merge join"),
              "c": AndNot(Match("stream"), Match("batch")),
              "d": AtLeast(2, Match("scan"), Match("merge"),

@@ -202,15 +202,18 @@ def main() -> None:
         runs[n], cpu_s[n] = best, best_cpu
 
     # pipeline-op width evidence (dedup_corpus + knn_join + percolate),
-    # 8 vs 32 at
-    # the query-bench amplification (x8): best-of-2 per width
+    # 8 vs 32 at amplification x64 — big enough that each op measures
+    # real parallel work (exchange/matcher time), not fixed job
+    # overhead (at x8 every op finished in ~5s at BOTH widths and the
+    # wall ratio measured Spark job setup): best-of-2 per width
     OPS_LEVELS = (8, 32)
+    OPS_MULT = 64
     ops_runs: dict = {}
     for n in OPS_LEVELS:
         best_ops = None
         for _ in range(2):
             time.sleep(20)
-            r = run_ops(n, sf_dir, 8)
+            r = run_ops(n, sf_dir, OPS_MULT)
             if best_ops is None or sum(
                 o["sec"] for o in r["ops"].values()
             ) < sum(o["sec"] for o in best_ops["ops"].values()):
@@ -345,7 +348,7 @@ to raise that ratio. The bandwidth-ceiling normalization is the stable
 signal; this file records the most recent full run, and each bench
 JSON embeds its own ambient probes (`ambient_*`, `ambient_degraded`).
 
-## Pipeline-op width evidence (dedup_corpus + knn_join + percolate, amp x8)
+## Pipeline-op width evidence (dedup_corpus + knn_join + percolate, amp x{OPS_MULT})
 
 Same strong-scaling protocol (pinned fresh JVMs, identical input,
 best-of-2): wall-basis efficiency = t(8) / (4 x t(32)); task basis =
@@ -364,9 +367,15 @@ aggregate task seconds 8-wide / 32-wide (1.0 = work-conserving).
 
 dedup/knn are shuffle-bearing (hash groupBy, banded self-join,
 signature equi-join) unlike the shuffle-free build, so their width
-behavior evidences the exchange path; percolate4k is the opposite pole
-(per-doc python matcher, zero shuffle) and evidences pure map-side
-width. The same VM bandwidth ceiling applies.
+behavior evidences the exchange path; percolate ({512 * OPS_MULT}
+turn-docs x 4 registered queries, per-doc python matcher, zero
+shuffle) is the opposite pole and evidences pure map-side width.
+Inputs at amp x{OPS_MULT}: dedup over {full['n_docs'] // mult * OPS_MULT
+if mult else 0} turn-docs (replica-amplified, so exact-hash dedup
+dominates — the exchange-bearing stage), knn_join over
+{2000 * OPS_MULT} corpus vectors (64 original queries; replicas are
+rep-scaled near-copies, preserving neighborhoods). The same VM
+bandwidth ceiling applies.
 
 Query latencies (full run, local[32]): {json.dumps(full['queries'])}
 Segment compression (delta+varint vs raw 12B/posting):

@@ -69,10 +69,15 @@ def _memo_put(key: tuple, value) -> None:
 
 # ----------------------------------------------------------------------
 # coordinator request cache (the Lucene/ES request-cache analog):
-# memoize SERVING RESULTS per segment snapshot. The key embeds the
-# manifest's mtime, so refresh_segments / shard invalidation naturally
-# expires every cached answer; entries are small (top-k frames), the
-# store is a bounded LRU. SPARK_GRAFT_SERVE_CACHE sets the entry count
+# memoize SERVING RESULTS per segment snapshot. The key embeds a
+# CONTENT fingerprint of the manifest (request_snapshot), so a cached
+# answer expires exactly when a new manifest COMMITS (refresh /
+# rebuild / compact). Mutations alone do NOT expire it: invalidation
+# only records the pending sidecar and leaves the manifest — the
+# serving commit point — untouched, so serves stay on the last
+# complete snapshot (stale-but-consistent, Lucene reader semantics)
+# until the next commit. Entries are small (top-k frames), the store
+# is a bounded LRU. SPARK_GRAFT_SERVE_CACHE sets the entry count
 # (default 64; 0 disables).
 
 import threading as _threading
@@ -98,9 +103,15 @@ def request_snapshot(index_path: str) -> Optional[tuple]:
     memoized on (path, inode, mtime_ns, size) so the serving hot path
     pays one ``stat`` per call, not an O(manifest) read+hash — the
     inode is in the key because manifest rewrites go through an atomic
-    replace, which swaps inodes even when timestamp and size tie. None
-    when there is no manifest (nothing safe to cache against)."""
+    replace, which swaps inodes even when timestamp and size tie. A
+    manifest whose mtime is within the last ~2s is hashed WITHOUT the
+    memo: on coarse-timestamp filesystems two rewrites (plus an inode
+    recycle) can land in one tick with tying sizes, and only recency
+    makes that alias reachable — past the tick window the stat key is
+    unambiguous. None when there is no manifest (nothing safe to cache
+    against)."""
     import hashlib
+    import time as _time
     import zlib
 
     from .segments import MANIFEST_NAME
@@ -108,8 +119,9 @@ def request_snapshot(index_path: str) -> Optional[tuple]:
     p = os.path.join(index_path, MANIFEST_NAME)
     try:
         st = os.stat(p)
+        settled = (_time.time() - st.st_mtime) > 2.0
         mkey = ("manifest_fp", p, st.st_ino, st.st_mtime_ns, st.st_size)
-        fp = _memo_get(mkey)
+        fp = _memo_get(mkey) if settled else None
         if fp is None:
             with open(p, "rb") as fh:
                 data = fh.read()
@@ -123,7 +135,8 @@ def request_snapshot(index_path: str) -> Optional[tuple]:
                     fp = "%08x-%x" % (zlib.crc32(data), len(data))
             except ValueError:  # FIPS build rejecting md5 outright
                 fp = "%08x-%x" % (zlib.crc32(data), len(data))
-            _memo_put(mkey, fp)
+            if settled:  # an in-tick key may alias a future rewrite
+                _memo_put(mkey, fp)
         return (p, fp)
     except OSError:
         return None

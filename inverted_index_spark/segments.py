@@ -591,24 +591,36 @@ def _gc_unreferenced_shards(seg_dir: str, manifest: dict) -> None:
     any already-open file alive for its reader, and a reader still
     planning from a SUPERSEDED manifest either opened its files in time
     or fails loudly with FileNotFoundError — never a torn mix of old
-    and new shard content. ``SPARK_GRAFT_RETAIN_VERSIONS=1`` keeps
-    superseded files so old-manifest readers stay fully isolated
-    (the segment analogue of the table-dir retention)."""
-    if os.environ.get("SPARK_GRAFT_RETAIN_VERSIONS", "0") == "1":
-        return
+    and new shard content. ``SPARK_GRAFT_RETAIN_VERSIONS=1`` (or any
+    non-``0`` value — the SAME gate as ``commitio.gc_superseded``, so
+    one flag governs both retention surfaces) keeps superseded files so
+    old-manifest readers stay fully isolated (the segment analogue of
+    the table-dir retention). Orphaned ``.parquet.tmp`` files (a task
+    retry or crash between write and rename; unbounded growth now that
+    every attempt gets a fresh nonce name) are swept too, age-gated so
+    an in-flight write a few seconds old is never touched."""
+    retain = os.environ.get("SPARK_GRAFT_RETAIN_VERSIONS", "0") not in ("0", "")
     live = {r["file"] for r in manifest.get("shards", [])}
     try:
         names = os.listdir(seg_dir)
     except OSError:
         return
+    now = time.time()
     for n in names:
-        if (
+        p = os.path.join(seg_dir, n)
+        if not retain and (
             n.startswith("shard-")
             and n.endswith(".parquet")
             and n not in live
         ):
             try:
-                os.remove(os.path.join(seg_dir, n))
+                os.remove(p)
+            except OSError:
+                pass
+        elif n.startswith("shard-") and n.endswith(".parquet.tmp"):
+            try:
+                if now - os.path.getmtime(p) > 600.0:
+                    os.remove(p)
             except OSError:
                 pass
 

@@ -983,12 +983,20 @@ def segment_query_pandas(
     from . import metacache
 
     # cache only bounded answers: k=None frames are corpus-sized and
-    # would blow the entry-count-bounded LRU's memory
-    snap = metacache.request_snapshot(index_path) if k is not None else None
+    # would blow the entry-count-bounded LRU's memory; skip snapshot
+    # fingerprinting when the cache is disabled (the kill switch must
+    # be zero-cost)
+    snap = (
+        metacache.request_snapshot(index_path)
+        if k is not None and metacache._req_cache_max() > 0
+        else None
+    )
     key = None
     if snap is not None:
         # frozen-dataclass repr fully describes the AST; the manifest
-        # fingerprint in `snap` expires the entry on refresh/invalidate
+        # fingerprint in `snap` expires the entry when a new manifest
+        # COMMITS (refresh/rebuild/compact) — mutations alone leave the
+        # manifest, and the cache, on the last complete snapshot
         dr = tuple(doc_range) if doc_range is not None else None
         key = (snap, "segq", repr(query), k, with_positions, dr)
         hit = metacache.request_cache_get(key)

@@ -26,12 +26,22 @@ def ship_package(spark: SparkSession) -> None:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zip_base = os.path.join(tempfile.gettempdir(), "inverted_index_spark_pkg")
+    # the cache file is keyed on WHICH checkout it was built from: two
+    # clones on one machine must not share a zip, or one clone's
+    # executors silently import the other's code
+    import hashlib
+    import uuid
+
+    tag = hashlib.md5(pkg_dir.encode()).hexdigest()[:10]
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"inverted_index_spark_pkg_{tag}"
+    )
     zip_path = zip_base + ".zip"
     # rebuild when any package source is newer than the zip — a stale
     # cached zip makes executors silently run OLD code while the driver
-    # runs new (the worst kind of skew); write-once + atomic replace so
-    # concurrent processes never observe a half-written archive
+    # runs new (the worst kind of skew); write-once + atomic replace
+    # under a collision-proof tmp name (pid is NOT unique across
+    # threads) so concurrent builders never corrupt each other
     newest = 0.0
     for dp, _, fs in os.walk(pkg_dir):
         for f in fs:
@@ -41,7 +51,7 @@ def ship_package(spark: SparkSession) -> None:
                 except OSError:
                     pass
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
-        tmp_base = f"{zip_base}-{os.getpid()}"
+        tmp_base = f"{zip_base}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         shutil.make_archive(
             tmp_base, "zip", root_dir=root, base_dir="inverted_index_spark"
         )

@@ -402,7 +402,14 @@ def wand_topk_pandas(
     (/root/reference/src/index.rs:149-160)."""
     from . import metacache
 
-    snap = metacache.request_snapshot(index_path)
+    # skip snapshot fingerprinting entirely when the cache is disabled
+    # (SPARK_GRAFT_SERVE_CACHE=0 must be zero-cost: the bench kill
+    # switch exists so retries measure the engine, not the cache)
+    snap = (
+        metacache.request_snapshot(index_path)
+        if metacache._req_cache_max() > 0
+        else None
+    )
     key = None
     if snap is not None:
         bkey = tuple(sorted(boosts.items())) if boosts else None

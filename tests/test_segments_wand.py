@@ -588,17 +588,23 @@ def test_request_cache_bounds_and_isolation(spark, pos_indexed, monkeypatch):
 
 def test_request_snapshot_memoized_and_fips_safe(pos_indexed, monkeypatch):
     """The manifest fingerprint is memoized on (mtime_ns, size) — the
-    hot path pays a stat, not a read+hash, per call — and a FIPS build
-    whose md5 raises ValueError falls back to crc32 instead of taking
-    down serving."""
+    hot path pays a stat, not a read+hash, per call — but ONLY once the
+    manifest mtime has settled past the timestamp-tick window (a
+    just-rewritten manifest is re-hashed every call, so an in-tick
+    inode-recycled rewrite can never serve a stale alias); and a FIPS
+    build whose md5 raises ValueError falls back to crc32 instead of
+    taking down serving."""
     import builtins
     import hashlib
+    import time
 
     from inverted_index_spark import metacache
 
     path, _, _ = pos_indexed
-    snap1 = metacache.request_snapshot(path)
-    assert snap1 is not None
+    from inverted_index_spark.segments import MANIFEST_NAME
+
+    manifest_path = os.path.join(path, MANIFEST_NAME)
+
     opens = []
     real_open = builtins.open
 
@@ -606,10 +612,33 @@ def test_request_snapshot_memoized_and_fips_safe(pos_indexed, monkeypatch):
         opens.append(f)
         return real_open(f, *a, **kw)
 
+    def manifest_opens():
+        n = len([f for f in opens if "manifest" in str(f)])
+        opens.clear()
+        return n
+
+    # fresh manifest (mtime = now): NOT memoized — every call re-hashes
+    os.utime(manifest_path)
+    metacache._MEMO.clear()
     monkeypatch.setattr(builtins, "open", counting_open)
+    f1 = metacache.request_snapshot(path)
+    f2 = metacache.request_snapshot(path)
+    assert f1 == f2 and f1 is not None
+    assert manifest_opens() == 2, (
+        "an unsettled manifest must be re-read every call (same-tick "
+        "rewrite safety)"
+    )
+
+    # settled manifest (mtime pushed past the tick window): memoized
+    st = os.stat(manifest_path)
+    os.utime(manifest_path, (st.st_atime, time.time() - 10.0))
+    metacache._MEMO.clear()
+    snap1 = metacache.request_snapshot(path)
+    assert snap1 is not None
+    opens.clear()
     snap2 = metacache.request_snapshot(path)
     assert snap2 == snap1
-    assert not [f for f in opens if "manifest" in str(f)], (
+    assert manifest_opens() == 0, (
         "memoized fingerprint must not re-read the manifest"
     )
     monkeypatch.undo()

@@ -62,7 +62,17 @@ def main() -> None:
         transcript_docs(transcripts).select(
             "doc_id", "text", "conv_id", "turn_idx", "role", "ts"
         ).write.mode("overwrite").parquet(corpus_dir)
-    docs = spark.read.parquet(corpus_dir).select("doc_id", "text")
+    # The replica-amplified corpus is tiny ON DISK (64 copies of each
+    # text snappy-compress to ~5 MB), and parquet splits at file/row-
+    # group granularity, so a plain read collapses to 1-2 input tasks
+    # and the map-side op stages serialize at EVERY width (the x8 run
+    # measured percolate at ~21 task-sec over ~20 s wall = one busy
+    # core at 8 AND 32 wide). A real table at this logical size has
+    # thousands of splits; a fixed 64-partition spread (identical at
+    # both widths, its shuffle counted in the op) stands in for that.
+    SPLITS = 64
+    docs_raw = spark.read.parquet(corpus_dir).select("doc_id", "text")
+    docs = docs_raw.repartition(SPLITS)
 
     # amplify the embedding corpus too (2k rows at sf0.1 measures job
     # overhead, not the signature equi-join): mult deterministic
@@ -87,7 +97,9 @@ def main() -> None:
                 ).alias("embedding"),
             )
         e.write.mode("overwrite").parquet(embs_dir)
-    embs = spark.read.parquet(embs_dir).select("vec_id", "embedding")
+    embs = spark.read.parquet(embs_dir).select(
+        "vec_id", "embedding"
+    ).repartition(SPLITS)
     q_side = embs.filter(
         (F.col("vec_id") < 64 * mult) & (F.col("vec_id") % mult == 0)
     )
@@ -104,8 +116,10 @@ def main() -> None:
         ).count(),
         # reverse search: per-doc python matcher, embarrassingly
         # parallel over the doc axis — the width-scaling poster child
+        # (filter FIRST on the raw scan so pushdown prunes, then spread)
         "percolate": lambda: percolate(
-            docs.filter(F.col("doc_id") < 512 * mult),
+            docs_raw.filter(F.col("doc_id") < 512 * mult)
+            .repartition(SPLITS),
             {"a": Match("scan"), "b": Phrase("merge join"),
              "c": AndNot(Match("stream"), Match("batch")),
              "d": AtLeast(2, Match("scan"), Match("merge"),

@@ -1479,6 +1479,84 @@ def _q_synonyms(spark, sf):
     )
 
 
+def _mf_index(spark, sf):
+    """Multi-field index over derived fields: title = first 8 tokens,
+    body = full text (same whitespace-splittable synthetic corpus, so
+    the DuckDB oracle can re-derive both fields exactly)."""
+    from inverted_index_spark.multifield import build_multifield_index
+    from inverted_index_spark.session import ship_package
+
+    key = (id(spark), sf, "mfidx")
+    if key not in _ENGINES:
+        ship_package(spark)
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 8), " "
+            ).alias("title"),
+            F.col("text").alias("body"),
+        )
+        _ENGINES[key] = build_multifield_index(spark, docs, ["title", "body"])
+    return _ENGINES[key]
+
+
+def _q_bm25f(spark, sf):
+    """BM25F top-10 (multifield.bm25f_topk): per-field length-normalized
+    tf pooled before k1 saturation, shared any-field idf; title w=2
+    b=0.5, body w=1 b=0.75."""
+    from inverted_index_spark.multifield import bm25f_topk
+
+    return bm25f_topk(
+        _mf_index(spark, sf),
+        "scan merge join",
+        k=10,
+        weights={"title": 2.0, "body": 1.0},
+        field_b={"title": 0.5, "body": 0.75},
+    ).select("doc_id", F.round("score", 4).alias("score_r4"))
+
+
+def _q_dismax(spark, sf):
+    """best_fields ranking (multifield.dismax_topk): max of weighted
+    per-field BM25 + 0.3 * the rest."""
+    from inverted_index_spark.multifield import dismax_topk
+
+    return dismax_topk(
+        _mf_index(spark, sf),
+        "scan merge join",
+        k=10,
+        weights={"title": 2.0, "body": 1.0},
+        tie_breaker=0.3,
+    ).select("doc_id", F.round("score", 4).alias("score_r4"))
+
+
+def _q_conv_having(spark, sf):
+    """Conversation-level boolean retrieval (transcripts.
+    conversation_having): conversations where a USER turn matches
+    'scan' AND an ASSISTANT turn matches 'merge' AND no turn matches
+    'dup' (each clause prunes at sf0.01: 63 convs -> 58 -> 57 -> 36)
+    — the ES has_child / parent-child shape; clauses satisfiable by
+    DIFFERENT turns."""
+    from inverted_index_spark.transcripts import conversation_having
+
+    eng = _engine_fulltoken(spark, sf)
+    docs = _docs(spark, sf)
+    roles = F.array(*[F.lit(r) for r in ["user", "assistant", "system", "tool"]])
+    conv_map = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("conv-"),
+            F.lpad((F.col("doc_id") / 8).cast("long").cast("string"), 8, "0"),
+        ).alias("conv_id"),
+        F.element_at(
+            roles, (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+    )
+    return conversation_having(
+        eng, conv_map, [("scan", "user"), ("merge", "assistant")],
+        must_not=["dup"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1489,6 +1567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_contract.py remains the full local gate over every
     # entry regardless of order.
     return {
+        "bm25f": _q_bm25f,
+        "dismax": _q_dismax,
+        "conv_having": _q_conv_having,
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_weighted": _q_hybrid_weighted,
         "recency_topk": _q_recency_topk,
@@ -2432,6 +2513,119 @@ def oracle_sql() -> dict[str, str]:
               cross join stats
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
+        """,
+        # BM25F: title = first 8 tokens (w=2, b=0.5), body = text
+        # (w=1, b=0.75); per-field length-normalized tf pooled BEFORE
+        # the k1 saturation; idf over the combined any-field df
+        "bm25f": """
+            with tb as (select doc_id, unnest(string_split(text, ' ')) as term
+                        from documents),
+            tt as (select doc_id,
+                          unnest(string_split(text, ' ')[1:8]) as term
+                   from documents),
+            tfb as (select doc_id, term, count(*)::double as tf
+                    from tb group by doc_id, term),
+            tft as (select doc_id, term, count(*)::double as tf
+                    from tt group by doc_id, term),
+            dlb as (select doc_id, count(*)::double as dl from tb group by doc_id),
+            dlt as (select doc_id, count(*)::double as dl from tt group by doc_id),
+            sb as (select avg(dl) as avgdl, count(*)::double as n from dlb),
+            st as (select avg(dl) as avgdl from dlt),
+            qt as (select unnest(['scan','merge','join']) as term),
+            wtf as (
+              select term, doc_id, sum(w) as wtf from (
+                select f.term, f.doc_id,
+                       1.0 * f.tf / (0.25 + 0.75 * d.dl / sb.avgdl) as w
+                from tfb f join qt using (term)
+                join dlb d using (doc_id) cross join sb
+                union all
+                select f.term, f.doc_id,
+                       2.0 * f.tf / (0.5 + 0.5 * d.dl / st.avgdl) as w
+                from tft f join qt using (term)
+                join dlt d using (doc_id) cross join st
+              ) group by term, doc_id),
+            dfc as (select term, count(*)::double as df from (
+                select distinct term, doc_id from tfb join qt using (term)
+                union
+                select distinct term, doc_id from tft join qt using (term)
+              ) group by term)
+            select doc_id, round(score, 4) as score_r4 from (
+              select wtf.doc_id,
+                     sum( ln((sb.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                          * wtf.wtf * 2.2 / (1.2 + wtf.wtf) ) as score
+              from wtf join dfc using (term) cross join sb
+              group by wtf.doc_id
+            ) order by score desc, doc_id asc limit 10
+        """,
+        # dis_max best_fields: per-field BM25 (k1=1.2, b=0.75, each
+        # field's own avgdl/df), weighted (title 2x), combined as
+        # max + 0.3 * (sum - max)
+        "dismax": """
+            with tb as (select doc_id, unnest(string_split(text, ' ')) as term
+                        from documents),
+            tt as (select doc_id,
+                          unnest(string_split(text, ' ')[1:8]) as term
+                   from documents),
+            tfb as (select doc_id, term, count(*)::double as tf
+                    from tb group by doc_id, term),
+            tft as (select doc_id, term, count(*)::double as tf
+                    from tt group by doc_id, term),
+            dlb as (select doc_id, count(*)::double as dl from tb group by doc_id),
+            dlt as (select doc_id, count(*)::double as dl from tt group by doc_id),
+            sb as (select avg(dl) as avgdl, count(*)::double as n from dlb),
+            st as (select avg(dl) as avgdl from dlt),
+            qt as (select unnest(['scan','merge','join']) as term),
+            dfb as (select term, count(*)::double as df
+                    from tfb join qt using (term) group by term),
+            dft as (select term, count(*)::double as df
+                    from tft join qt using (term) group by term),
+            scb as (select f.doc_id,
+                           1.0 * sum( ln((sb.n - dfb.df + 0.5) / (dfb.df + 0.5) + 1.0)
+                                * f.tf * 2.2
+                                / (f.tf + 1.2 * (0.25 + 0.75 * d.dl / sb.avgdl))
+                              ) as score
+                    from tfb f join qt using (term) join dfb using (term)
+                    join dlb d using (doc_id) cross join sb
+                    group by f.doc_id),
+            sct as (select f.doc_id,
+                           2.0 * sum( ln((sb.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                                * f.tf * 2.2
+                                / (f.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl))
+                              ) as score
+                    from tft f join qt using (term) join dft using (term)
+                    join dlt d using (doc_id) cross join st cross join sb
+                    group by f.doc_id),
+            uni as (select doc_id, score from scb
+                    union all select doc_id, score from sct),
+            agg as (select doc_id, max(score) as mx, sum(score) as sm
+                    from uni group by doc_id)
+            select doc_id, round(mx + 0.3 * (sm - mx), 4) as score_r4
+            from agg
+            order by mx + 0.3 * (sm - mx) desc, doc_id asc limit 10
+        """,
+        # conversation-level boolean retrieval: conv = doc_id//8,
+        # role = roles[doc_id % 4]; USER turn matches 'scan' AND an
+        # ASSISTANT turn matches 'merge' AND no turn matches 'dup'
+        "conv_having": """
+            with toks as (select doc_id, unnest(string_split(text, ' ')) as term
+                          from documents),
+            conv as (select doc_id,
+                            'conv-' || lpad((doc_id // 8)::varchar, 8, '0')
+                              as conv_id,
+                            (['user','assistant','system','tool'])[(doc_id % 4) + 1]
+                              as role
+                     from documents),
+            m1 as (select distinct conv_id from toks t
+                   join conv c using (doc_id)
+                   where t.term = 'scan' and c.role = 'user'),
+            m2 as (select distinct conv_id from toks t
+                   join conv c using (doc_id) where t.term = 'merge' and c.role = 'assistant'),
+            mn as (select distinct conv_id from toks t
+                   join conv c using (doc_id) where t.term = 'dup')
+            select conv_id from (
+              (select conv_id from m1 intersect select conv_id from m2)
+              except select conv_id from mn
+            ) order by conv_id
         """,
         # hybrid RRF: the bm25_topk CTEs (unrounded score cut) fused
         # with the cosine_topk CTEs (unrounded cos cut) — ranks 1..20

@@ -48,11 +48,19 @@ from .segments import build_segments, load_manifest, refresh_segments  # noqa: F
 from .session import get_spark  # noqa: F401
 from .transcripts import (  # noqa: F401
     assign_doc_ids,
+    conversation_having,
     conversation_topk,
     synthetic_transcripts,
     transcript_docs,
 )
 from .merge import merge_indexes  # noqa: F401
+from .multifield import (  # noqa: F401
+    MultiFieldIndex,
+    bm25f_topk,
+    build_multifield_index,
+    dismax_topk,
+    most_fields_topk,
+)
 from .upsert import (  # noqa: F401
     compact_index,
     delete_saved,
@@ -149,4 +157,10 @@ __all__ = [
     "assign_doc_ids",
     "synthetic_transcripts",
     "transcript_docs",
+    "conversation_having",
+    "MultiFieldIndex",
+    "build_multifield_index",
+    "bm25f_topk",
+    "dismax_topk",
+    "most_fields_topk",
 ]

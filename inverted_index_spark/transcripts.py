@@ -380,3 +380,70 @@ def read_transcripts(
     if missing:
         raise ValueError(f"transcript source missing columns: {missing}")
     return df.select(*TRANSCRIPT_COLS)
+
+
+def conversation_having(
+    engine,
+    conv_map: DataFrame,
+    must,
+    must_not=None,
+) -> DataFrame:
+    """Conversation-level boolean retrieval (the parent-child / ES
+    ``has_child`` shape for the transcript payload): return the
+    conversations where EVERY ``must`` clause matches at least one turn
+    and NO ``must_not`` clause matches any turn.
+
+    Each clause is a ``Query`` AST, a query STRING (parsed with the
+    query language), or a ``(query, role)`` pair that restricts the
+    clause to turns spoken by that role — e.g. "conversations where the
+    USER asked about billing and the ASSISTANT mentioned a refund, and
+    no tool call errored". This is strictly more expressive than
+    ``And`` over turn-level docs: the clauses may be satisfied by
+    DIFFERENT turns of the same conversation.
+
+    ``conv_map`` needs (doc_id, conv_id) and, when any clause is
+    role-scoped, a ``role`` column. Returns (conv_id) ordered asc.
+
+    Scale shape: each clause's membership frame is bounded by its
+    terms' document frequencies (term-pruned postings scan, never
+    corpus-wide); the conv_map join runs on doc_id, the per-clause
+    conversation sets are distinct'd (query-sized), and the boolean
+    combine is a chain of semi/anti joins on conv_id — small keyed
+    sets, broadcastable under AQE. Nothing here scans the corpus.
+    """
+    from .qparse import parse_query
+
+    def _norm(clauses):
+        out = []
+        for c in clauses or []:
+            q, role = c if isinstance(c, tuple) else (c, None)
+            out.append((parse_query(q) if isinstance(q, str) else q, role))
+        return out
+
+    must = _norm(must if isinstance(must, list) else [must])
+    must_not = _norm(must_not)
+    if not must:
+        raise ValueError("conversation_having needs at least one must clause")
+
+    def _conv_set(q, role) -> DataFrame:
+        docs = engine.compile(q).docs.select("doc_id")
+        if role is not None:
+            if "role" not in conv_map.columns:
+                raise ValueError(
+                    "role-scoped clause needs a 'role' column in conv_map"
+                )
+            side = conv_map.filter(F.col("role") == role)
+        else:
+            side = conv_map
+        return (
+            docs.join(side.select("doc_id", "conv_id"), "doc_id")
+            .select("conv_id")
+            .distinct()
+        )
+
+    out = _conv_set(*must[0])
+    for q, role in must[1:]:
+        out = out.join(_conv_set(q, role), "conv_id", "left_semi")
+    for q, role in must_not:
+        out = out.join(_conv_set(q, role), "conv_id", "left_anti")
+    return out.orderBy("conv_id")

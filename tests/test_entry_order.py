@@ -18,6 +18,7 @@ DRIVER_WINDOW = 50
 # each needs a CORRECTNESS_r04 row, so each must be inside the window
 NEED_WINDOW = {
     # round-4 additions (never driver-recorded)
+    "bm25f", "dismax", "conv_having",
     "hybrid_rrf", "hybrid_weighted", "recency_topk", "phonetic_docs",
     "phonetic_seg", "normalize_text", "time_travel", "lmd_topk",
     "tfidf_topk",

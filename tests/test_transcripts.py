@@ -110,3 +110,105 @@ def test_recency_boosted_topk_matches_manual(spark):
         assert r["decayed"] == pytest.approx(2.0 * r["score"], rel=1e-12)
     with pytest.raises(ValueError):
         recency_boosted_topk(eng, meta, "apple", now, half_life_hours=0)
+
+
+class TestConversationHaving:
+    DOCS = [
+        # conv 0
+        (0, "alpha beta"), (1, "gamma delta"), (2, "beta beta"), (3, "zeta"),
+        # conv 1
+        (4, "alpha"), (5, "beta"), (6, "epsilon"), (7, "zeta"),
+        # conv 2
+        (8, "beta"), (9, "alpha"), (10, "delta"), (11, "epsilon"),
+        # conv 3
+        (12, "zeta"), (13, "zeta"), (14, "alpha beta"), (15, "gamma"),
+    ]
+    ROLES = ["user", "assistant", "system", "tool"]
+
+    def _setup(self, spark):
+        from tests.conftest import build_engine
+
+        eng = build_engine(spark, self.DOCS, ngrams=False)
+        conv_map = spark.createDataFrame(
+            [(d, f"c{d // 4}", self.ROLES[d % 4]) for d, _ in self.DOCS],
+            ["doc_id", "conv_id", "role"],
+        )
+        return eng, conv_map
+
+    def _brute(self, must, must_not=()):
+        def members(term, role):
+            return {
+                f"c{d // 4}"
+                for d, text in self.DOCS
+                if term in text.split()
+                and (role is None or self.ROLES[d % 4] == role)
+            }
+
+        convs = members(*must[0])
+        for m in must[1:]:
+            convs &= members(*m)
+        for m in must_not:
+            convs -= members(*m)
+        return sorted(convs)
+
+    def test_matches_brute_force(self, spark):
+        from inverted_index_spark.transcripts import conversation_having
+
+        eng, conv_map = self._setup(spark)
+        cases = [
+            ([("alpha", None)], []),
+            ([("alpha", "user")], []),                 # doc_id % 4 == 0
+            ([("alpha", None), ("gamma", None)], []),
+            ([("alpha", None)], [("gamma", None)]),
+            ([("beta", "assistant"), ("alpha", "user")], [("zeta", "user")]),
+        ]
+        for must, must_not in cases:
+            got = [
+                r["conv_id"]
+                for r in conversation_having(
+                    eng,
+                    conv_map,
+                    [(t, r) if r else t for t, r in must],
+                    [(t, r) if r else t for t, r in must_not] or None,
+                ).collect()
+            ]
+            assert got == self._brute(must, must_not), (must, must_not)
+
+    def test_string_clauses_and_compound_ast(self, spark):
+        from inverted_index_spark.qast import And, Match
+        from inverted_index_spark.transcripts import conversation_having
+
+        eng, conv_map = self._setup(spark)
+        # a clause may itself be compound: a TURN matching alpha AND beta
+        got = [
+            r["conv_id"]
+            for r in conversation_having(
+                eng, conv_map, [And(Match("alpha"), Match("beta"))]
+            ).collect()
+        ]
+        want = sorted(
+            {f"c{d // 4}" for d, text in self.DOCS
+             if {"alpha", "beta"} <= set(text.split())}
+        )
+        assert got == want
+        # string clauses parse through the query language
+        got2 = [
+            r["conv_id"]
+            for r in conversation_having(
+                eng, conv_map, ["alpha AND beta"]
+            ).collect()
+        ]
+        assert got2 == want
+
+    def test_validation(self, spark):
+        import pytest
+
+        from inverted_index_spark.transcripts import conversation_having
+
+        eng, conv_map = self._setup(spark)
+        with pytest.raises(ValueError, match="at least one"):
+            conversation_having(eng, conv_map, [])
+        with pytest.raises(ValueError, match="role"):
+            conversation_having(
+                eng, conv_map.drop("role"), [("alpha", "user")]
+            )

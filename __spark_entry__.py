@@ -1557,6 +1557,45 @@ def _q_conv_having(spark, sf):
     )
 
 
+def _q_rescore(spark, sf):
+    """Two-stage ranking (FtsEngine.rescore, ES rescore shape): BM25
+    top-30 window re-ranked with a min-window proximity bonus
+    (final = bm25 + 2/span), top-10."""
+    eng = _engine_fulltoken(spark, sf)
+    return eng.rescore("scan merge", k=10, window=30, weight=2.0).select(
+        "doc_id", F.round("score", 4).alias("score_r4")
+    )
+
+
+def _q_stratified(spark, sf):
+    """Deterministic per-stratum sampling (corpus.stratified_sample):
+    keep all en, 30% of de, 5% of the rest — md5(seed|doc_id) uniform,
+    layout-independent and nested across rates."""
+    from inverted_index_spark.pipelines.corpus import stratified_sample
+
+    docs = _docs(spark, sf)
+    return stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.3}, default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+def _q_pack_seq(spark, sf):
+    """Chunked sequence packing (corpus.pack_sequences): running token
+    prefix-sum in doc_id order -> (seq_id, seq_off) at budget 1000,
+    distributed via the scalable zipWithIndex pattern."""
+    from inverted_index_spark.pipelines.corpus import pack_sequences
+
+    docs = _docs(spark, sf).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_sequences(docs, 1000).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "seq_id",
+        "seq_off",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1570,11 +1609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f": _q_bm25f,
         "dismax": _q_dismax,
         "conv_having": _q_conv_having,
+        "rescore": _q_rescore,
+        "stratified": _q_stratified,
+        "pack_seq": _q_pack_seq,
         "hybrid_rrf": _q_hybrid_rrf,
-        "hybrid_weighted": _q_hybrid_weighted,
         "recency_topk": _q_recency_topk,
         "phonetic_docs": _q_phonetic_docs,
-        "phonetic_seg": _q_phonetic_seg,
         "normalize_text": _q_normalize,
         "time_travel": _q_time_travel,
         "lmd_topk": _q_lmd_topk,
@@ -1587,7 +1627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": _q_percolate,
         "synonyms": _q_synonyms,
         "at_least": _q_at_least,
-        "at_least_seg": _q_at_least_seg,
         "suggest": _q_suggest,
         "sig_terms": _q_sig_terms,
         "explain_score": _q_explain_score,
@@ -1619,6 +1658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode -> feature chain is reproducible in SQL (oracled)
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        # ---- first driver-window overflow (positions 51-53): twin
+        # variants whose primaries sit inside the window and whose
+        # twin-identity is pinned by tests (hybrid weighted vs rrf,
+        # phonetic/at_least seg-vs-relational bit-identity) ----
+        "hybrid_weighted": _q_hybrid_weighted,
+        "phonetic_seg": _q_phonetic_seg,
+        "at_least_seg": _q_at_least_seg,
         "doc_stats": _q_doc_stats,
         "term_tf": _q_term_tf,
         "term_df": _q_term_df,
@@ -2513,6 +2559,78 @@ def oracle_sql() -> dict[str, str]:
               cross join stats
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
+        """,
+        # two-stage rescore: BM25 top-30 primary window, proximity
+        # bonus 2/min_window_span (cross-product min, exact terms),
+        # final top-10
+        "rescore": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl
+                   from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            qt as (select unnest(['scan','merge']) as term),
+            df as (select term, count(*)::double as df
+                   from tf join qt using (term) group by term),
+            prim as (
+              select doc_id, score from (
+                select tf.doc_id,
+                       sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                          ) as score
+                from tf join df using (term)
+                join dl on tf.doc_id = dl.doc_id
+                cross join stats
+                group by tf.doc_id
+              ) order by score desc, doc_id asc limit 30),
+            a as (select doc_id, pos from toks where term = 'scan'),
+            b as (select doc_id, pos from toks where term = 'merge'),
+            spans as (select a.doc_id,
+                             min(greatest(a.pos, b.pos)
+                                 - least(a.pos, b.pos) + 1) as span
+                      from a join b using (doc_id) group by a.doc_id)
+            select doc_id, round(score, 4) as score_r4 from (
+              select p.doc_id,
+                     p.score + coalesce(2.0 / s.span, 0.0) as score
+              from prim p left join spans s using (doc_id)
+            ) order by score desc, doc_id asc limit 10
+        """,
+        # stratified sampling: u = md5('fts|' || doc_id) first 8 hex
+        # chars / 2^32 (the corpus_split uniform); keep u < rate(lang)
+        "stratified": """
+            with u as (
+              select doc_id, lang,
+                     (('0x' || substr(md5('fts|' || doc_id::varchar), 1, 8))::bigint)::double
+                       / 4294967296.0 as u
+              from documents
+            )
+            select doc_id, lang from u
+            where u < case lang when 'en' then 1.0
+                                when 'de' then 0.3
+                                else 0.05 end
+        """,
+        # chunked packing: running token prefix-sum in doc_id order;
+        # seq_id = cum_before // 1000, seq_off = cum_before % 1000
+        "pack_seq": """
+            with lens as (
+              select doc_id,
+                     len(string_split(text, ' '))::bigint as n_tokens
+              from documents
+            ),
+            c as (
+              select doc_id, n_tokens,
+                     coalesce(sum(n_tokens) over (
+                       order by doc_id
+                       rows between unbounded preceding and 1 preceding
+                     ), 0)::bigint as cum_before
+              from lens
+            )
+            select doc_id, n_tokens,
+                   (cum_before // 1000)::bigint as seq_id,
+                   (cum_before % 1000)::bigint as seq_off
+            from c
         """,
         # BM25F: title = first 8 tokens (w=2, b=0.5), body = text
         # (w=1, b=0.75); per-field length-normalized tf pooled BEFORE

@@ -7,6 +7,8 @@ from .corpus import (  # noqa: F401
     corpus_split,
     decontaminate,
     ngram_contamination,
+    pack_sequences,
+    stratified_sample,
 )
 from .dedup import (  # noqa: F401
     build_dedup_index,
@@ -65,6 +67,7 @@ __all__ = [
     "quality", "repetition", "pattern_counts", "token_counts",
     "langid", "fingerprint", "rolling_fingerprint",
     "ngram_contamination", "decontaminate", "corpus_split",
+    "stratified_sample", "pack_sequences",
     "sessionize", "session_spans", "tumbling_counts",
     "stream_tumbling_counts", "stream_session_spans", "stream_sessionize",
 ]

@@ -83,3 +83,113 @@ def corpus_split(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return docs.withColumn("split", split)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "fts",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-mix primitive
+    ("keep 100% of lang=en docs, 30% of lang=de, drop the rest").
+
+    A doc survives iff ``u(seed, doc_id) < rate(stratum)`` where u is
+    the same md5-derived uniform as :func:`corpus_split` — a pure
+    function of (seed, doc_id), so the sample is reproducible
+    bit-for-bit on any engine, cluster size or partition layout, and
+    composable: the 30% sample at seed s is a SUBSET of the 50% sample
+    at seed s (nested samples for mix ablations). Strata absent from
+    ``rates`` get ``default_rate``.
+
+    Scale: one narrow JVM projection + filter; no shuffle, no RNG
+    state, no per-stratum passes — one scan regardless of |rates|.
+    """
+    for k, v in rates.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"rate for {k!r} must be in [0,1], got {v}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "|"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return docs.filter(u < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    length_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Chunked sequence packing for LLM pretraining batches: assign
+    each doc a ``seq_id`` by its running token prefix-sum in
+    ``order_col`` order — ``seq_id = cumsum_before // budget``,
+    ``seq_off = cumsum_before % budget`` — so consecutive docs fill
+    fixed-token-budget training sequences (the t5/gpt-neox packed-
+    pretraining shape; a doc may straddle two sequences, which packers
+    handle by splitting at the boundary offset this column gives).
+
+    Returns ``docs`` + (seq_id: bigint, seq_off: bigint).
+
+    The prefix-sum is distributed exactly like
+    :func:`~inverted_index_spark.transcripts.assign_doc_ids`'s
+    scalable zipWithIndex — never a global one-partition window:
+
+      1. range-repartition + per-partition sort by ``order_col``
+         (one materialized evaluation, see assign_doc_ids);
+      2. per-partition token totals to the driver (|partitions| rows);
+      3. broadcast prefix offsets; cumsum = offset + local running sum.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    if num_partitions is None:
+        out = docs.repartitionByRange(order_col)
+    else:
+        out = docs.repartitionByRange(num_partitions, order_col)
+    part = out.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    totals = {
+        r["_pid"]: r["t"]
+        for r in part.groupBy("_pid")
+        .agg(F.sum(length_col).cast("bigint").alias("t"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(
+        F.sum(length_col).over(w), F.lit(0)
+    ).cast("bigint")
+    cum_before = (offset_expr + local_before).cast("bigint")
+    return part.select(
+        *docs.columns,
+        (F.floor(cum_before / budget)).cast("bigint").alias("seq_id"),
+        (cum_before % budget).cast("bigint").alias("seq_off"),
+    )

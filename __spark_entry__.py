@@ -1596,6 +1596,15 @@ def _q_pack_seq(spark, sf):
     )
 
 
+def _q_stemmed(spark, sf):
+    """Index-time analysis extension (textstats.stem_filter): Lucene
+    stopword drop + Harman S-stemmer as a corpus transform — every
+    rule a plain suffix test, so the DuckDB oracle mirrors exactly."""
+    from inverted_index_spark.pipelines.textstats import stem_filter
+
+    return stem_filter(_docs(spark, sf).select("doc_id", "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1612,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": _q_rescore,
         "stratified": _q_stratified,
         "pack_seq": _q_pack_seq,
+        "stemmed": _q_stemmed,
         "hybrid_rrf": _q_hybrid_rrf,
         "recency_topk": _q_recency_topk,
         "phonetic_docs": _q_phonetic_docs,
@@ -1620,7 +1630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmd_topk": _q_lmd_topk,
         "tfidf_topk": _q_tfidf_topk,
         "regex_docs": _q_regex_docs,
-        "regex_seg": _q_regex_seg,
         "term_vector": _q_term_vector,
         "bm25_boosted": _q_bm25_boosted,
         "facet_stats": _q_facet_stats,
@@ -1665,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_weighted": _q_hybrid_weighted,
         "phonetic_seg": _q_phonetic_seg,
         "at_least_seg": _q_at_least_seg,
+        "regex_seg": _q_regex_seg,
         "doc_stats": _q_doc_stats,
         "term_tf": _q_term_tf,
         "term_df": _q_term_df,
@@ -2559,6 +2569,34 @@ def oracle_sql() -> dict[str, str]:
               cross join stats
               group by tf.doc_id
             ) order by score desc, doc_id asc limit 10
+        """,
+        # stopword drop (Lucene classic EN set) + Harman S-stemmer,
+        # every rule a suffix test (LIKE) — no regex dialect exposure
+        "stemmed": """
+            select doc_id,
+                   array_to_string(
+                     list_filter(
+                       list_transform(
+                         list_filter(
+                           string_split(lower(text), ' '),
+                           t -> not list_contains(['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'], t)
+                         ),
+                         t -> case
+                           when t like '%ies'
+                                and not (t like '%eies' or t like '%aies')
+                             then substr(t, 1, len(t) - 3) || 'y'
+                           when t like '%es'
+                                and not (t like '%aes' or t like '%ees'
+                                         or t like '%oes')
+                             then substr(t, 1, len(t) - 1)
+                           when t like '%s'
+                                and not (t like '%us' or t like '%ss')
+                             then substr(t, 1, len(t) - 1)
+                           else t end
+                       ),
+                       t -> t <> ''
+                     ), ' ') as text
+            from documents
         """,
         # two-stage rescore: BM25 top-30 primary window, proximity
         # bonus 2/min_window_span (cross-product min, exact terms),

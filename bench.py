@@ -295,8 +295,35 @@ def main() -> None:
         segment_search,
     )
     from inverted_index_spark.wand import wand_topk_pandas
+    from inverted_index_spark.multifield import (
+        bm25f_topk,
+        build_multifield_index,
+    )
+    from inverted_index_spark.pipelines.corpus import pack_sequences
     from inverted_index_spark.pipelines.dedup import dedup_corpus
     from inverted_index_spark.pipelines.similarity import knn_join
+    from inverted_index_spark.transcripts import conversation_having
+
+    # multi-field index (untimed setup, like the segment build): title
+    # = first 8 tokens at 2x weight, body = full text; postings cached
+    # so the bm25f entry times the QUERY plan, not a rebuild
+    mf = build_multifield_index(
+        spark,
+        docs.select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 8), " "
+            ).alias("title"),
+            F.col("text").alias("body"),
+        ),
+        ["title", "body"],
+        term_buckets=buckets,
+    )
+    for _fidx in mf.fields.values():
+        _fidx.postings = _fidx.postings.cache()
+        _fidx.docstats = _fidx.docstats.cache()
+        _fidx.termdict = _fidx.termdict.cache()
+        _fidx.postings.count()
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
@@ -491,6 +518,33 @@ def main() -> None:
             qvec,
             k=10,
         ).collect(),
+        # multi-field BM25F (title = first 8 tokens, 2x weight):
+        # per-field term-pruned scans + pooled-tf combine
+        "bm25f": lambda: bm25f_topk(
+            mf, "scan merge join", k=10, weights={"title": 2.0}
+        ).collect(),
+        # two-stage rescore: routed BM25 top-30 window + min-window
+        # proximity bonus on window-many docs only
+        "rescore": lambda: eng.rescore(
+            "scan merge", k=10, window=30, weight=2.0
+        ).collect(),
+        # conversation-level boolean retrieval (parent-child): two
+        # role-scoped must clauses + one must_not over the real
+        # transcript structure
+        "conv_having": lambda: conversation_having(
+            eng_df,
+            docs.select("doc_id", "conv_id", "role"),
+            [("scan", "user"), ("merge", "assistant")],
+            must_not=["dup"],
+        ).count(),
+        # chunked sequence packing over the full corpus: distributed
+        # prefix-sum (range partition + broadcast offsets)
+        "pack_seq": lambda: pack_sequences(
+            docs.select(
+                "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+            ),
+            2048,
+        ).count(),
     }
     qtimes, query_probes, query_attempts, query_degraded = run_guarded(
         lambda: {name: timed(fn) for name, fn in queries.items()},

@@ -46,12 +46,16 @@ from .similarity import (  # noqa: F401
     save_lsh,
 )
 from .textstats import (  # noqa: F401
+    EN_STOPWORDS,
     fingerprint,
     langid,
     pattern_counts,
     quality,
     repetition,
     rolling_fingerprint,
+    s_stem_py,
+    stem_filter,
+    stem_query_text,
     token_counts,
 )
 
@@ -66,6 +70,7 @@ __all__ = [
     "build_ivf", "save_ivf", "load_ivf", "ivf_search",
     "quality", "repetition", "pattern_counts", "token_counts",
     "langid", "fingerprint", "rolling_fingerprint",
+    "stem_filter", "stem_query_text", "s_stem_py", "EN_STOPWORDS",
     "ngram_contamination", "decontaminate", "corpus_split",
     "stratified_sample", "pack_sequences",
     "sessionize", "session_spans", "tumbling_counts",

@@ -274,3 +274,103 @@ def langid(docs: DataFrame) -> DataFrame:
             (best > 0) & (F.col(f"hits_{lang}") == best), lang
         ).otherwise(pred)
     return agg.select("doc_id", pred.alias("lang_pred"))
+
+
+# Lucene's classic English stopword set (StopAnalyzer.ENGLISH_STOP_WORDS_SET)
+EN_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+]
+
+
+def s_stem_py(t: str) -> str:
+    """Harman (1991) S-stemmer — the three-suffix-rule English
+    'light' stemmer. Apply the FIRST matching rule:
+
+    1. ``...ies`` (but not ``eies``/``aies``) -> ``...y``
+    2. ``...es``  (but not ``aes``/``ees``/``oes``) -> drop the ``s``
+    3. ``...s``   (but not ``us``/``ss``) -> drop the ``s``
+
+    Chosen over Porter because every rule is a plain suffix test —
+    bit-identical to express in Spark SQL, DuckDB SQL and Python (no
+    regex dialects, no measure conditions), so the index transform is
+    exactly oracle-able. Pure function of the token; the Spark twin is
+    :func:`stem_filter`'s in-plan CASE expression.
+    """
+    if t.endswith("ies") and not (t.endswith("eies") or t.endswith("aies")):
+        return t[:-3] + "y"
+    if t.endswith("es") and not (
+        t.endswith("aes") or t.endswith("ees") or t.endswith("oes")
+    ):
+        return t[:-1]
+    if t.endswith("s") and not (t.endswith("us") or t.endswith("ss")):
+        return t[:-1]
+    return t
+
+
+def _s_stem_col(t):
+    """The S-stemmer as a Spark Column expression over one token."""
+    n = F.length(t)
+    e3, e4 = F.substring(t, -3, 3), F.substring(t, -4, 4)
+    e1, e2 = F.substring(t, -1, 1), F.substring(t, -2, 2)
+    return (
+        F.when(
+            (e3 == "ies") & ~e4.isin("eies", "aies"),
+            F.concat(F.substring(t, 1, n - 3), F.lit("y")),
+        )
+        .when(
+            (e2 == "es") & ~e3.isin("aes", "ees", "oes"),
+            F.substring(t, 1, n - 1),
+        )
+        .when(
+            (e1 == "s") & ~e2.isin("us", "ss"),
+            F.substring(t, 1, n - 1),
+        )
+        .otherwise(t)
+    )
+
+
+def stem_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    stem: bool = True,
+) -> DataFrame:
+    """Index-time token normalization as a CORPUS TRANSFORM (the
+    Spark-first shape: analysis beyond the reference's chain runs as a
+    narrow map over the lakehouse table BEFORE indexing, so the engine
+    and its oracles stay unchanged): lowercase, split on spaces, drop
+    ``stopwords`` (default Lucene's classic English set), S-stem each
+    survivor (:func:`s_stem_py`), re-join with single spaces.
+
+    Everything is built-in JVM expressions (`split`/`filter`/
+    `transform`/`array_join`) — one narrow projection, no shuffle, no
+    Python. Query side: apply :func:`s_stem_py` to the query terms
+    (after the same stopword drop) before searching the stemmed index;
+    matching then conflates plural/singular exactly like a Lucene
+    ``StopFilter`` + ``EnglishMinimalStemFilter`` chain.
+    """
+    stops = EN_STOPWORDS if stopwords is None else list(stopwords)
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    if stops:
+        toks = F.filter(toks, lambda t: ~t.isin(*stops))
+    if stem:
+        toks = F.transform(toks, _s_stem_col)
+    # rule 3 can stem a bare "s" to "" — drop empties so the re-joined
+    # text stays cleanly space-tokenizable
+    toks = F.filter(toks, lambda t: t != "")
+    out = F.array_join(toks, " ")
+    return docs.withColumn(text_col, out)
+
+
+def stem_query_text(text: str, stopwords: list[str] | None = None,
+                    stem: bool = True) -> str:
+    """Query-side twin of :func:`stem_filter` (pure Python, driver):
+    lowercase, drop stopwords, S-stem, re-join."""
+    stops = set(EN_STOPWORDS if stopwords is None else stopwords)
+    toks = [t for t in text.lower().split(" ") if t and t not in stops]
+    if stem:
+        toks = [s_stem_py(t) for t in toks]
+    return " ".join(t for t in toks if t)

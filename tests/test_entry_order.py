@@ -19,13 +19,14 @@ DRIVER_WINDOW = 50
 NEED_WINDOW = {
     # round-4 additions (never driver-recorded)
     "bm25f", "dismax", "conv_having", "rescore", "stratified", "pack_seq",
-    # (hybrid_weighted, phonetic_seg, at_least_seg sit at positions
-    # 51-53: twin variants whose primaries are inside the window and
-    # whose twin-identity is pinned by tests)
+    "stemmed",
+    # (hybrid_weighted, phonetic_seg, at_least_seg, regex_seg sit at
+    # positions 51-54: twin variants whose primaries are inside the
+    # window and whose twin-identity is pinned by tests)
     "hybrid_rrf", "recency_topk", "phonetic_docs",
     "normalize_text", "time_travel", "lmd_topk",
     "tfidf_topk",
-    "regex_docs", "regex_seg", "term_vector",
+    "regex_docs", "term_vector",
     "percolate", "synonyms", "facet_stats", "bm25_boosted",
     "at_least", "suggest", "sig_terms", "explain_score", "min_window",
     "bm25_page2", "date_hist", "sort_recent", "collapse",

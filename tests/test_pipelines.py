@@ -984,3 +984,72 @@ class TestPackSequences:
         docs, _ = self._docs(spark)
         with pytest.raises(ValueError):
             pack_sequences(docs, 0)
+
+
+class TestStemFilter:
+    def test_spark_matches_python_twin_randomized(self, spark):
+        import random
+
+        from inverted_index_spark.pipelines.textstats import (
+            stem_filter,
+            stem_query_text,
+        )
+
+        rng = random.Random(7)
+        stems = ["pon", "quer", "tabl", "glas", "focu", "tre", "t", "go",
+                 "runner", "batch", "index", "merg", "a", "the", "u", "s"]
+        sufs = ["", "s", "es", "ies", "ss", "us", "aes", "ees", "oes",
+                "eies", "aies", "y"]
+        rows = []
+        for i in range(120):
+            n = rng.randint(1, 12)
+            words = [rng.choice(stems) + rng.choice(sufs) for _ in range(n)]
+            if rng.random() < 0.3:
+                words[rng.randrange(n)] = words[rng.randrange(n)].upper()
+            rows.append((i, " ".join(words)))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r["text"] for r in stem_filter(df).collect()}
+        for d, t in rows:
+            assert got[d] == stem_query_text(t), (t, got[d])
+
+    def test_stopwords_and_flags(self, spark):
+        from inverted_index_spark.pipelines.textstats import stem_filter
+
+        df = spark.createDataFrame(
+            [(0, "the tables are fast queries")], ["doc_id", "text"]
+        )
+        assert stem_filter(df).collect()[0]["text"] == "table fast query"
+        # stem=False: stopword drop only
+        assert (
+            stem_filter(df, stem=False).collect()[0]["text"]
+            == "tables fast queries"
+        )
+        # custom stopword list
+        assert (
+            stem_filter(df, stopwords=["fast"], stem=False).collect()[0]["text"]
+            == "the tables are queries"
+        )
+        # empty stopword list keeps everything
+        assert (
+            stem_filter(df, stopwords=[], stem=False).collect()[0]["text"]
+            == "the tables are fast queries"
+        )
+
+    def test_end_to_end_plural_conflation(self, spark):
+        """Index the stemmed corpus; a stemmed query matches plural
+        and singular variants alike."""
+        from tests.conftest import build_engine
+
+        from inverted_index_spark.pipelines.textstats import (
+            stem_filter,
+            stem_query_text,
+        )
+
+        rows = [(0, "fast tables win"), (1, "a fast table wins"),
+                (2, "slow index loses")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        stemmed = [(r["doc_id"], r["text"]) for r in stem_filter(df).collect()]
+        eng = build_engine(spark, stemmed, ngrams=False)
+        q = stem_query_text("fast tables")
+        got = {r["doc_id"] for r in eng.bm25(q, k=10).collect()}
+        assert got == {0, 1}

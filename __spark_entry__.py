@@ -1605,6 +1605,23 @@ def _q_stemmed(spark, sf):
     return stem_filter(_docs(spark, sf).select("doc_id", "text"))
 
 
+def _q_ltr(spark, sf):
+    """LTR feature logging (FtsEngine.ltr_features): top-20 BM25
+    candidates per query with (n_matched, tf_sum, min-window span,
+    doc-length) feature columns — the offline ranker-training shape."""
+    eng = _engine_fulltoken(spark, sf)
+    return eng.ltr_features(["scan merge", "window stream"], k=20).select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score_r4"),
+        "n_matched",
+        "tf_sum",
+        "span",
+        "dl_tokens",
+        "dl_bytes",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1622,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified": _q_stratified,
         "pack_seq": _q_pack_seq,
         "stemmed": _q_stemmed,
+        "ltr": _q_ltr,
         "hybrid_rrf": _q_hybrid_rrf,
         "recency_topk": _q_recency_topk,
         "phonetic_docs": _q_phonetic_docs,
@@ -1666,11 +1684,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the synthetic media payload is md5-seeded, so even the binary
         # decode -> feature chain is reproducible in SQL (oracled)
         "image_features": _q_image_features,
+        # ---- first driver-window overflow (positions 51+): twin /
+        # sibling variants whose primaries sit inside the window and
+        # whose own correctness is pinned by tests (hybrid weighted vs
+        # rrf, phonetic/at_least/regex seg-vs-relational bit-identity,
+        # audio sharing image_features' decode->feature plumbing) ----
         "audio_features": _q_audio_features,
-        # ---- first driver-window overflow (positions 51-53): twin
-        # variants whose primaries sit inside the window and whose
-        # twin-identity is pinned by tests (hybrid weighted vs rrf,
-        # phonetic/at_least seg-vs-relational bit-identity) ----
         "hybrid_weighted": _q_hybrid_weighted,
         "phonetic_seg": _q_phonetic_seg,
         "at_least_seg": _q_at_least_seg,
@@ -2597,6 +2616,88 @@ def oracle_sql() -> dict[str, str]:
                        t -> t <> ''
                      ), ' ') as text
             from documents
+        """,
+        # LTR feature logging: per query the bm25_topk CTEs (limit 20)
+        # plus n_matched/tf_sum aggregates, cross-product min-window
+        # span, and doc-length features, union'd across queries
+        "ltr": f"""
+            with toks as ({_TOKS}),
+            tf as (select doc_id, term, count(*)::double as tf
+                   from toks group by doc_id, term),
+            dl as (select doc_id, count(*)::double as dl
+                   from toks group by doc_id),
+            stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+            db as (select doc_id, strlen(text)::bigint as dl_bytes
+                   from documents),
+            qt0 as (select unnest(['scan','merge']) as term),
+            df0 as (select term, count(*)::double as df
+                   from tf join qt0 using (term) group by term),
+            cand0 as (select doc_id, score from (
+                select tf.doc_id,
+                       sum( ln((stats.n - df0.df + 0.5) / (df0.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                          ) as score
+                from tf join df0 using (term)
+                join dl on tf.doc_id = dl.doc_id
+                cross join stats group by tf.doc_id
+              ) order by score desc, doc_id asc limit 20),
+            feat0 as (select tf.doc_id, count(*)::int as n_matched,
+                          sum(tf.tf)::bigint as tf_sum
+                   from tf join qt0 using (term)
+                   join cand0 using (doc_id) group by tf.doc_id),
+            a0 as (select doc_id, pos from toks where term = 'scan'),
+            b0 as (select doc_id, pos from toks where term = 'merge'),
+            span0 as (select a0.doc_id,
+                          min(greatest(a0.pos, b0.pos)
+                              - least(a0.pos, b0.pos) + 1)::int as span
+                   from a0 join b0 using (doc_id)
+                   group by a0.doc_id),
+            row0 as (select 0::int as query_id, c.doc_id,
+                         round(c.score, 4) as score_r4,
+                         coalesce(f.n_matched, 0)::int as n_matched,
+                         coalesce(f.tf_sum, 0)::bigint as tf_sum,
+                         s.span,
+                         dl.dl::bigint as dl_tokens, db.dl_bytes
+                  from cand0 c
+                  left join feat0 f using (doc_id)
+                  left join span0 s using (doc_id)
+                  join dl using (doc_id) join db using (doc_id)),
+            qt1 as (select unnest(['window','stream']) as term),
+            df1 as (select term, count(*)::double as df
+                   from tf join qt1 using (term) group by term),
+            cand1 as (select doc_id, score from (
+                select tf.doc_id,
+                       sum( ln((stats.n - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                          ) as score
+                from tf join df1 using (term)
+                join dl on tf.doc_id = dl.doc_id
+                cross join stats group by tf.doc_id
+              ) order by score desc, doc_id asc limit 20),
+            feat1 as (select tf.doc_id, count(*)::int as n_matched,
+                          sum(tf.tf)::bigint as tf_sum
+                   from tf join qt1 using (term)
+                   join cand1 using (doc_id) group by tf.doc_id),
+            a1 as (select doc_id, pos from toks where term = 'window'),
+            b1 as (select doc_id, pos from toks where term = 'stream'),
+            span1 as (select a1.doc_id,
+                          min(greatest(a1.pos, b1.pos)
+                              - least(a1.pos, b1.pos) + 1)::int as span
+                   from a1 join b1 using (doc_id)
+                   group by a1.doc_id),
+            row1 as (select 1::int as query_id, c.doc_id,
+                         round(c.score, 4) as score_r4,
+                         coalesce(f.n_matched, 0)::int as n_matched,
+                         coalesce(f.tf_sum, 0)::bigint as tf_sum,
+                         s.span,
+                         dl.dl::bigint as dl_tokens, db.dl_bytes
+                  from cand1 c
+                  left join feat1 f using (doc_id)
+                  left join span1 s using (doc_id)
+                  join dl using (doc_id) join db using (doc_id))
+            select * from row0 union all select * from row1
         """,
         # two-stage rescore: BM25 top-30 primary window, proximity
         # bonus 2/min_window_span (cross-product min, exact terms),

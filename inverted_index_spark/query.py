@@ -1451,24 +1451,29 @@ class FtsEngine:
         spark = self.index.docstats.sparkSession
         if not terms:
             return spark.createDataFrame([], "doc_id long, span int")
+        keep = (
+            F.broadcast(filter_docs.select("doc_id").distinct())
+            if filter_docs is not None
+            else None
+        )
         rows = None
         for i, t in enumerate(terms):
-            r = (
-                self.index.postings.filter(self._term_pred(t))
-                .select("doc_id", "positions")
-                .select(
-                    "doc_id",
-                    F.explode("positions").alias("p"),
-                    F.lit(i).alias("tid"),
-                )
-                .select("doc_id", F.col("p.pos").alias("pos"), "tid")
+            r = self.index.postings.filter(self._term_pred(t)).select(
+                "doc_id", "positions"
             )
+            if keep is not None:
+                # restrict BEFORE exploding position arrays: the filter
+                # set is query-sized (rescore passes its top-window), so
+                # the broadcast semi-join pushes into the postings scan
+                # and only surviving docs' arrays ever explode
+                r = r.join(keep, "doc_id", "left_semi")
+            r = r.select(
+                "doc_id",
+                F.explode("positions").alias("p"),
+                F.lit(i).alias("tid"),
+            ).select("doc_id", F.col("p.pos").alias("pos"), "tid")
             rows = r if rows is None else rows.unionByName(r)
         rows = rows.distinct()  # ngram-expansion can duplicate (doc,pos)
-        if filter_docs is not None:
-            rows = rows.join(
-                filter_docs.select("doc_id").distinct(), "doc_id", "left_semi"
-            )
         cand = (
             rows.groupBy("doc_id")
             .agg(F.countDistinct("tid").alias("nt"))
@@ -1853,6 +1858,75 @@ class FtsEngine:
 
     # ------------------------------------------------------------------
     # production scorer: BM25 over full tokens
+
+    def ltr_features(self, texts: List[str], k: int = 20) -> DataFrame:
+        """Learning-to-rank feature logging (the ES LTR-plugin /
+        feature-store shape): for each query, the top-``k`` BM25
+        candidates with a per-(query, doc) feature row ready for an
+        offline ranker to train on::
+
+            (query_id, doc_id, score      -- BM25 (routed)
+             n_matched,                   -- distinct query terms in doc
+             tf_sum,                      -- total tf over query terms
+             span,                        -- min window covering all
+                                          -- terms (null: no co-occur)
+             dl_tokens, dl_bytes)         -- doc length features
+
+        Candidate generation is the production ranker (so training
+        sees the serving distribution); features come from ONE
+        term-pruned postings aggregation, the window-restricted
+        :meth:`min_window` (positions decode for k docs per query, not
+        corpus-wide), and a docstats join on the k-sized candidate
+        set. Queries are a driver-side bounded list (the offline
+        training-set job shape) — each adds query-sized, not
+        corpus-sized, work.
+        """
+        if not texts:
+            raise ValueError("ltr_features needs at least one query")
+        out = None
+        for qid, text in enumerate(texts):
+            cand = self.bm25(text, k=k).select("doc_id", "score")
+            terms: List[str] = []
+            for tok in analyze_query(text):
+                if tok.term not in terms:
+                    terms.append(tok.term)
+            cand_ids = cand.select("doc_id")
+            tf_feats = (
+                self.index.postings.filter(
+                    F.col("term").isin(terms) & (F.col("tf") > 0)
+                )
+                .join(cand_ids, "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).cast("int").alias("n_matched"),
+                    F.sum("tf").cast("long").alias("tf_sum"),
+                )
+            )
+            spans = self.min_window(text, filter_docs=cand_ids)
+            row = (
+                cand.join(tf_feats, "doc_id", "left")
+                .join(spans, "doc_id", "left")
+                .join(
+                    self.index.docstats.select(
+                        "doc_id",
+                        F.col("doclen_tokens").cast("long").alias("dl_tokens"),
+                        F.col("doclen_bytes").cast("long").alias("dl_bytes"),
+                    ),
+                    "doc_id",
+                )
+                .select(
+                    F.lit(qid).cast("int").alias("query_id"),
+                    "doc_id",
+                    "score",
+                    F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+                    F.coalesce("tf_sum", F.lit(0)).alias("tf_sum"),
+                    "span",
+                    "dl_tokens",
+                    "dl_bytes",
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
     def bm25_batch(
         self,

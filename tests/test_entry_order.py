@@ -19,10 +19,11 @@ DRIVER_WINDOW = 50
 NEED_WINDOW = {
     # round-4 additions (never driver-recorded)
     "bm25f", "dismax", "conv_having", "rescore", "stratified", "pack_seq",
-    "stemmed",
-    # (hybrid_weighted, phonetic_seg, at_least_seg, regex_seg sit at
-    # positions 51-54: twin variants whose primaries are inside the
-    # window and whose twin-identity is pinned by tests)
+    "stemmed", "ltr",
+    # (audio_features, hybrid_weighted, phonetic_seg, at_least_seg,
+    # regex_seg sit at positions 51-55: twin/sibling variants whose
+    # primaries are inside the window and whose own correctness is
+    # pinned by tests — audio shares image_features' decode plumbing)
     "hybrid_rrf", "recency_topk", "phonetic_docs",
     "normalize_text", "time_travel", "lmd_topk",
     "tfidf_topk",
@@ -30,7 +31,7 @@ NEED_WINDOW = {
     "percolate", "synonyms", "facet_stats", "bm25_boosted",
     "at_least", "suggest", "sig_terms", "explain_score", "min_window",
     "bm25_page2", "date_hist", "sort_recent", "collapse",
-    "highlight", "image_features", "audio_features",
+    "highlight", "image_features",
     "dedup_corpus", "dedup_clusters", "dedup_keep_best",
     "minhash_neardup", "incremental_neardup", "neardup_cosine",
     "cosine_topk", "knn_join", "lsh_topk", "ivf_topk",

@@ -652,3 +652,63 @@ class TestRescore:
             eng.rescore("scan merge", k=10, window=5)
         with pytest.raises(ValueError):
             eng.rescore("scan merge", weight=-1.0)
+
+
+class TestLtrFeatures:
+    DOCS = [
+        (0, "scan merge scan fast"),
+        (1, "scan window slow table"),
+        (2, "merge merge merge join"),
+        (3, "scan merge adjacent"),
+        (4, "value part hash"),
+    ]
+
+    def test_features_match_hand_compute(self, spark):
+        from tests.conftest import build_engine
+
+        eng = build_engine(spark, self.DOCS, ngrams=False)
+        texts = ["scan merge", "window"]
+        got = [
+            (
+                r["query_id"], r["doc_id"], r["score"], r["n_matched"],
+                r["tf_sum"], r["span"], r["dl_tokens"], r["dl_bytes"],
+            )
+            for r in eng.ltr_features(texts, k=3).collect()
+        ]
+        toks = {d: t.split() for d, t in self.DOCS}
+        for qid, text in enumerate(texts):
+            terms = text.split()
+            rows = [g for g in got if g[0] == qid]
+            # candidates == bm25 top-3, same order
+            cand = [(r["doc_id"], r["score"])
+                    for r in eng.bm25(text, k=3).collect()]
+            assert [(g[1], g[2]) for g in rows] == cand
+            for _, d, _, n_matched, tf_sum, span, dlt, dlb in rows:
+                assert n_matched == sum(1 for t in terms if t in toks[d])
+                assert tf_sum == sum(toks[d].count(t) for t in terms)
+                assert dlt == len(toks[d])
+                assert dlb == len(dict(self.DOCS)[d].encode())
+                pos = {t: [i for i, x in enumerate(toks[d]) if x == t]
+                       for t in terms}
+                if all(pos[t] for t in terms):
+                    best = min(
+                        max(ps) - min(ps) + 1
+                        for ps in __import__("itertools").product(
+                            *[pos[t] for t in terms]
+                        )
+                    )
+                    assert span == best, (d, span, best)
+                else:
+                    assert span is None
+
+    def test_validation_and_order(self, spark):
+        import pytest
+
+        from tests.conftest import build_engine
+
+        eng = build_engine(spark, self.DOCS, ngrams=False)
+        with pytest.raises(ValueError):
+            eng.ltr_features([])
+        rows = eng.ltr_features(["scan merge", "merge"], k=2).collect()
+        keys = [(r["query_id"], -r["score"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)

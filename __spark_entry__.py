@@ -1622,6 +1622,96 @@ def _q_ltr(spark, sf):
     )
 
 
+def _q_delete_by_query(spark, sf):
+    """ES _delete_by_query analog (upsert.delete_by_query): evaluate
+    the query against the saved index's merged view, tombstone every
+    match (prefix Match semantics on the full-token index: any token
+    starting 'scan'), return the surviving docstats."""
+    import tempfile
+
+    from inverted_index_spark import commitio
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.session import ship_package
+    from inverted_index_spark.upsert import delete_by_query
+
+    key = (id(spark), sf, "delbyq")
+    if key not in _ENGINES:
+        ship_package(spark)
+        path = tempfile.mkdtemp(prefix="fts_contract_dbq")
+        docs = _docs(spark, sf).select("doc_id", "text")
+        build_and_save(spark, docs, path, ngrams=False, store_docs=False)
+        delete_by_query(spark, path, "scan")
+        _ENGINES[key] = path
+    return spark.read.parquet(
+        commitio.table_path(_ENGINES[key], "docstats")
+    ).select(
+        "doc_id",
+        F.col("doclen_bytes").cast("bigint").alias("doclen_bytes"),
+        F.col("doclen_tokens").cast("bigint").alias("doclen_tokens"),
+    )
+
+
+def _q_span_first(spark, sf):
+    """Positional gate (FtsEngine.span_first, Lucene SpanFirstQuery):
+    docs whose Match-expanded term 'scan' occurs within the first 4
+    token positions, with the earliest qualifying position."""
+    eng = _engine_fulltoken(spark, sf)
+    return eng.span_first("scan", 4)
+
+
+def _transcript_turns(spark, sf):
+    """Deterministic transcript-shaped view of the documents table —
+    the same doc_id arithmetic the conv_having contract uses, plus the
+    tool column ((doc_id % 5) indexes ['', search, bash, python,
+    browser]), so the DuckDB oracle can rebuild it exactly."""
+    from inverted_index_spark.transcripts import _TOOLS
+
+    docs = _docs(spark, sf)
+    tools = F.array(*[F.lit(t) for t in _TOOLS])
+    return docs.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("conv-"),
+            F.lpad((F.col("doc_id") / 8).cast("long").cast("string"), 8, "0"),
+        ).alias("conv_id"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("turn_idx"),
+        F.element_at(
+            tools, (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int")
+        ).alias("tool"),
+    )
+
+
+def _q_tool_transitions(spark, sf):
+    """Tool-call Markov transitions (transcripts.tool_transitions):
+    (src_tool, dst_tool, n) over consecutive tool-carrying turns."""
+    from inverted_index_spark.transcripts import tool_transitions
+
+    return tool_transitions(_transcript_turns(spark, sf))
+
+
+def _q_tool_usage(spark, sf):
+    """Per-conversation tool profile (transcripts.tool_usage):
+    (n_turns, n_tool_calls, n_distinct_tools, first_tool, last_tool)."""
+    from inverted_index_spark.transcripts import tool_usage
+
+    return tool_usage(_transcript_turns(spark, sf))
+
+
+def _q_kmv_distinct(spark, sf):
+    """KMV bottom-k cardinality sketch (sketches.kmv_distinct): per-lang
+    distinct-term estimate at k=64 — md5-derived hashes make the
+    estimate a pure function of the value set, bit-reproducible in
+    DuckDB."""
+    from inverted_index_spark.pipelines.sketches import kmv_distinct
+
+    pairs = _docs(spark, sf).select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return kmv_distinct(pairs, "lang", "term", k=64).select(
+        "lang", "n_kept", F.round("est_distinct", 4).alias("est_r4")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1694,6 +1784,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_seg": _q_phonetic_seg,
         "at_least_seg": _q_at_least_seg,
         "regex_seg": _q_regex_seg,
+        # round-4 late additions: first in line for the NEXT driver
+        # window (r5) — locally validated via scripts/check_contract.py
+        "delete_by_query": _q_delete_by_query,
+        "span_first": _q_span_first,
+        "tool_transitions": _q_tool_transitions,
+        "tool_usage": _q_tool_usage,
+        "kmv_distinct": _q_kmv_distinct,
         "doc_stats": _q_doc_stats,
         "term_tf": _q_term_tf,
         "term_df": _q_term_df,
@@ -1754,6 +1851,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "select doc_id, unnest(string_split(text, ' ')) as term, " \
         "(generate_subscripts(string_split(text, ' '), 1) - 1)::int as pos " \
         "from documents"
+
+# transcript-shaped view of documents: the doc_id arithmetic of
+# _transcript_turns (conv of 8 turns; tool cycles '',search,bash,
+# python,browser by doc_id % 5)
+_TURNS = """
+    select doc_id,
+           'conv-' || lpad((doc_id // 8)::varchar, 8, '0') as conv_id,
+           (doc_id % 8)::int as turn_idx,
+           (['', 'search', 'bash', 'python', 'browser'])[(doc_id % 5) + 1]
+             as tool
+    from documents
+"""
+
+_LANG_TOKS = "select lang, unnest(string_split(text, ' ')) as term " \
+             "from documents"
 
 _LANG_CASE = """
 case
@@ -2184,6 +2296,88 @@ def oracle_sql() -> dict[str, str]:
                    strlen(text)::bigint as doclen_bytes,
                    len(string_split(text, ' '))::bigint as doclen_tokens
             from documents where doc_id % 7 != 0
+        """,
+        # delete-by-query: docs with any token starting 'scan' (prefix
+        # Match semantics on the full-token index) are tombstoned
+        "delete_by_query": f"""
+            select doc_id,
+                   strlen(text)::bigint as doclen_bytes,
+                   len(string_split(text, ' '))::bigint as doclen_tokens
+            from documents
+            where doc_id not in (
+              select doc_id from ({_TOKS}) where term like 'scan%'
+            )
+        """,
+        # span_first('scan', 4): earliest position < 4 of a
+        # prefix-expanded 'scan' token, per doc
+        "span_first": f"""
+            select doc_id, min(pos)::int as first_pos
+            from ({_TOKS}) where term like 'scan%' and pos < 4
+            group by doc_id
+        """,
+        # tool transitions: lag over (conv = doc_id/8, turn = doc_id%8,
+        # tool = ['', search, bash, python, browser][doc_id%5]); both
+        # ends tool-carrying, turns consecutive
+        "tool_transitions": f"""
+            with turns as ({_TURNS}),
+            lagged as (
+              select conv_id, turn_idx, tool,
+                     lag(tool) over (partition by conv_id order by turn_idx)
+                       as src_tool,
+                     lag(turn_idx) over (partition by conv_id order by turn_idx)
+                       as prev_idx
+              from turns
+            )
+            select src_tool, tool as dst_tool, count(*)::bigint as n
+            from lagged
+            where tool <> '' and src_tool is not null and src_tool <> ''
+                  and prev_idx = turn_idx - 1
+            group by src_tool, tool
+        """,
+        # per-conversation tool profile; first/last over PRE-FILTERED
+        # tool turns (no null-ordering semantics in play)
+        "tool_usage": f"""
+            with turns as ({_TURNS}),
+            base as (
+              select conv_id, count(*)::bigint as n_turns
+              from turns group by conv_id
+            ),
+            t as (
+              select conv_id,
+                     count(*)::bigint as n_tool_calls,
+                     count(distinct tool)::bigint as n_distinct_tools,
+                     arg_min(tool, turn_idx) as first_tool,
+                     arg_max(tool, turn_idx) as last_tool
+              from turns where tool <> '' group by conv_id
+            )
+            select b.conv_id, b.n_turns,
+                   coalesce(t.n_tool_calls, 0)::bigint as n_tool_calls,
+                   coalesce(t.n_distinct_tools, 0)::bigint as n_distinct_tools,
+                   t.first_tool, t.last_tool
+            from base b left join t using (conv_id)
+        """,
+        # KMV bottom-64 distinct-term sketch per lang: u = md5(term)
+        # first 8 hex / 2^32; estimate (k-1)/u_(k), exact below k
+        "kmv_distinct": f"""
+            with pairs as (
+              select distinct lang,
+                     (('0x' || substr(md5(term), 1, 8))::bigint)::double
+                       / 4294967296.0 as u
+              from ({_LANG_TOKS})
+            ),
+            ranked as (
+              select lang, u,
+                     row_number() over (partition by lang order by u) as rn
+              from pairs
+            ),
+            agg as (
+              select lang, count(*)::bigint as n_kept, max(u) as u_k
+              from ranked where rn <= 64 group by lang
+            )
+            select lang, n_kept,
+                   round(case when n_kept < 64 then n_kept::double
+                              else 63.0 / u_k end, 4) as est_r4
+            from agg
         """,
         "term_tf": f"""
             select term, doc_id, count(*)::bigint as tf

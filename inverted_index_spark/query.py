@@ -1578,6 +1578,55 @@ class FtsEngine:
             .limit(k)
         )
 
+    def span_first(self, text: str, end: int) -> DataFrame:
+        """Positional gate (Lucene ``SpanFirstQuery`` analog): docs
+        where the query matches within the first ``end`` token
+        positions — "the term appears in the opening of the document"
+        (title-ish boost precursor, lead-paragraph filters; for
+        transcripts: conversations that OPEN with the topic).
+
+        ``text`` analyzes to one or more terms, each Match-expanded
+        exactly like :class:`~inverted_index_spark.qast.Match` (prefix
+        semantics, index.rs:81); a doc qualifies when ANY expanded
+        term has an occurrence with token position < ``end``. Returns
+        (doc_id, first_pos) where ``first_pos`` is the earliest
+        qualifying position, ordered by doc_id.
+
+        Plan: one term-pruned postings scan; the position test is an
+        in-plan array expression (``filter``/``transform``/
+        ``array_min`` over the packed positions struct — no explode,
+        no Python, whole-stage codegen), then a doc_id partial agg.
+        Cost is O(matching postings rows), never corpus-wide.
+        """
+        if end <= 0:
+            raise ValueError(f"end must be positive, got {end}")
+        terms: List[str] = []
+        for tok in analyze_query(text):
+            if tok.term not in terms:
+                terms.append(tok.term)
+        spark = self.index.docstats.sparkSession
+        if not terms:
+            return spark.createDataFrame([], "doc_id long, first_pos int")
+        pred = self._term_pred(terms[0])
+        for t in terms[1:]:
+            pred = pred | self._term_pred(t)
+        first = F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("positions"), lambda p: p["pos"] < F.lit(int(end))
+                ),
+                lambda p: p["pos"],
+            )
+        )
+        return (
+            self.index.postings.filter(pred & (F.col("tf") > 0))
+            .select("doc_id", first.alias("fp"))
+            .filter(F.col("fp").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.min("fp").cast("int").alias("first_pos"))
+            .orderBy("doc_id")
+        )
+
     def facets(
         self,
         query: Query,

@@ -447,3 +447,93 @@ def conversation_having(
     for q, role in must_not:
         out = out.join(_conv_set(q, role), "conv_id", "left_anti")
     return out.orderBy("conv_id")
+
+
+def tool_transitions(turns: DataFrame) -> DataFrame:
+    """Tool-call Markov transitions over the transcript payload: for
+    every pair of CONSECUTIVE turns of one conversation (ordered by
+    ``turn_idx``) where both turns carry a tool call, count the
+    (src_tool, dst_tool) bigram corpus-wide -> (src_tool, dst_tool, n),
+    ordered by (src_tool, dst_tool).
+
+    The agent-analytics staple ("after `search`, what runs next?";
+    "how often does `bash` chain into itself?") — turns whose ``tool``
+    is null/empty are NOT tool calls and break the chain (a
+    search -> assistant-text -> bash sequence contributes no pair).
+
+    Scale shape: one window ``lag`` partitioned by ``conv_id`` ordered
+    by ``turn_idx`` — conversations are bounded (thousands of turns,
+    never corpus-sized), so the per-key sort is tiny and the single
+    hash-partition exchange on conv_id spreads evenly; the bigram count
+    is a partial-agg groupBy over at most |tools|^2 distinct keys.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    is_tool = F.col("tool").isNotNull() & (F.col("tool") != "")
+    pairs = (
+        turns.select("conv_id", "turn_idx", "tool")
+        .withColumn("src_tool", F.lag("tool").over(w))
+        .withColumn("src_is_tool", F.lag(is_tool).over(w))
+        .withColumn(
+            "consecutive",
+            F.lag("turn_idx").over(w) == F.col("turn_idx") - 1,
+        )
+        .filter(
+            is_tool
+            & F.col("src_is_tool")
+            & F.col("consecutive")
+        )
+    )
+    return (
+        pairs.groupBy("src_tool", F.col("tool").alias("dst_tool"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("src_tool", "dst_tool")
+    )
+
+
+def tool_usage(turns: DataFrame) -> DataFrame:
+    """Per-conversation tool-usage profile -> (conv_id, n_turns,
+    n_tool_calls, n_distinct_tools, first_tool, last_tool), ordered by
+    conv_id.
+
+    ``first_tool`` / ``last_tool`` are the tools of the first/last
+    tool-carrying turn in ``turn_idx`` order (null when the
+    conversation never calls a tool) — the "how did this agent session
+    start and end" features a transcript-quality pipeline filters on.
+
+    Scale shape: two partial-agg groupBys over conv_id (all turns; tool
+    turns only) joined on conv_id — the tool-side first/last extraction
+    is ``min_by``/``max_by`` over PRE-FILTERED rows (no window, no
+    per-group sort, and no engine-specific null-ordering semantics),
+    and both exchanges hash on the same key so AQE coalesces them.
+    """
+    is_tool = F.col("tool").isNotNull() & (F.col("tool") != "")
+    base = (
+        turns.select("conv_id")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"))
+    )
+    tools = (
+        turns.select("conv_id", "turn_idx", "tool")
+        .filter(is_tool)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tool_calls"),
+            F.count_distinct("tool").cast("bigint").alias("n_distinct_tools"),
+            F.min_by("tool", "turn_idx").alias("first_tool"),
+            F.max_by("tool", "turn_idx").alias("last_tool"),
+        )
+    )
+    return (
+        base.join(tools, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce("n_tool_calls", F.lit(0)).cast("bigint")
+            .alias("n_tool_calls"),
+            F.coalesce("n_distinct_tools", F.lit(0)).cast("bigint")
+            .alias("n_distinct_tools"),
+            "first_tool",
+            "last_tool",
+        )
+        .orderBy("conv_id")
+    )

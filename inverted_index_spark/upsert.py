@@ -189,6 +189,57 @@ def delete_saved(
     )
 
 
+def delete_by_query(
+    spark: SparkSession,
+    path: str,
+    query,
+    docs: Optional[DataFrame] = None,
+    fold_stream: bool = True,
+) -> FtsIndex:
+    """Delete every document matching ``query`` (the Elasticsearch
+    ``_delete_by_query`` shape; an engine extension — the reference
+    mutates only by whole-doc re-index, src/index.rs:36-51).
+
+    ``query`` is a :mod:`~inverted_index_spark.qast` AST or a query
+    STRING (parsed with the query language). It is evaluated against
+    the index's CURRENT merged view (base + deltas − tombstones), so
+    earlier mutations are respected; the matching doc ids then become
+    one tombstone-only generation via :func:`delete_saved` — no base
+    rewrite, segments invalidated for the next refresh, space
+    reclaimed by ``compact_index``.
+
+    Scale shape: the matching set comes from a term-pruned postings
+    scan (bounded by the query terms' document frequencies, never a
+    corpus scan), and the tombstone write is one distinct projection of
+    that set. The corpus-pipeline use is "purge everything matching a
+    contamination / policy pattern" in one declarative call.
+    """
+    from .qparse import parse_query
+    from .query import FtsEngine
+
+    if isinstance(query, str):
+        query = parse_query(query)
+    idx = load_index(spark, path)
+    ids = FtsEngine(idx).compile(query).docs.select("doc_id")
+    # materialize the match BEFORE the mutation: delete_saved's derived-
+    # table refresh re-evaluates its doc_ids frame AFTER overwriting
+    # termdict/docstats, which a lazy plan over those tables (fuzzy /
+    # wildcard expansion reads termdict) would race. Spill to a scratch
+    # parquet — distributed, any size — rather than collecting.
+    scratch = os.path.join(path, "_delete_by_query_tmp")
+    ids.write.mode("overwrite").parquet(scratch)
+    try:
+        return delete_saved(
+            spark,
+            path,
+            spark.read.parquet(scratch),
+            docs=docs,
+            fold_stream=fold_stream,
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _refresh_after_mutation(
     spark: SparkSession,
     path: str,

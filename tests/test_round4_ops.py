@@ -1,0 +1,229 @@
+"""Round-4 late ops: delete_by_query, span_first, tool analytics,
+KMV cardinality sketch."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import build_engine
+
+
+# ---------------------------------------------------------------- span_first
+
+
+def test_span_first_basic(spark):
+    eng = build_engine(
+        spark,
+        [
+            (1, "scan the merge plan"),       # scan at 0
+            (2, "the big scan runs now"),     # scan at 2
+            (3, "a b c d scan"),              # scan at 4 (outside end=4)
+            (4, "no match here"),
+        ],
+        ngrams=False,
+    )
+    rows = eng.span_first("scan", 4).collect()
+    assert [(r["doc_id"], r["first_pos"]) for r in rows] == [(1, 0), (2, 2)]
+    # wider gate admits doc 3
+    rows = eng.span_first("scan", 5).collect()
+    assert [(r["doc_id"], r["first_pos"]) for r in rows] == [
+        (1, 0), (2, 2), (3, 4),
+    ]
+
+
+def test_span_first_prefix_expansion_and_edges(spark):
+    eng = build_engine(
+        spark,
+        [(1, "scanner starts early"), (2, "late scanning x y scan")],
+        ngrams=False,
+    )
+    # full-token Match semantics are prefix: 'scan' hits scanner/scanning
+    rows = eng.span_first("scan", 2).collect()
+    assert [(r["doc_id"], r["first_pos"]) for r in rows] == [(1, 0), (2, 1)]
+    # empty analyzed query -> empty frame with the contract schema
+    out = eng.span_first("...", 3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "first_pos"]
+    with pytest.raises(ValueError):
+        eng.span_first("scan", 0)
+
+
+def test_span_first_matches_ngram_engine(spark):
+    docs = [(i, f"alpha beta scan gamma token{i % 3}") for i in range(8)]
+    full = build_engine(spark, docs, ngrams=False)
+    ng = build_engine(spark, docs, ngrams=True)
+    a = [(r["doc_id"], r["first_pos"]) for r in full.span_first("scan", 3).collect()]
+    b = [(r["doc_id"], r["first_pos"]) for r in ng.span_first("scan", 3).collect()]
+    assert a == b == [(i, 2) for i in range(8)]
+
+
+# ----------------------------------------------------------- delete_by_query
+
+
+def test_delete_by_query_end_to_end(spark, tmp_path):
+    from inverted_index_spark.build import build_and_save, load_index
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.upsert import delete_by_query
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (1, "scan merge join"),
+            (2, "window stream batch"),
+            (3, "the scanner output"),   # prefix-matches 'scan'
+            (4, "merge only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    build_and_save(spark, docs, path, ngrams=False, store_docs=False)
+    idx = delete_by_query(spark, path, "scan")
+    assert idx.n_docs == 2
+    survivors = sorted(
+        r["doc_id"] for r in idx.docstats.select("doc_id").collect()
+    )
+    assert survivors == [2, 4]
+    # the index still answers queries correctly post-delete
+    from inverted_index_spark.qast import Match
+
+    eng = FtsEngine(load_index(spark, path))
+    got = sorted(
+        r["doc_id"] for r in eng.compile(Match("merge")).docs.collect()
+    )
+    assert got == [4]
+    # no scratch residue inside the index dir
+    import os
+
+    assert not any(
+        d.startswith("_delete_by_query") for d in os.listdir(path)
+    )
+
+
+def test_delete_by_query_ast_and_no_match(spark, tmp_path):
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.qast import And, Match
+    from inverted_index_spark.upsert import delete_by_query
+
+    path = str(tmp_path / "idx2")
+    docs = spark.createDataFrame(
+        [(1, "scan merge"), (2, "scan only"), (3, "merge only")],
+        ["doc_id", "text"],
+    )
+    build_and_save(spark, docs, path, ngrams=False, store_docs=False)
+    idx = delete_by_query(spark, path, And(Match("scan"), Match("merge")))
+    assert sorted(r["doc_id"] for r in idx.docstats.collect()) == [2, 3]
+    # deleting with a query matching nothing is a no-op on the doc set
+    idx = delete_by_query(spark, path, Match("absent"))
+    assert sorted(r["doc_id"] for r in idx.docstats.collect()) == [2, 3]
+
+
+# ------------------------------------------------------------ tool analytics
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string"
+    )
+
+
+def test_tool_transitions_chains_and_breaks(spark):
+    from inverted_index_spark.transcripts import tool_transitions
+
+    turns = _turns(
+        spark,
+        [
+            ("c1", 0, "search"), ("c1", 1, "bash"), ("c1", 2, "bash"),
+            ("c1", 3, ""),       ("c1", 4, "python"),  # '' breaks chain
+            ("c2", 0, "search"), ("c2", 1, "bash"),
+            ("c2", 3, "python"),  # gap: turn 2 missing -> not consecutive
+            ("c3", 0, None), ("c3", 1, "search"),  # null breaks too
+        ],
+    )
+    got = {
+        (r["src_tool"], r["dst_tool"]): r["n"]
+        for r in tool_transitions(turns).collect()
+    }
+    assert got == {("search", "bash"): 2, ("bash", "bash"): 1}
+
+
+def test_tool_usage_profile(spark):
+    from inverted_index_spark.transcripts import tool_usage
+
+    turns = _turns(
+        spark,
+        [
+            ("c1", 0, "search"), ("c1", 1, ""), ("c1", 2, "bash"),
+            ("c2", 0, ""), ("c2", 1, None),          # never calls a tool
+            ("c3", 5, "python"),
+        ],
+    )
+    rows = {r["conv_id"]: r for r in tool_usage(turns).collect()}
+    assert rows["c1"]["n_turns"] == 3
+    assert rows["c1"]["n_tool_calls"] == 2
+    assert rows["c1"]["n_distinct_tools"] == 2
+    assert (rows["c1"]["first_tool"], rows["c1"]["last_tool"]) == (
+        "search", "bash",
+    )
+    assert rows["c2"]["n_tool_calls"] == 0
+    assert rows["c2"]["first_tool"] is None
+    assert (rows["c3"]["first_tool"], rows["c3"]["last_tool"]) == (
+        "python", "python",
+    )
+
+
+# ------------------------------------------------------------------ sketches
+
+
+def test_kmv_exact_below_k(spark):
+    from inverted_index_spark.pipelines.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(10)] + [("a", "v0"), ("b", "x")],
+        ["g", "v"],
+    )
+    rows = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert rows["a"]["n_kept"] == 10 and rows["a"]["est_distinct"] == 10.0
+    assert rows["b"]["n_kept"] == 1 and rows["b"]["est_distinct"] == 1.0
+
+
+def test_kmv_estimate_accuracy_and_determinism(spark):
+    from inverted_index_spark.pipelines.sketches import kmv_distinct
+
+    n = 5000
+    df = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(n)], ["g", "v"]
+    )
+    k = 256
+    est = kmv_distinct(df, "g", "v", k=k).collect()[0]["est_distinct"]
+    # KMV relative error ~ 1/sqrt(k-2); allow 5 sigma
+    assert abs(est - n) / n < 5.0 / math.sqrt(k - 2)
+    # deterministic: layout-independent (different partitioning, same
+    # estimate bit-for-bit)
+    est2 = kmv_distinct(
+        df.repartition(7), "g", "v", k=k
+    ).collect()[0]["est_distinct"]
+    assert est == est2
+
+
+def test_kmv_matches_pure_python(spark):
+    """The sketch is a pure function of the value set: recompute the
+    md5 bottom-k on the driver and demand bit-equality."""
+    import hashlib
+
+    from inverted_index_spark.pipelines.sketches import kmv_distinct
+
+    vals = [f"tok{i}" for i in range(500)]
+    k = 32
+    us = sorted(
+        {
+            int(hashlib.md5(v.encode()).hexdigest()[:8], 16) / float(16**8)
+            for v in vals
+        }
+    )
+    expect = (k - 1) / us[k - 1]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    got = kmv_distinct(df, "g", "v", k=k).collect()[0]
+    assert got["n_kept"] == k
+    assert got["est_distinct"] == pytest.approx(expect, abs=0.0)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "g", "v", k=1)

@@ -1,8 +1,9 @@
-"""One pipeline-op scaling sample: dedup_corpus + knn_join + percolate
-at one width.
+"""One pipeline-op scaling sample: wand_batch64 + dedup_corpus +
+knn_join + percolate at one width.
 
-Runs the two headline training-pipeline operators (corpus-level dedup,
-LSH-bucketed batch ANN join) on a fixed pre-materialized input at a
+Runs the BM25 batch-query path (the north rule's query metric) and the
+headline training-pipeline operators (corpus-level dedup, LSH-bucketed
+batch ANN join, reverse search) on a fixed pre-materialized input at a
 given core count and prints ONE JSON line with per-op wall seconds and
 the epoch-ms window of each op (so the caller can aggregate task time
 from event logs). The caller (scripts/scaling_bench.py) pins the
@@ -30,15 +31,18 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from inverted_index_spark.build import build_and_save, load_index
     from inverted_index_spark.pipelines.dedup import dedup_corpus
     from inverted_index_spark.pipelines.similarity import knn_join
     from inverted_index_spark.percolate import percolate
     from inverted_index_spark.qast import AndNot, AtLeast, Match, Phrase
+    from inverted_index_spark.segments import build_segments
     from inverted_index_spark.session import get_spark, warm_python_workers
     from inverted_index_spark.transcripts import (
         transcript_docs,
         transcripts_from_documents,
     )
+    from inverted_index_spark.wand import wand_topk_batch
 
     spark = get_spark("ops-scaling", cores=cores)
     warm_python_workers(spark)
@@ -104,9 +108,40 @@ def main() -> None:
         (F.col("vec_id") < 64 * mult) & (F.col("vec_id") % mult == 0)
     )
 
+    # saved index + block-max segments for the query-throughput op:
+    # untimed setup, cached across widths (keyed by sf+mult, NOT cores),
+    # and shard size FIXED at every width so the logical work of the
+    # batch is identical — only the parallelism varies
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"fts_ops_idx_{os.path.basename(sf_dir.rstrip('/'))}_{mult}",
+    )
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        idx = build_and_save(
+            spark, docs_raw, idx_dir, ngrams=False, store_docs=False,
+        )
+        n_docs = idx.n_docs
+        build_segments(
+            spark, idx, idx_dir,
+            shard_docs=max(n_docs // 128, 512), positions=False,
+        )
+    else:
+        load_index(spark, idx_dir)
+
+    batch_texts = [
+        "scan merge", "window stream", "group value", "join filter",
+        "index token", "query phrase", "error retry", "commit read",
+    ] * 8  # 64 queries
+
     # percolate doc count scales with mult (512*mult turns) so the
     # width comparison measures matcher work, not fixed job overhead
     ops = {
+        # BM25 top-k batch throughput (the north rule's query metric):
+        # 64 queries in one pass over the block-max segments, one task
+        # per (shard), union of the batch's terms decoded once per file
+        "wand_batch64": lambda: wand_topk_batch(
+            spark, idx_dir, batch_texts, k=10, mode="spark",
+        ).count(),
         "dedup_corpus": lambda: dedup_corpus(
             docs, num_hashes=8, rows_per_band=2, k=3, threshold=0.5,
             max_bucket_size=64,

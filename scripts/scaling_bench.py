@@ -159,7 +159,8 @@ def _run_pinned(script_args: list, cores: int, env_extra: dict, pin: bool = True
 
 def run_ops(cores: int, sf_dir: str, mult: int) -> dict:
     """One pinned fresh-JVM pipeline-ops sample (scripts/ops_job.py):
-    dedup_corpus + knn_join wall seconds plus event-log task windows."""
+    wand_batch64 + dedup_corpus + knn_join + percolate wall seconds
+    plus event-log task windows."""
     shutil.rmtree(EVT_DIR, ignore_errors=True)
     r = _run_pinned(
         [os.path.join(REPO, "scripts", "ops_job.py"),
@@ -201,7 +202,8 @@ def main() -> None:
                 best_cpu = c
         runs[n], cpu_s[n] = best, best_cpu
 
-    # pipeline-op width evidence (dedup_corpus + knn_join + percolate),
+    # query + pipeline-op width evidence (wand_batch64 + dedup_corpus
+    # + knn_join + percolate),
     # 8 vs 32 at amplification x64 — big enough that each op measures
     # real parallel work (exchange/matcher time), not fixed job
     # overhead (at x8 every op finished in ~5s at BOTH widths and the

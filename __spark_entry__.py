@@ -1712,6 +1712,31 @@ def _q_kmv_distinct(spark, sf):
     )
 
 
+def _q_quantiles(spark, sf):
+    """Exact per-group quantiles (sketches.group_quantiles,
+    quantile_disc semantics: value at rank ceil(q*n)) over doc token
+    lengths per lang — never buffers a group, works on the compressed
+    (group, value) domain."""
+    from inverted_index_spark.pipelines.sketches import group_quantiles
+
+    vals = _docs(spark, sf).select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("v"),
+    )
+    return group_quantiles(vals, "lang", "v", qs=(0.5, 0.9, 0.99))
+
+
+def _q_heavy_hitters(spark, sf):
+    """Nested terms aggregation (sketches.heavy_hitters): per lang, the
+    10 most frequent tokens with counts and ranks, ties by value asc."""
+    from inverted_index_spark.pipelines.sketches import heavy_hitters
+
+    pairs = _docs(spark, sf).select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return heavy_hitters(pairs, "lang", "term", n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1791,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": _q_tool_transitions,
         "tool_usage": _q_tool_usage,
         "kmv_distinct": _q_kmv_distinct,
+        "quantiles": _q_quantiles,
+        "heavy_hitters": _q_heavy_hitters,
         "doc_stats": _q_doc_stats,
         "term_tf": _q_term_tf,
         "term_df": _q_term_df,
@@ -2355,6 +2382,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(t.n_distinct_tools, 0)::bigint as n_distinct_tools,
                    t.first_tool, t.last_tool
             from base b left join t using (conv_id)
+        """,
+        # exact per-lang token-length quantiles: value at rank
+        # ceil(q*n); q cast to DOUBLE on both sides so the rank
+        # arithmetic is the same IEEE product (0.9*n in double can
+        # round up where decimal would not — consistency, not decimal
+        # exactness, is the contract)
+        "quantiles": """
+            with vals as (
+              select lang, len(string_split(text, ' '))::bigint as v
+              from documents
+            ),
+            counts as (
+              select lang, v, count(*)::bigint as c
+              from vals group by lang, v
+            ),
+            cum as (
+              select lang, v,
+                     sum(c) over (partition by lang order by v) as cum,
+                     sum(c) over (partition by lang) as n
+              from counts
+            ),
+            qs as (
+              select unnest([0.5::double, 0.9::double, 0.99::double]) as q
+            )
+            select lang, q, min(v)::double as value
+            from cum cross join qs
+            where cum >= ceil(q * n)
+            group by lang, q
+        """,
+        # per-lang top-10 tokens by frequency, ties by token asc
+        "heavy_hitters": f"""
+            with counts as (
+              select lang, term as value, count(*)::bigint as cnt
+              from ({_LANG_TOKS}) group by lang, term
+            ),
+            ranked as (
+              select lang, value, cnt,
+                     row_number() over (
+                       partition by lang order by cnt desc, value asc
+                     )::int as rank
+              from counts
+            )
+            select lang, value, cnt, rank from ranked where rank <= 10
         """,
         # KMV bottom-64 distinct-term sketch per lang: u = md5(term)
         # first 8 hex / 2^32; estimate (k-1)/u_(k), exact below k

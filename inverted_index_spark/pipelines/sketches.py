@@ -90,3 +90,93 @@ def kmv_distinct(
         )
         .orderBy(group_col)
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group quantiles (the ES ``percentiles`` aggregation
+    analog, ``quantile_disc`` semantics) -> one row per (group, q):
+    (``group_col``, q: double, value: double), ordered by (group, q).
+
+    The q-quantile is the value at rank ``ceil(q * n)`` of the sorted
+    group (lowest value whose cumulative count reaches the rank) — a
+    member of the data, no interpolation, hence bit-identical across
+    engines regardless of float-interpolation conventions.
+
+    Scale shape: Spark's exact ``percentile`` buffers every group value
+    on one reducer — a corpus-sized group OOMs it. This plan never
+    holds a group in memory: (1) partial-agg count per (group, value) —
+    the only corpus-sized exchange, map-side combined; (2) cumulative
+    count via a window over the DISTINCT values of each group (the
+    compressed domain, typically orders of magnitude smaller than the
+    rows); (3) per q, the first value whose cumulative count >= rank.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"every q must be in (0, 1], got {qs}")
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = counts.select(
+        "g",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    return (
+        cum.join(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("g", "q")
+        .agg(F.min("v").cast("double").alias("value"))
+        .select(F.col("g").alias(group_col), "q", "value")
+        .orderBy(group_col, "q")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Top-``n`` most frequent values per group (the nested ES ``terms``
+    aggregation: "per lang, the 10 commonest tokens") ->
+    (``group_col``, value, cnt: bigint, rank: int), ties broken by
+    value asc for determinism, ordered by (group, rank).
+
+    Scale shape: one partial-agg count per (group, value) — map-side
+    combined, the only corpus-sized exchange — then a row_number window
+    over each group's (cnt desc, value asc) order. The window input is
+    the compressed (group, value) domain; at 100 TB this is the
+    standard two-stage top-k and never materializes a group's raw rows.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("cnt"), F.asc("v"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("v").alias("value"),
+            "cnt",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy(group_col, "rank")
+    )

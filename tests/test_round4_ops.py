@@ -227,3 +227,60 @@ def test_kmv_matches_pure_python(spark):
     assert got["est_distinct"] == pytest.approx(expect, abs=0.0)
     with pytest.raises(ValueError):
         kmv_distinct(df, "g", "v", k=1)
+
+
+def test_group_quantiles_exact(spark):
+    from inverted_index_spark.pipelines.sketches import group_quantiles
+
+    vals = [("a", v) for v in [1, 2, 2, 3, 10, 10, 10, 50, 100, 1000]]
+    vals += [("b", 7)]
+    df = spark.createDataFrame(vals, ["g", "v"])
+    rows = {
+        (r["g"], r["q"]): r["value"]
+        for r in group_quantiles(df, "g", "v", qs=(0.5, 0.9, 1.0)).collect()
+    }
+    # sorted a: [1,2,2,3,10,10,10,50,100,1000]; rank ceil(.5*10)=5 -> 10,
+    # ceil(.9*10)=9 -> 100, ceil(1*10)=10 -> 1000
+    assert rows[("a", 0.5)] == 10.0
+    assert rows[("a", 0.9)] == 100.0
+    assert rows[("a", 1.0)] == 1000.0
+    assert rows[("b", 0.5)] == 7.0
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", qs=())
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "v", qs=(0.0,))
+
+
+def test_group_quantiles_matches_python_ranks(spark):
+    import math as _math
+
+    from inverted_index_spark.pipelines.sketches import group_quantiles
+
+    data = [("g", (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(data, ["g", "v"])
+    svals = sorted(v for _, v in data)
+    for q in (0.25, 0.5, 0.75, 0.99):
+        got = group_quantiles(df, "g", "v", qs=(q,)).collect()[0]["value"]
+        expect = float(svals[_math.ceil(q * len(svals)) - 1])
+        assert got == expect, (q, got, expect)
+
+
+def test_heavy_hitters_ranks_and_ties(spark):
+    from inverted_index_spark.pipelines.sketches import heavy_hitters
+
+    rows = (
+        [("a", "x")] * 5 + [("a", "y")] * 3 + [("a", "z")] * 3
+        + [("a", "w")] * 1 + [("b", "q")] * 2
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = [
+        (r["g"], r["value"], r["cnt"], r["rank"])
+        for r in heavy_hitters(df, "g", "v", n=3).collect()
+    ]
+    # tie between y and z at cnt=3 broken by value asc
+    assert got == [
+        ("a", "x", 5, 1), ("a", "y", 3, 2), ("a", "z", 3, 3),
+        ("b", "q", 2, 1),
+    ]
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "g", "v", n=0)

@@ -284,3 +284,55 @@ def test_heavy_hitters_ranks_and_ties(spark):
     ]
     with pytest.raises(ValueError):
         heavy_hitters(df, "g", "v", n=0)
+
+
+# -------------------------------------------------------------- ranking eval
+
+
+def test_ranking_metrics_hand_computed(spark):
+    from inverted_index_spark.pipelines.ranking_eval import ranking_metrics
+
+    results = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2), (0, 30, 3),
+         (1, 50, 1), (1, 60, 2)],
+        "query_id int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10, 2), (0, 30, 1), (0, 40, 3),   # 40 relevant, not retrieved
+         (1, 99, 1)],                          # q1 retrieves nothing relevant
+        "query_id int, doc_id long, rel int",
+    )
+    rows = {r["query_id"]: r for r in ranking_metrics(results, qrels, k=3).collect()}
+    dcg = (2**2 - 1) / math.log2(2) + 0.0 + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert rows[0]["ndcg"] == pytest.approx(dcg / idcg)
+    assert rows[0]["mrr"] == 1.0
+    assert rows[0]["precision"] == pytest.approx(2 / 3)
+    assert rows[0]["recall"] == pytest.approx(2 / 3)
+    assert rows[1]["ndcg"] == 0.0 and rows[1]["mrr"] == 0.0
+    assert rows[1]["recall"] == 0.0
+    with pytest.raises(ValueError):
+        ranking_metrics(results, qrels, k=0)
+
+
+def test_ranking_metrics_cutoff_and_no_qrels(spark):
+    from inverted_index_spark.pipelines.ranking_eval import ranking_metrics
+
+    results = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2), (7, 3, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(7, 3, 1)], "query_id int, doc_id long, rel int"
+    )
+    # k=2 cuts the only relevant hit away
+    r = ranking_metrics(results, qrels, k=2).collect()[0]
+    assert r["ndcg"] == 0.0 and r["mrr"] == 0.0 and r["recall"] == 0.0
+    # a query with zero qrels rows stays defined (all zeros)
+    results2 = spark.createDataFrame(
+        [(9, 1, 1)], "query_id int, doc_id long, rank int"
+    )
+    r2 = ranking_metrics(results2, qrels, k=2).collect()
+    r2 = {x["query_id"]: x for x in r2}
+    assert r2[9]["ndcg"] == 0.0 and r2[9]["precision"] == 0.0

@@ -1772,6 +1772,17 @@ def _q_rank_eval(spark, sf):
     )
 
 
+def _q_cooccurrence(spark, sf):
+    """Windowed co-occurrence + PMI (textstats.cooccurrence): unordered
+    unequal-token pairs within 3 positions, PMI over the pair-event
+    space, min_count=3 output cutoff (marginals over all events)."""
+    from inverted_index_spark.pipelines.textstats import cooccurrence
+
+    return cooccurrence(
+        _docs(spark, sf), window=3, min_count=3
+    ).select("term_a", "term_b", "n", F.round("pmi", 4).alias("pmi_r4"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1854,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _q_quantiles,
         "heavy_hitters": _q_heavy_hitters,
         "rank_eval": _q_rank_eval,
+        "cooccurrence": _q_cooccurrence,
         "doc_stats": _q_doc_stats,
         "term_tf": _q_term_tf,
         "term_df": _q_term_df,
@@ -2517,6 +2529,38 @@ def oracle_sql() -> dict[str, str]:
                               then p.n_rel_ret::double / i.n_rel_total
                               else 0.0 end, 4) as r_r4
             from per_q p left join ideal i using (query_id)
+        """,
+        # windowed co-occurrence: events = unordered unequal-token
+        # pairs with 0 < j - i <= 3 per doc; pmi = ln(n*T / (m_a*m_b))
+        # over the pair-event space; min_count=3 filters OUTPUT only
+        "cooccurrence": f"""
+            with events as (
+              select least(t1.term, t2.term) as a,
+                     greatest(t1.term, t2.term) as b
+              from ({_TOKS}) t1 join ({_TOKS}) t2
+                on t1.doc_id = t2.doc_id
+               and t2.pos - t1.pos between 1 and 3
+               and t1.term <> t2.term
+            ),
+            pair_counts as (
+              select a, b, count(*)::bigint as n from events group by a, b
+            ),
+            marginals as (
+              select t, sum(n)::bigint as m from (
+                select a as t, n from pair_counts
+                union all
+                select b as t, n from pair_counts
+              ) group by t
+            ),
+            total as (select sum(n)::double as tt from pair_counts)
+            select p.a as term_a, p.b as term_b, p.n,
+                   round(ln(p.n::double * total.tt / (ma.m * mb.m)), 4)
+                     as pmi_r4
+            from pair_counts p
+            join marginals ma on ma.t = p.a
+            join marginals mb on mb.t = p.b
+            cross join total
+            where p.n >= 3
         """,
         # KMV bottom-64 distinct-term sketch per lang: u = md5(term)
         # first 8 hex / 2^32; estimate (k-1)/u_(k), exact below k

@@ -374,3 +374,88 @@ def stem_query_text(text: str, stopwords: list[str] | None = None,
     if stem:
         toks = [s_stem_py(t) for t in toks]
     return " ".join(t for t in toks if t)
+
+
+def cooccurrence(
+    docs: DataFrame,
+    window: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed term co-occurrence with PMI -> (term_a, term_b, n,
+    pmi: double), term_a < term_b, ordered by (term_a, term_b).
+
+    The distributional-semantics / collocation-mining primitive
+    ("which tokens keep appearing near 'error'?"): a co-occurrence
+    EVENT is an unordered pair of UNEQUAL tokens at positions (i, j)
+    of one doc with 0 < j - i <= ``window``. PMI is computed over the
+    pair-event space: with T total events and m_x = events containing
+    x on either side, ``pmi = ln(n_ab * T / (m_a * m_b))``.
+    ``min_count`` filters the OUTPUT rows (marginals and T are always
+    computed over all events, so reported PMIs are unbiased by the
+    cutoff).
+
+    Scale shape: pair generation is a pure in-plan array expression —
+    per doc, ``transform`` over token indices emits each index's
+    ≤``window`` forward neighbors (flatten, one narrow map, no
+    positional self-join, no Python); then one (a, b) partial-agg
+    count, a term-marginal partial agg over the pair table, and two
+    broadcast-sized joins on the term marginals. Work is
+    O(tokens x window) map-side — the same event count a self-join
+    would shuffle, generated without the shuffle.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.filter(
+                F.transform(
+                    F.slice(toks, i + 2, window),
+                    lambda t: F.struct(
+                        F.least(F.element_at(toks, i + 1), t).alias("a"),
+                        F.greatest(F.element_at(toks, i + 1), t).alias("b"),
+                    ),
+                ),
+                lambda p: p["a"] != p["b"],
+            ),
+        )
+    )
+    events = (
+        docs.filter(F.length(text_col) > 0)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    # everything below derives from the aggregated pair table — the
+    # corpus-sized event stream is scanned exactly once per action and
+    # marginals/total cost O(distinct pairs), not O(events)
+    pair_counts = events.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    marginals = (
+        pair_counts.select(F.col("a").alias("t"), "n")
+        .unionAll(pair_counts.select(F.col("b").alias("t"), "n"))
+        .groupBy("t")
+        .agg(F.sum("n").cast("bigint").alias("m"))
+    )
+    total = pair_counts.agg(F.sum("n")).collect()[0][0] or 0
+    return (
+        pair_counts.filter(F.col("n") >= min_count)
+        .join(marginals.withColumnRenamed("t", "a").withColumnRenamed("m", "m_a"), "a")
+        .join(marginals.withColumnRenamed("t", "b").withColumnRenamed("m", "m_b"), "b")
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "n",
+            F.log(
+                F.col("n").cast("double")
+                * F.lit(float(total))
+                / (F.col("m_a") * F.col("m_b"))
+            ).alias("pmi"),
+        )
+        .orderBy("term_a", "term_b")
+    )

@@ -336,3 +336,70 @@ def test_ranking_metrics_cutoff_and_no_qrels(spark):
     r2 = ranking_metrics(results2, qrels, k=2).collect()
     r2 = {x["query_id"]: x for x in r2}
     assert r2[9]["ndcg"] == 0.0 and r2[9]["precision"] == 0.0
+
+
+# ------------------------------------------------------------- cooccurrence
+
+
+def test_cooccurrence_hand_computed(spark):
+    from inverted_index_spark.pipelines.textstats import cooccurrence
+
+    docs = spark.createDataFrame([(1, "a b a c")], ["doc_id", "text"])
+    rows = cooccurrence(docs, window=2, min_count=1).collect()
+    got = {(r["term_a"], r["term_b"]): (r["n"], r["pmi"]) for r in rows}
+    # events: (a,b)x2 [i=0->1, 1->2], (b,c) [1->3], (a,c) [2->3]; T=4
+    # marginals: a=3, b=3, c=2
+    assert got[("a", "b")][0] == 2
+    assert got[("a", "b")][1] == pytest.approx(math.log(2 * 4 / (3 * 3)))
+    assert got[("b", "c")][0] == 1
+    assert got[("b", "c")][1] == pytest.approx(math.log(1 * 4 / (3 * 2)))
+    assert got[("a", "c")][0] == 1
+    # min_count filters output but not marginals
+    rows2 = cooccurrence(docs, window=2, min_count=2).collect()
+    assert len(rows2) == 1
+    assert rows2[0]["pmi"] == pytest.approx(math.log(8 / 9))
+    with pytest.raises(ValueError):
+        cooccurrence(docs, window=0)
+
+
+def test_cooccurrence_matches_positional_self_join(spark):
+    """The array-expression generator must emit exactly the events a
+    positional self-join defines."""
+    from inverted_index_spark.pipelines.textstats import cooccurrence
+
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    vocab = ["x", "y", "z", "w", "v"]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 12))))
+        for i in range(20)
+    ]
+    w = 3
+    events = []
+    for _, text in docs:
+        t = text.split(" ")
+        for i, j in itertools.combinations(range(len(t)), 2):
+            if 0 < j - i <= w and t[i] != t[j]:
+                events.append(tuple(sorted((t[i], t[j]))))
+    from collections import Counter
+
+    cnt = Counter(events)
+    total = len(events)
+    marg = Counter()
+    for (a, b), n in cnt.items():
+        marg[a] += n
+        marg[b] += n
+    got = {
+        (r["term_a"], r["term_b"]): (r["n"], r["pmi"])
+        for r in cooccurrence(
+            spark.createDataFrame(docs, ["doc_id", "text"]), window=w,
+            min_count=1,
+        ).collect()
+    }
+    assert set(got) == set(cnt)
+    for pair, n in cnt.items():
+        assert got[pair][0] == n
+        expect = math.log(n * total / (marg[pair[0]] * marg[pair[1]]))
+        assert got[pair][1] == pytest.approx(expect), pair

@@ -1419,6 +1419,7 @@ class FtsEngine:
         text: str,
         window: Optional[int] = None,
         filter_docs: Optional[DataFrame] = None,
+        doc_ids: Optional[List[int]] = None,
     ) -> DataFrame:
         """Unordered proximity: per doc containing ALL the analyzed
         terms (each Match-expanded like And), the size of the smallest
@@ -1443,6 +1444,14 @@ class FtsEngine:
         to those docs BEFORE the candidate aggregation — the rescore
         path passes its top-``window`` set here, so only window-many
         docs' positions are ever packed, regardless of corpus size.
+        ``doc_ids`` is the bounded driver-side form of the same filter:
+        with fresh positional segments the whole computation then
+        serves coordinator-side (``segquery.min_window_pandas`` —
+        shards pruned to the ids' ranges, zero Spark jobs); without
+        segments it degrades to ``filter_docs``. An unfiltered call
+        also routes to the segment evaluator when the cost gate
+        (``metacache.serve_locally``) says the pruned read is small —
+        corpus-dense term sets stay on the distributed relational plan.
         """
         terms: List[str] = []
         for tok in analyze_query(text):
@@ -1451,6 +1460,35 @@ class FtsEngine:
         spark = self.index.docstats.sparkSession
         if not terms:
             return spark.createDataFrame([], "doc_id long, span int")
+        seg = self._segment_path(positional=True)
+        if seg is not None and filter_docs is None:
+            from . import segquery
+
+            route = doc_ids is not None
+            if not route:
+                # corpus-wide: serve locally only under the cost gate
+                from .metacache import serve_locally
+                from .qast import And as _And
+                from .qast import Match as _Match
+
+                q = (
+                    _And(*[_Match(t) for t in terms])
+                    if len(terms) > 1
+                    else _Match(terms[0])
+                )
+                _, _, shards, est = segquery._plan_query(seg, q)
+                route = serve_locally(shards, "auto", est_bytes=est)
+            if route:
+                pdf = segquery.min_window_pandas(
+                    seg, text, window=window, doc_ids=doc_ids
+                )
+                return spark.createDataFrame(
+                    pdf, "doc_id long, span int"
+                ).orderBy("doc_id")
+        if doc_ids is not None and filter_docs is None:
+            filter_docs = spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id long"
+            )
         keep = (
             F.broadcast(filter_docs.select("doc_id").distinct())
             if filter_docs is not None
@@ -1560,8 +1598,19 @@ class FtsEngine:
             raise ValueError(f"k ({k}) must be <= window ({window})")
         if weight < 0:
             raise ValueError(f"weight must be >= 0, got {weight}")
-        prim = self.bm25(text, k=window)
-        spans = self.min_window(text, filter_docs=prim.select("doc_id"))
+        # the window set is bounded by construction, so collect it once:
+        # the proximity pass can then take the doc_ids fast path (zero
+        # Spark jobs from fresh segments) and the primary pass is never
+        # recomputed by the join below
+        spark = self.index.docstats.sparkSession
+        prim_rows = self.bm25(text, k=window).collect()
+        prim = spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in prim_rows],
+            "doc_id long, score double",
+        )
+        spans = self.min_window(
+            text, doc_ids=[int(r["doc_id"]) for r in prim_rows]
+        )
         return (
             prim.join(spans, "doc_id", "left")
             .select(

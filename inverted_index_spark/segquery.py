@@ -1425,6 +1425,7 @@ def min_window_pandas(
     text: str,
     window: Optional[int] = None,
     doc_range=None,
+    doc_ids: Optional[List[int]] = None,
 ) -> pd.DataFrame:
     """QUERY-NODE unordered proximity: ``FtsEngine.min_window`` served
     straight from the positional segments in this process — no
@@ -1438,6 +1439,13 @@ def min_window_pandas(
     candidate's merged (pos, term) rows. Duplicated (doc, pos) rows from
     edge-ngram dictionaries dedupe per term exactly like the relational
     plan's ``distinct()``.
+
+    ``doc_ids`` (bounded driver-side list) restricts the computation to
+    those docs: shards prune STRUCTURALLY to the ids' shard set (shards
+    ARE doc ranges) and the in-kernel candidate set starts from the ids
+    — the rescore path passes its top-``window`` winners here, so at
+    most ids-many docs' position rows are ever scanned no matter the
+    corpus size.
     """
     from .qast import And as _And
     from .qast import Match as _Match
@@ -1460,6 +1468,16 @@ def min_window_pandas(
     ranges, tree, shards, _ = _plan_query(index_path, q, doc_range)
     if not shards:
         return empty
+    ids_arr = None
+    if doc_ids is not None:
+        ids_arr = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if ids_arr.size == 0:
+            return empty
+        sd = int(load_manifest(index_path)["shard_docs"])
+        want = set((ids_arr // sd).tolist())
+        shards = [s for s in shards if s["shard_id"] in want]
+        if not shards:
+            return empty
     # map each term to its range index in compile order: And children
     # are ("match", [idx]) nodes in term order (Match dedups per node)
     if len(terms) == 1:
@@ -1472,7 +1490,9 @@ def min_window_pandas(
     def one(f):
         matchers, _docbytes = _read_shard(f, ranges, doc_range)
         per_term = []
-        member = None
+        # seeding the intersection with the id filter prunes every
+        # term's arrays before the merge work
+        member = ids_arr
         for mi in term_idxs:
             d, _b, _e, p = matchers[mi]
             # dedupe (doc, pos) within the term's expansion (edge-ngram

@@ -403,3 +403,77 @@ def test_cooccurrence_matches_positional_self_join(spark):
         assert got[pair][0] == n
         expect = math.log(n * total / (marg[pair[0]] * marg[pair[1]]))
         assert got[pair][1] == pytest.approx(expect), pair
+
+
+# ------------------------------------------- min_window / rescore seg routing
+
+
+@pytest.fixture(scope="module")
+def seg_engine_pair(spark, tmp_path_factory):
+    """Saved full-token index + positional segments; (routed, pinned
+    relational) engine pair over the identical corpus."""
+    import random
+
+    from inverted_index_spark.build import build_and_save, load_index
+    from inverted_index_spark.query import FtsEngine
+    from inverted_index_spark.segments import build_segments
+
+    rnd = random.Random(11)
+    vocab = ["scan", "merge", "join", "stream", "batch", "token", "plan"]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 20))))
+        for i in range(120)
+    ]
+    path = str(tmp_path_factory.mktemp("segmw") / "idx")
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    idx = build_and_save(spark, df, path, ngrams=False, store_docs=False)
+    build_segments(spark, idx, path, shard_docs=16, positions=True)
+    loaded = load_index(spark, path)
+    return FtsEngine(loaded), FtsEngine(loaded, use_segments=False)
+
+
+def test_min_window_segment_route_identity(seg_engine_pair):
+    routed, rel = seg_engine_pair
+    for q in ("scan merge", "scan merge join", "token"):
+        a = [(r["doc_id"], r["span"]) for r in routed.min_window(q).collect()]
+        b = [(r["doc_id"], r["span"]) for r in rel.min_window(q).collect()]
+        assert a == b, q
+    # windowed variant too
+    a = [(r["doc_id"], r["span"])
+         for r in routed.min_window("scan merge", window=3).collect()]
+    b = [(r["doc_id"], r["span"])
+         for r in rel.min_window("scan merge", window=3).collect()]
+    assert a == b
+
+
+def test_min_window_doc_ids_fast_path(seg_engine_pair):
+    routed, rel = seg_engine_pair
+    full = {r["doc_id"]: r["span"] for r in rel.min_window("scan merge").collect()}
+    some = sorted(full)[::3][:10]
+    got = [
+        (r["doc_id"], r["span"])
+        for r in routed.min_window("scan merge", doc_ids=some).collect()
+    ]
+    assert got == [(d, full[d]) for d in sorted(some)]
+    # ids outside the match set contribute nothing
+    got2 = routed.min_window("scan merge", doc_ids=[10**9]).collect()
+    assert got2 == []
+    # relational fallback (no segments) agrees on the same id filter
+    got3 = [
+        (r["doc_id"], r["span"])
+        for r in rel.min_window("scan merge", doc_ids=some).collect()
+    ]
+    assert got3 == got
+
+
+def test_rescore_segment_route_identity(seg_engine_pair):
+    routed, rel = seg_engine_pair
+    a = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in routed.rescore("scan merge", k=8, window=25, weight=2.0).collect()
+    ]
+    b = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in rel.rescore("scan merge", k=8, window=25, weight=2.0).collect()
+    ]
+    assert a == b and len(a) == 8

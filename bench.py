@@ -302,6 +302,8 @@ def main() -> None:
     from inverted_index_spark.pipelines.corpus import pack_sequences
     from inverted_index_spark.pipelines.dedup import dedup_corpus
     from inverted_index_spark.pipelines.similarity import knn_join
+    from inverted_index_spark.pipelines.sketches import group_quantiles
+    from inverted_index_spark.pipelines.textstats import cooccurrence
     from inverted_index_spark.transcripts import conversation_having
 
     # multi-field index (untimed setup, like the segment build): title
@@ -544,6 +546,21 @@ def main() -> None:
                 "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
             ),
             2048,
+        ).count(),
+        # windowed co-occurrence + PMI: O(tokens x window) pair events
+        # from in-plan array expressions, no positional self-join
+        "cooccurrence": lambda: cooccurrence(
+            docs, window=3, min_count=3
+        ).count(),
+        # exact per-group quantiles over the compressed value domain
+        "quantiles": lambda: group_quantiles(
+            docs.select(
+                (F.col("doc_id") % 8).alias("g"),
+                F.size(F.split(F.col("text"), " ")).cast("bigint").alias("v"),
+            ),
+            "g",
+            "v",
+            qs=(0.5, 0.9, 0.99),
         ).count(),
     }
     qtimes, query_probes, query_attempts, query_degraded = run_guarded(

@@ -1783,6 +1783,42 @@ def _q_cooccurrence(spark, sf):
     ).select("term_a", "term_b", "n", F.round("pmi", 4).alias("pmi_r4"))
 
 
+def _q_changelog(spark, sf):
+    """Commit changelog (upsert.changed_docs, Iceberg CDC
+    table_changes shape): upsert doc_id % 5 == 0 (gen 1), delete
+    doc_id % 7 == 0 (gen 2), read back each touched doc's LAST action."""
+    import tempfile
+
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.session import ship_package
+    from inverted_index_spark.upsert import (
+        changed_docs,
+        delete_saved,
+        upsert_saved,
+    )
+
+    key = (id(spark), sf, "chlog")
+    if key not in _ENGINES:
+        ship_package(spark)
+        path = tempfile.mkdtemp(prefix="fts_contract_chlog")
+        docs = _docs(spark, sf).select("doc_id", "text")
+        build_and_save(spark, docs, path, ngrams=False, store_docs=False)
+        upsert_saved(
+            spark,
+            path,
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id", F.concat(F.col("text"), F.lit(" upserted"))
+                .alias("text"),
+            ),
+        )
+        delete_saved(
+            spark, path, docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id"),
+        )
+        _ENGINES[key] = path
+    return changed_docs(spark, _ENGINES[key])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1866,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "rank_eval": _q_rank_eval,
         "cooccurrence": _q_cooccurrence,
+        "changelog": _q_changelog,
         "doc_stats": _q_doc_stats,
         "term_tf": _q_term_tf,
         "term_df": _q_term_df,
@@ -2561,6 +2598,16 @@ def oracle_sql() -> dict[str, str]:
             join marginals mb on mb.t = p.b
             cross join total
             where p.n >= 3
+        """,
+        # changelog: gen 1 upserts doc_id%5==0, gen 2 deletes
+        # doc_id%7==0; each touched doc reports its LAST action
+        "changelog": """
+            select doc_id,
+                   case when doc_id % 7 = 0 then 2 else 1 end::int as gen,
+                   case when doc_id % 7 = 0 then 'deleted'
+                        else 'upserted' end as change
+            from documents
+            where doc_id % 5 = 0 or doc_id % 7 = 0
         """,
         # KMV bottom-64 distinct-term sketch per lang: u = md5(term)
         # first 8 hex / 2^32; estimate (k-1)/u_(k), exact below k

@@ -102,7 +102,18 @@ def get_spark(
         # stage parallelizes even when the corpus is tens of MB
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap, so a fixed
+        # size starves wide runs — 32 concurrent tasks sharing the 8 GB
+        # that 8 tasks had means 1/4 the execution memory per task, and
+        # shuffle-heavy ops (dedup's groupBys/self-join) collapse into
+        # spill (measured: 6x aggregate task time at local[32] vs
+        # local[8] on identical input). A real N->4N cluster brings 4x
+        # executor memory with it, so the faithful local model keeps
+        # PER-CORE memory constant: 1 GiB/core, floor 8 GiB.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(cores, 8)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

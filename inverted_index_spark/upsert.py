@@ -240,6 +240,75 @@ def delete_by_query(
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def changed_docs(
+    spark: SparkSession,
+    path: str,
+    gen_from: int = 0,
+    gen_to: Optional[int] = None,
+) -> DataFrame:
+    """Changelog between two commits (the Iceberg/Delta CDC
+    ``table_changes`` shape): every doc touched by a generation in
+    ``(gen_from, gen_to]`` with its LAST action in the window ->
+    (doc_id, gen, change) where change is 'upserted' or 'deleted',
+    ordered by doc_id. Defaults cover everything since the base build.
+
+    Reads ONLY the generation dirs (each upsert batch writes its ids to
+    ``tombstones/gen=g`` and its new postings to ``postings_delta/
+    gen=g``; a delete writes the tombstone side alone), so the
+    changelog costs O(touched docs), never a corpus diff. History
+    reaches back to the last ``compact_index`` (compaction folds
+    generations into a new base and resets the log — snapshot the
+    changelog first if you need it); uncompacted STREAMING appends live
+    outside generations and are not changelog events until
+    ``compact_stream`` folds them.
+    """
+    meta = _meta(path)
+    cur = int(meta.get("generation", 0))
+    if gen_to is None:
+        gen_to = cur
+    if not (0 <= gen_from <= gen_to <= cur):
+        raise ValueError(
+            f"need 0 <= gen_from <= gen_to <= {cur}, "
+            f"got ({gen_from}, {gen_to})"
+        )
+    schema = "doc_id long, gen int, change string"
+    tomb_path = os.path.join(path, TOMB_DIR)
+    if not (os.path.isdir(tomb_path) and os.listdir(tomb_path)):
+        return spark.createDataFrame([], schema)
+    touched = (
+        spark.read.parquet(tomb_path)
+        .select("doc_id", F.col("gen").cast("int").alias("gen"))
+        .filter((F.col("gen") > gen_from) & (F.col("gen") <= gen_to))
+    )
+    delta_path = os.path.join(path, DELTA_DIR)
+    if os.path.isdir(delta_path) and os.listdir(delta_path):
+        ups = (
+            spark.read.parquet(delta_path)
+            .select("doc_id", F.col("gen").cast("int").alias("gen"))
+            .filter((F.col("gen") > gen_from) & (F.col("gen") <= gen_to))
+            .distinct()
+            .withColumn("up", F.lit(1))
+        )
+        touched = touched.join(ups, ["doc_id", "gen"], "left")
+    else:
+        touched = touched.withColumn("up", F.lit(None).cast("int"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("gen"))
+    return (
+        touched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "gen",
+            F.when(F.col("up").isNotNull(), F.lit("upserted"))
+            .otherwise(F.lit("deleted"))
+            .alias("change"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _refresh_after_mutation(
     spark: SparkSession,
     path: str,

@@ -477,3 +477,55 @@ def test_rescore_segment_route_identity(seg_engine_pair):
         for r in rel.rescore("scan merge", k=8, window=25, weight=2.0).collect()
     ]
     assert a == b and len(a) == 8
+
+
+# ------------------------------------------------------------------ changelog
+
+
+def test_changed_docs_last_action_wins(spark, tmp_path):
+    from inverted_index_spark.build import build_and_save
+    from inverted_index_spark.upsert import (
+        changed_docs,
+        delete_saved,
+        upsert_saved,
+    )
+
+    path = str(tmp_path / "chlog")
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    build_and_save(spark, docs, path, ngrams=False, store_docs=False)
+    # gen 1: upsert 2 and 4; gen 2: delete 4 and 7; gen 3: re-add 7
+    upsert_saved(
+        spark, path,
+        spark.createDataFrame([(2, "two v2"), (4, "four v2")],
+                              ["doc_id", "text"]),
+    )
+    delete_saved(
+        spark, path, spark.createDataFrame([(4,), (7,)], ["doc_id"])
+    )
+    upsert_saved(
+        spark, path, spark.createDataFrame([(7, "seven v2")],
+                                           ["doc_id", "text"]),
+    )
+    got = [
+        (r["doc_id"], r["gen"], r["change"])
+        for r in changed_docs(spark, path).collect()
+    ]
+    assert got == [
+        (2, 1, "upserted"), (4, 2, "deleted"), (7, 3, "upserted"),
+    ]
+    # windowed: only gen 2's view
+    got2 = [
+        (r["doc_id"], r["gen"], r["change"])
+        for r in changed_docs(spark, path, gen_from=1, gen_to=2).collect()
+    ]
+    assert got2 == [(4, 2, "deleted"), (7, 2, "deleted")]
+    # fresh index (no generations) -> empty with the contract schema
+    path2 = str(tmp_path / "chlog2")
+    build_and_save(spark, docs, path2, ngrams=False, store_docs=False)
+    out = changed_docs(spark, path2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "gen", "change"]
+    with pytest.raises(ValueError):
+        changed_docs(spark, path, gen_from=5)

@@ -1819,6 +1819,68 @@ def _q_changelog(spark, sf):
     return changed_docs(spark, _ENGINES[key])
 
 
+def _lined_docs(spark, sf):
+    """documents with line structure synthesized deterministically:
+    text re-chunked into 3-token lines joined by '\\n' (the corpus is
+    single-line word soup, so the chunking manufactures the cross-doc
+    duplicate lines a web corpus has naturally)."""
+    toks = F.split(F.col("text"), " ", -1)
+    n_lines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)),
+        ),
+        "\n",
+    )
+    return _docs(spark, sf).select("doc_id", lined.alias("text"))
+
+
+def _q_line_dedup(spark, sf):
+    """C4/RefinedWeb line-level boilerplate removal: every line present
+    in >= 2 distinct docs is deleted, docs rebuilt from survivors in
+    original order."""
+    from inverted_index_spark.pipelines.dedup import line_dedup
+
+    return line_dedup(_lined_docs(spark, sf), min_docs=2)
+
+
+def _q_lm_score(spark, sf):
+    """CCNet-style unigram-LM perplexity: Lidstone-smoothed (alpha=.5)
+    corpus unigram model, per-doc cross-entropy + perplexity."""
+    from inverted_index_spark.pipelines.textstats import lm_score
+
+    return lm_score(_docs(spark, sf), alpha=0.5).select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 4).alias("ce_r4"),
+        F.round("perplexity", 4).alias("ppl_r4"),
+    )
+
+
+def _q_top_hits(spark, sf):
+    """ES terms-agg + top_hits sub-agg: per synthetic tool bucket
+    (doc_id % 5 cycle), the bucket's top-3 BM25 hits."""
+    eng = _engine(spark, sf)
+    meta = _docs(spark, sf).select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.lit(""), F.lit("search"), F.lit("bash"),
+                F.lit("python"), F.lit("browser"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("tool"),
+    )
+    res = eng.facet_top_hits("scan merge join", meta, "tool", k=3)
+    return res.select(
+        "tool",
+        F.col("rank").alias("rnk"),
+        "doc_id",
+        F.round(F.col("score"), 4).alias("score_r4"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KEY ORDER IS DELIBERATE: the driver's per-round correctness gate
     # checks the first ~50 entries in insertion order (r3 covered keys
@@ -1955,6 +2017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "pattern_counts": _q_pattern_counts,
         "fingerprint": _q_fingerprint,
+        "line_dedup": _q_line_dedup,
+        "lm_score": _q_lm_score,
+        "top_hits": _q_top_hits,
     }
 
 
@@ -4346,6 +4411,98 @@ def oracle_sql() -> dict[str, str]:
         "from fp a join fp b on a.doc_id < b.doc_id "
         "where bit_count(xor(a.simhash, b.simhash)) <= 8"
     )
+    # line-level dedup over the synthesized 3-token-line corpus: a line
+    # occurring in >= 2 DISTINCT docs is boilerplate; docs rebuilt from
+    # survivors in original line order ('' when nothing survives)
+    out["line_dedup"] = """
+        with lined as (
+          select doc_id,
+                 list_transform(
+                   range(ceil(len(ts) / 3.0)::int),
+                   i -> array_to_string(ts[i*3+1 : i*3+3], ' ')
+                 ) as lns
+          from (select doc_id, string_split(text, ' ') as ts
+                from documents)
+        ),
+        lines as (
+          select doc_id, unnest(lns) as line,
+                 generate_subscripts(lns, 1) as idx
+          from lined
+        ),
+        dup as (
+          select line
+          from (select distinct line, doc_id from lines)
+          group by line having count(*) >= 2
+        ),
+        kept as (
+          select * from lines where line not in (select line from dup)
+        ),
+        reb as (
+          select doc_id, string_agg(line, chr(10) order by idx) as text,
+                 count(*)::bigint as n_kept
+          from kept group by doc_id
+        ),
+        tot as (
+          select doc_id, count(*)::bigint as n_lines
+          from lines group by doc_id
+        )
+        select t.doc_id, coalesce(r.text, '') as text, t.n_lines,
+               (t.n_lines - coalesce(r.n_kept, 0))::bigint as n_removed
+        from tot t left join reb r using (doc_id)
+    """
+    # unigram-LM perplexity: Lidstone alpha=0.5 model fit on the corpus
+    # itself, per-doc cross-entropy over token events (tf-weighted)
+    out["lm_score"] = f"""
+        with toks as (select doc_id, term from ({_TOKS})),
+        tf as (select doc_id, term, count(*)::double as tf
+               from toks group by doc_id, term),
+        c as (select term, sum(tf) as c from tf group by term),
+        tot as (select sum(c) as t, count(*)::double as v from c),
+        p as (select term, ln((c + 0.5) / (t + 0.5 * v)) as logp
+              from c cross join tot)
+        select tf.doc_id, sum(tf)::bigint as n_tokens,
+               round(-sum(tf * logp) / sum(tf), 4) as ce_r4,
+               round(exp(-sum(tf * logp) / sum(tf)), 4) as ppl_r4
+        from tf join p using (term)
+        group by tf.doc_id
+    """
+    # per-bucket top_hits: the bm25 scoring CTE bucketed by the
+    # synthetic tool cycle, row_number window per bucket, top 3 each
+    out["top_hits"] = f"""
+        with toks as ({_TOKS}),
+        tf as (select doc_id, term, count(*)::double as tf
+               from toks group by doc_id, term),
+        dl as (select doc_id, count(*)::double as dl
+               from toks group by doc_id),
+        stats as (select count(*)::double as n, avg(dl) as avgdl from dl),
+        qt as (select unnest(['scan','merge','join']) as term),
+        df as (select term, count(*)::double as df
+               from tf join qt using (term) group by term),
+        scored as (
+          select tf.doc_id,
+                 sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                    ) as score
+          from tf
+          join df using (term)
+          join dl on tf.doc_id = dl.doc_id
+          cross join stats
+          group by tf.doc_id
+        ),
+        bucketed as (
+          select (['', 'search', 'bash', 'python', 'browser'])
+                   [(doc_id % 5) + 1] as tool,
+                 doc_id, score,
+                 row_number() over (
+                   partition by (doc_id % 5)
+                   order by score desc, doc_id asc
+                 ) as rnk
+          from scored
+        )
+        select tool, rnk::int as rnk, doc_id, round(score, 4) as score_r4
+        from bucketed where rnk <= 3
+    """
     # incremental dedup (saved bucket index + partition-pruned probe)
     # must equal the from-scratch pair set restricted to pairs touching
     # a doc of the 'new' batch (doc_id % 5 == 0 in the contract split)

@@ -459,3 +459,72 @@ def cooccurrence(
         )
         .orderBy("term_a", "term_b")
     )
+
+
+def lm_score(
+    docs: DataFrame, alpha: float = 0.5, broadcast_vocab: bool = True
+) -> DataFrame:
+    """Unigram-LM perplexity scoring (the CCNet / Wikipedia-LM quality
+    signal): fit a Lidstone-smoothed unigram language model on the
+    corpus itself, then score every document by its cross-entropy under
+    that model -> (doc_id, n_tokens, cross_entropy, perplexity).
+
+    Training pipelines rank/filter web text by LM perplexity — low
+    perplexity means the document looks like the reference corpus,
+    extreme values flag gibberish (high) or degenerate repetition
+    (low). This is the distribution-level complement to the per-doc
+    ``quality``/``repetition`` heuristics. Model:
+
+        P(t) = (c_t + alpha) / (T + alpha * V)
+        cross_entropy(d) = -(1/|d|) * sum_{t in d} ln P(t)
+        perplexity(d)    = exp(cross_entropy(d))
+
+    with c_t the corpus count of term t, T total tokens, V vocabulary
+    size. Whitespace tokens (matching ``token_counts.ws_tokens``), all
+    arithmetic in float64 natural log — every step reproduces exactly
+    in any SQL engine (the oracle recomputes it end-to-end).
+
+    Scale: token events are compressed to (doc_id, term, tf) FIRST, so
+    the vocab join touches distinct pairs, not occurrences; the model
+    table is vocab-sized and broadcast by default (hot terms like
+    "the" then never shuffle — pass ``broadcast_vocab=False`` when the
+    vocabulary exceeds executor memory and let AQE's skew handling
+    take the sort-merge join). T and V ride a broadcast 1-row cross
+    join. Nothing here is corpus-quadratic.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("big_t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log(
+            (F.col("c").cast("double") + F.lit(float(alpha)))
+            / (F.col("big_t") + F.lit(float(alpha)) * F.col("v"))
+        ).alias("logp"),
+    )
+    model = F.broadcast(probs) if broadcast_vocab else probs
+    per_doc = (
+        tf.join(model, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (
+                -F.sum(F.col("tf").cast("double") * F.col("logp"))
+                / F.sum(F.col("tf").cast("double"))
+            ).alias("cross_entropy"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "cross_entropy",
+        F.exp(F.col("cross_entropy")).alias("perplexity"),
+    )

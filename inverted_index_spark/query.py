@@ -1210,6 +1210,45 @@ class FtsEngine:
             .limit(k)
         )
 
+    def facet_top_hits(
+        self,
+        text: str,
+        meta: DataFrame,
+        field: str,
+        k: int = 3,
+    ) -> DataFrame:
+        """Per-bucket ranked hits (ES ``terms`` agg + ``top_hits``
+        sub-agg): for EVERY value of ``field``, that bucket's top-``k``
+        BM25 results -> (<field>, rank, doc_id, score) ordered value
+        asc, rank asc — "best three turns per tool" in one query.
+
+        Differs from :meth:`collapse` (which is a global ranking
+        deduped per group): here the buckets themselves are the output
+        and no global limit applies, so empty-ish buckets still
+        surface their best hits.
+
+        Plan: score every matching doc once (relational BM25,
+        ``k=None``), one |matches|-sized join to the facet column, one
+        row_number window partitioned by the field. A hot bucket is a
+        window partition, not a join key, so skew costs a partial sort,
+        never a shuffle explosion — the same envelope as ``collapse``.
+        """
+        if field not in meta.columns:
+            raise ValueError(f"top_hits field {field!r} not in meta")
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        scored = self.bm25(text, k=None)
+        joined = scored.join(meta.select("doc_id", field), "doc_id")
+        win = Window.partitionBy(field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(field, "rank", "doc_id", "score")
+            .orderBy(F.asc(field), F.asc("rank"))
+        )
+
     def _require_fulltoken(self, what: str) -> None:
         if self.index.ngrams:
             raise ValueError(

@@ -1,0 +1,177 @@
+"""Round-4 late additions: line-level corpus dedup, unigram-LM
+perplexity scoring, and per-bucket top_hits."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import build_engine
+
+
+class TestLineDedup:
+    def test_boilerplate_lines_removed(self, spark):
+        from inverted_index_spark.pipelines.dedup import line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "cookie banner\nreal content one\nfooter text"),
+                (2, "cookie banner\nreal content two\nfooter text"),
+                (3, "unique intro\nreal content three"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in line_dedup(docs, min_docs=2).collect()
+        }
+        assert out[1]["text"] == "real content one"
+        assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 2
+        assert out[2]["text"] == "real content two"
+        assert out[3]["text"] == "unique intro\nreal content three"
+        assert out[3]["n_removed"] == 0
+
+    def test_all_lines_removed_yields_empty_doc(self, spark):
+        from inverted_index_spark.pipelines.dedup import line_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "same\nsame2"), (2, "same\nsame2")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert out[1]["text"] == "" and out[1]["n_removed"] == 2
+        assert out[2]["text"] == "" and out[2]["n_lines"] == 2
+
+    def test_repeats_within_one_doc_do_not_count(self, spark):
+        from inverted_index_spark.pipelines.dedup import line_dedup
+
+        # 'dup' appears 3x but only in doc 1 -> distinct-doc count is 1
+        docs = spark.createDataFrame(
+            [(1, "dup\ndup\ndup\nkeep"), (2, "other")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert out[1]["text"] == "dup\ndup\ndup\nkeep"
+        assert out[1]["n_removed"] == 0
+
+    def test_order_preserved_and_min_docs(self, spark):
+        from inverted_index_spark.pipelines.dedup import line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "b\na\nb\nc"),
+                (2, "b\nz"),
+                (3, "b\ny"),
+            ],
+            ["doc_id", "text"],
+        )
+        # b occurs in 3 docs; min_docs=4 keeps everything
+        out4 = {r["doc_id"]: r for r in line_dedup(docs, min_docs=4).collect()}
+        assert out4[1]["text"] == "b\na\nb\nc"
+        # min_docs=3 drops every b, preserving the order of survivors
+        out3 = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+        assert out3[1]["text"] == "a\nc" and out3[1]["n_removed"] == 2
+
+    def test_min_docs_validation(self, spark):
+        from inverted_index_spark.pipelines.dedup import line_dedup
+
+        with pytest.raises(ValueError):
+            line_dedup(spark.range(1).withColumn("text", F.lit("x")), min_docs=1)
+
+
+class TestLmScore:
+    def test_matches_hand_computed_model(self, spark):
+        from inverted_index_spark.pipelines.textstats import lm_score
+
+        rows = [(1, "a a b"), (2, "b c")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in lm_score(docs, alpha=0.5).collect()}
+
+        # python oracle
+        toks = {d: t.split(" ") for d, t in rows}
+        from collections import Counter
+
+        c = Counter(t for ts in toks.values() for t in ts)
+        big_t, v = sum(c.values()), len(c)
+        logp = {t: math.log((n + 0.5) / (big_t + 0.5 * v)) for t, n in c.items()}
+        for d, ts in toks.items():
+            ce = -sum(logp[t] for t in ts) / len(ts)
+            assert out[d]["n_tokens"] == len(ts)
+            assert out[d]["cross_entropy"] == pytest.approx(ce, rel=1e-12)
+            assert out[d]["perplexity"] == pytest.approx(math.exp(ce), rel=1e-12)
+
+    def test_common_tokens_score_lower_entropy(self, spark):
+        from inverted_index_spark.pipelines.textstats import lm_score
+
+        docs = spark.createDataFrame(
+            [(i, "the the the") for i in range(5)] + [(99, "zxq wvu tsr")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["cross_entropy"] for r in lm_score(docs).collect()}
+        assert out[0] < out[99]
+
+    def test_broadcast_flag_equivalent(self, spark):
+        from inverted_index_spark.pipelines.textstats import lm_score
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 3} w{i % 5} common") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        a = sorted(lm_score(docs, broadcast_vocab=True).collect())
+        b = sorted(lm_score(docs, broadcast_vocab=False).collect())
+        # join strategy changes float summation order -> last-ulp only
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert (ra["doc_id"], ra["n_tokens"]) == (rb["doc_id"], rb["n_tokens"])
+            assert ra["cross_entropy"] == pytest.approx(
+                rb["cross_entropy"], rel=1e-12
+            )
+
+
+class TestFacetTopHits:
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        return build_engine(
+            spark,
+            [
+                (1, "merge sort fast"),
+                (2, "merge merge merge"),
+                (3, "merge join"),
+                (4, "sort only here"),
+                (5, "merge scan"),
+            ],
+            ngrams=False,
+        )
+
+    def test_per_bucket_topk(self, spark, eng):
+        meta = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+            ["doc_id", "role"],
+        )
+        rows = eng.facet_top_hits("merge", meta, "role", k=2).collect()
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r["role"], []).append(r)
+        # bucket a: docs 1,2 both match; bucket b: 3,5 match (4 doesn't)
+        assert [r["rank"] for r in by_bucket["a"]] == [1, 2]
+        assert {r["doc_id"] for r in by_bucket["a"]} == {1, 2}
+        assert {r["doc_id"] for r in by_bucket["b"]} == {3, 5}
+        # ranks follow score desc within the bucket; scores agree with bm25
+        full = {r["doc_id"]: r["score"] for r in eng.bm25("merge", k=None).collect()}
+        for rs in by_bucket.values():
+            scores = [r["score"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            for r in rs:
+                assert r["score"] == pytest.approx(full[r["doc_id"]])
+
+    def test_k_truncates_buckets(self, spark, eng):
+        meta = spark.createDataFrame(
+            [(i, "x") for i in (1, 2, 3, 5)], ["doc_id", "role"]
+        )
+        rows = eng.facet_top_hits("merge", meta, "role", k=3).collect()
+        assert len(rows) == 3 and [r["rank"] for r in rows] == [1, 2, 3]
+
+    def test_validation(self, spark, eng):
+        meta = spark.createDataFrame([(1, "x")], ["doc_id", "role"])
+        with pytest.raises(ValueError):
+            eng.facet_top_hits("merge", meta, "nope")
+        with pytest.raises(ValueError):
+            eng.facet_top_hits("merge", meta, "role", k=0)

@@ -307,11 +307,20 @@ def build_ivf(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> IvfIndex:
     """Fit centroids on a driver-side sample, assign every vector to its
     nearest cell in one distributed pass. Per-query work afterwards is
-    O(n_centroids) driver-side + a cell-pruned scan."""
-    cent = _kmeans_centroids(embeddings, n_centroids, vec_col)
+    O(n_centroids) driver-side + a cell-pruned scan.
+
+    Pass ``centroids`` (e.g. from the full-corpus :func:`kmeans`) to
+    skip the sampled fit and build the cell table around a
+    higher-quality coarse quantizer."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(embeddings, n_centroids, vec_col)
+    )
     return IvfIndex(ivf_assign(embeddings, cent, id_col, vec_col), cent)
 
 
@@ -483,3 +492,103 @@ def neardup_pairs_cosine(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "fts",
+):
+    """Distributed spherical k-means over the FULL corpus -> (centroids,
+    assigned DataFrame (vid, cell, sim)).
+
+    The corpus-clustering primitive training pipelines use for mixture
+    analysis, domain bucketing and IVF coarse quantizers. Unlike
+    ``_kmeans_centroids`` (which Lloyd-iterates a driver-side SAMPLE —
+    fine for seeding IVF, blind to clusters smaller than the sample
+    rate), every assignment and every centroid update here sees every
+    vector, so small-but-real clusters survive.
+
+    Deterministic end to end, no RNG state: initial centroids are the
+    ``k`` vectors with the smallest ``(md5(seed|id), id)`` rank — a
+    pure function of the ids, layout/partitioning-independent, and
+    reproducible in any SQL engine (the contract oracle re-runs the
+    whole algorithm). Vectors are L2-normalized once up front;
+    centroids are re-normalized after each mean, so "nearest" is
+    cosine throughout (spherical k-means). An emptied cell keeps its
+    previous centroid.
+
+    Scale (the classic Spark Lloyd shape, per iteration):
+
+    - assignment: centroids ride into the plan as literals (broadcast
+      by construction, k*dim floats) and the argmax fold is JVM-side
+      whole-stage codegen — one narrow pass, no shuffle, no Python;
+    - update: per-(cell, dim) running means via posexplode + partial
+      agg — the shuffle carries k*dim rows per partition after the
+      map-side combine, never the vectors themselves;
+    - driver state is k*dim floats per iteration; ``iters`` Spark jobs
+      total. Nothing is corpus-quadratic and nothing large ever
+      collects.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    normed = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            dvec, lambda x: x / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+        ).alias("v"),
+    )
+    seeds = (
+        normed.select(
+            "vid",
+            "v",
+            F.md5(F.concat(F.lit(seed + "|"), F.col("vid").cast("string")))
+            .alias("h"),
+        )
+        .orderBy(F.asc("h"), F.asc("vid"))
+        .limit(k)
+        .collect()
+    )
+    cent = np.array([r["v"] for r in seeds], dtype=np.float64)
+
+    def _assign(frame: DataFrame, centroids) -> DataFrame:
+        best_sim, best_idx = None, None
+        for i, c in enumerate(centroids):
+            p = F.array(*[F.lit(float(x)) for x in c])
+            sim = _dot(F.col("v"), p)
+            if best_sim is None:
+                best_sim, best_idx = sim, F.lit(i)
+            else:
+                # strict > keeps the FIRST (lowest-index) cell on ties
+                best_idx = F.when(sim > best_sim, F.lit(i)).otherwise(best_idx)
+                best_sim = F.greatest(sim, best_sim)
+        return frame.select(
+            "vid", "v", best_idx.alias("cell"), best_sim.alias("sim")
+        )
+
+    for _ in range(iters):
+        assigned = _assign(normed, cent)
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        for c, dims in by_cell.items():
+            m = np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
+            new[c] = m / max(np.linalg.norm(m), 1e-12)
+        cent = new
+    final = _assign(normed, cent).select("vid", "cell", "sim")
+    return [list(map(float, c)) for c in cent], final

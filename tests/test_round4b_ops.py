@@ -175,3 +175,96 @@ class TestFacetTopHits:
             eng.facet_top_hits("merge", meta, "nope")
         with pytest.raises(ValueError):
             eng.facet_top_hits("merge", meta, "role", k=0)
+
+
+class TestKmeans:
+    def _numpy_oracle(self, rows, k, iters, seed="fts"):
+        import hashlib
+
+        import numpy as np
+
+        ids = [r[0] for r in rows]
+        x = np.array([r[1] for r in rows], dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        ranked = sorted(
+            range(len(ids)),
+            key=lambda i: (
+                hashlib.md5(f"{seed}|{ids[i]}".encode()).hexdigest(),
+                ids[i],
+            ),
+        )
+        cent = x[ranked[:k]].copy()
+        for _ in range(iters):
+            sims = x @ cent.T
+            # first (lowest) cell wins ties, matching the Spark fold
+            assign = sims.argmax(axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cent[c] = m / max(np.linalg.norm(m), 1e-12)
+        sims = x @ cent.T
+        return cent, {ids[i]: int(sims[i].argmax()) for i in range(len(ids))}
+
+    def test_matches_numpy_lloyd(self, spark):
+        import numpy as np
+
+        from inverted_index_spark.pipelines.similarity import kmeans
+
+        rng = np.random.default_rng(7)
+        # three well-separated blobs in 8-d
+        base = rng.normal(size=(3, 8)) * 5
+        rows = [
+            (i, (base[i % 3] + rng.normal(scale=0.1, size=8)).tolist())
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cent, assigned = kmeans(df, k=3, iters=3)
+        want_cent, want_assign = self._numpy_oracle(rows, k=3, iters=3)
+        got = {r["vid"]: r["cell"] for r in assigned.collect()}
+        assert got == want_assign
+        assert np.allclose(np.array(cent), want_cent, atol=1e-9)
+        # Lloyd did real work: assignments use >1 cell and two vectors
+        # from the same tight blob never straddle more cells than the
+        # numpy oracle says (bit-identical partition, already asserted)
+        assert len(set(got.values())) > 1
+
+    def test_deterministic_and_layout_independent(self, spark):
+        import numpy as np
+
+        from inverted_index_spark.pipelines.similarity import kmeans
+
+        rng = np.random.default_rng(11)
+        rows = [(i, rng.normal(size=4).tolist()) for i in range(30)]
+        df1 = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        df2 = spark.createDataFrame(
+            list(reversed(rows)), ["vec_id", "embedding"]
+        ).repartition(7)
+        c1, a1 = kmeans(df1, k=2, iters=2)
+        c2, a2 = kmeans(df2, k=2, iters=2)
+        assert np.allclose(np.array(c1), np.array(c2), atol=1e-12)
+        assert sorted(map(tuple, a1.select("vid", "cell").collect())) == sorted(
+            map(tuple, a2.select("vid", "cell").collect())
+        )
+
+    def test_feeds_ivf(self, spark):
+        import numpy as np
+
+        from inverted_index_spark.pipelines.similarity import build_ivf, kmeans
+
+        rng = np.random.default_rng(3)
+        rows = [(i, rng.normal(size=4).tolist()) for i in range(20)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cent, _ = kmeans(df, k=2, iters=1)
+        idx = build_ivf(df, centroids=cent)
+        assert [list(c) for c in idx.centroids] == cent
+        assert idx.assigned.count() == 20
+
+    def test_validation(self, spark):
+        from inverted_index_spark.pipelines.similarity import kmeans
+
+        df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+        with pytest.raises(ValueError):
+            kmeans(df, k=0)
+        with pytest.raises(ValueError):
+            kmeans(df, k=1, iters=0)

@@ -1881,6 +1881,27 @@ def _q_top_hits(spark, sf):
     )
 
 
+def _q_redact(spark, sf):
+    """Span-level PII redaction (textstats.redact): deterministic
+    email/URL/long-digit-run payloads appended to each doc, rewritten
+    to <EMAIL>/<URL>/<NUM> sentinels (URLs first, so an email-shaped
+    substring inside a URL is swallowed whole)."""
+    from inverted_index_spark.pipelines.textstats import redact
+
+    pii = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.org http://ex.com/p"),
+            F.col("doc_id").cast("string"),
+            F.lit(" id"),
+            (F.col("doc_id") + F.lit(1000000)).cast("string"),
+        ).alias("text"),
+    )
+    return redact(pii).select("doc_id", "text")
+
+
 def _q_kmeans(spark, sf):
     """Distributed spherical k-means (similarity.kmeans): full-corpus
     Lloyd, k=4, 2 iterations, deterministic md5-ranked init — the
@@ -2035,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "top_hits": _q_top_hits,
         "kmeans": _q_kmeans,
+        "redact": _q_redact,
     }
 
 
@@ -4517,6 +4539,20 @@ def oracle_sql() -> dict[str, str]:
         )
         select tool, rnk::int as rnk, doc_id, round(score, 4) as score_r4
         from bucketed where rnk <= 3
+    """
+    # PII redaction: identical synthetic payloads, identical
+    # POSIX-subset patterns, replace-all ('g') in the same order
+    out["redact"] = """
+        select doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 text || ' u' || doc_id::varchar
+                      || '@ex.org http://ex.com/p' || doc_id::varchar
+                      || ' id' || (1000000 + doc_id)::varchar,
+                 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g') as text
+        from documents
     """
     # distributed spherical k-means, re-run end-to-end in SQL: md5-rank
     # init (4 seeds), two Lloyd iterations (argmax assign -> per-dim

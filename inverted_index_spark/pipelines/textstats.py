@@ -571,3 +571,65 @@ def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = F.regexp_replace(out, email, "<EMAIL>")
     out = F.regexp_replace(out, digits, "<NUM>")
     return docs.withColumn(text_col, out)
+
+
+def hashed_tfidf(
+    docs: DataFrame, dim: int = 1024, text_col: str = "text"
+) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors in LONG form ->
+    (doc_id, bucket, w) — the classic text featurizer (HashingTF +
+    IDF) for classifiers, clustering and cheap similarity, with every
+    step reproducible bit-for-bit in any SQL engine.
+
+    Terms hash to ``bucket = first-8-hex(md5(term)) mod dim`` (md5, not
+    an engine-native hash, so the oracle and any future engine agree);
+    colliding terms pool their tf, exactly like HashingTF. Weights are
+    the sklearn-style smoothed TF-IDF
+
+        w = tf * (ln((N + 1) / (df_b + 1)) + 1)
+
+    with ``df_b`` the DOCUMENT frequency of the bucket (collisions pool
+    df too — the standard hashing-trick tradeoff) and ``N`` the number
+    of docs with at least one token. Long form keeps the output sparse
+    and shuffle-bounded (|doc x distinct-bucket| rows); pivot to dense
+    arrays only at consumption time (``kmeans`` accepts either after a
+    ``collect_list`` repack).
+
+    Scale: one token explode, one (doc, bucket) partial agg, one
+    bucket-df partial agg (vocab-bounded, broadcast into the weight
+    join), N on a broadcast 1-row cross join. No UDFs, no skew keys
+    (buckets are uniform by construction).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ", -1)).alias("term")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+        % F.lit(dim)
+    ).alias("bucket")
+    events = toks.select("doc_id", bucket)
+    tf = events.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_b = (
+        events.distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    n = events.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    return (
+        tf.join(F.broadcast(df_b), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("w"),
+        )
+    )

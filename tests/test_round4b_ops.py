@@ -300,3 +300,58 @@ class TestRedact:
         )
         row = redact(docs).collect()[0]
         assert row["extra"] == "keep" and row["text"] == "<EMAIL>"
+
+
+class TestHashedTfidf:
+    def test_matches_hand_model(self, spark):
+        import hashlib
+
+        from inverted_index_spark.pipelines.textstats import hashed_tfidf
+
+        rows = [(1, "a a b"), (2, "b c"), (3, "c c c")]
+        dim = 16
+        out = {
+            (r["doc_id"], r["bucket"]): r["w"]
+            for r in hashed_tfidf(
+                spark.createDataFrame(rows, ["doc_id", "text"]), dim=dim
+            ).collect()
+        }
+
+        def b(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+
+        from collections import Counter
+        tf = {d: Counter(b(t) for t in txt.split(" ")) for d, txt in rows}
+        df = Counter()
+        for d in tf:
+            for bk in tf[d]:
+                df[bk] += 1
+        n = 3
+        want = {}
+        for d in tf:
+            for bk, f in tf[d].items():
+                want[(d, bk)] = f * (math.log((n + 1) / (df[bk] + 1)) + 1)
+        assert set(out) == set(want)
+        for key in want:
+            assert out[key] == pytest.approx(want[key], rel=1e-12)
+
+    def test_collisions_pool(self, spark):
+        from inverted_index_spark.pipelines.textstats import hashed_tfidf
+
+        # dim=1 forces every term into bucket 0: tf pools, df_b = N
+        rows = hashed_tfidf(
+            spark.createDataFrame([(1, "x y z"), (2, "q")], ["doc_id", "text"]),
+            dim=1,
+        ).collect()
+        got = {(r["doc_id"], r["bucket"]): r["w"] for r in rows}
+        # w = tf * (ln((2+1)/(2+1)) + 1) = tf
+        assert got[(1, 0)] == pytest.approx(3.0)
+        assert got[(2, 0)] == pytest.approx(1.0)
+
+    def test_validation(self, spark):
+        from inverted_index_spark.pipelines.textstats import hashed_tfidf
+
+        with pytest.raises(ValueError):
+            hashed_tfidf(
+                spark.createDataFrame([(1, "a")], ["doc_id", "text"]), dim=0
+            )

@@ -355,3 +355,37 @@ class TestHashedTfidf:
             hashed_tfidf(
                 spark.createDataFrame([(1, "a")], ["doc_id", "text"]), dim=0
             )
+
+
+class TestTfidfKmeansComposition:
+    def test_text_clustering_pipeline(self, spark):
+        """hashed_tfidf long form repacks to dense vectors that kmeans
+        consumes directly — the corpus-mixture-analysis composition."""
+        from inverted_index_spark.pipelines.similarity import kmeans
+        from inverted_index_spark.pipelines.textstats import hashed_tfidf
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(6)]
+            + [(i, "delta epsilon zeta") for i in range(6, 12)],
+            ["doc_id", "text"],
+        )
+        dim = 32
+        vec = hashed_tfidf(docs, dim=dim)
+        dense = vec.groupBy("doc_id").agg(
+            F.aggregate(
+                F.collect_list(F.struct("bucket", "w")),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, s: F.transform(
+                    acc,
+                    lambda v, i: F.when(
+                        i.cast("bigint") == s["bucket"], v + s["w"]
+                    ).otherwise(v),
+                ),
+            ).alias("embedding")
+        ).withColumnRenamed("doc_id", "vec_id")
+        cent, assigned = kmeans(dense, k=2, iters=2)
+        got = {r["vid"]: r["cell"] for r in assigned.collect()}
+        # identical texts -> identical vectors -> one cell per text group
+        assert len({got[i] for i in range(6)}) == 1
+        assert len({got[i] for i in range(6, 12)}) == 1
+        assert got[0] != got[6]

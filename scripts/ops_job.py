@@ -33,7 +33,8 @@ def main() -> None:
 
     from inverted_index_spark.build import build_and_save, load_index
     from inverted_index_spark.pipelines.dedup import dedup_corpus
-    from inverted_index_spark.pipelines.similarity import knn_join
+    from inverted_index_spark.pipelines.similarity import kmeans, knn_join
+    from inverted_index_spark.pipelines.textstats import lm_score
     from inverted_index_spark.percolate import percolate
     from inverted_index_spark.qast import AndNot, AtLeast, Match, Phrase
     from inverted_index_spark.segments import build_segments
@@ -149,6 +150,13 @@ def main() -> None:
         "knn_join64": lambda: knn_join(
             q_side, embs, k=10, n_planes=8, hamming=1,
         ).count(),
+        # unigram-LM scoring: vocab-model fit + broadcast weight join
+        # over the compressed (doc, term, tf) table — the join-bearing
+        # pipeline shape (vs dedup's groupBy-bearing shape)
+        "lm_score": lambda: lm_score(docs).count(),
+        # distributed Lloyd (2 iterations): per-iteration codegen
+        # assignment pass + k*dim partial agg — the iterative-ML shape
+        "kmeans8": lambda: kmeans(embs, k=8, iters=2)[1].count(),
         # reverse search: per-doc python matcher, embarrassingly
         # parallel over the doc axis — the width-scaling poster child
         # (filter FIRST on the raw scan so pushdown prunes, then spread)

@@ -1824,19 +1824,11 @@ def _lined_docs(spark, sf):
     text re-chunked into 3-token lines joined by '\\n' (the corpus is
     single-line word soup, so the chunking manufactures the cross-doc
     duplicate lines a web corpus has naturally)."""
-    # token array projected once (no CSE inside HOF lambdas)
-    toks = F.col("_toks")
-    n_lines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
-    lined = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)),
-        ),
-        "\n",
+    from inverted_index_spark.pipelines.dedup import chunk_text_lines
+
+    return chunk_text_lines(
+        _docs(spark, sf).select("doc_id", "text"), tokens_per_line=3
     )
-    return _docs(spark, sf).select(
-        "doc_id", F.split(F.col("text"), " ", -1).alias("_toks")
-    ).select("doc_id", lined.alias("text"))
 
 
 def _q_line_dedup(spark, sf):

@@ -300,7 +300,11 @@ def main() -> None:
         build_multifield_index,
     )
     from inverted_index_spark.pipelines.corpus import pack_sequences
-    from inverted_index_spark.pipelines.dedup import dedup_corpus, line_dedup
+    from inverted_index_spark.pipelines.dedup import (
+        chunk_text_lines,
+        dedup_corpus,
+        line_dedup,
+    )
     from inverted_index_spark.pipelines.similarity import kmeans, knn_join
     from inverted_index_spark.pipelines.sketches import group_quantiles
     from inverted_index_spark.pipelines.textstats import cooccurrence, lm_score
@@ -566,23 +570,8 @@ def main() -> None:
         # 4-token lines (manufactures cross-doc duplicates), dedup'd
         # and rebuilt — three shuffle-bounded passes
         "line_dedup": lambda: line_dedup(
-            docs.select(
-                "doc_id", F.split(F.col("text"), " ").alias("_t")
-            ).select(
-                "doc_id",
-                F.array_join(
-                    F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.ceil(F.size(F.col("_t")) / F.lit(4.0))
-                            .cast("int") - 1,
-                        ),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.col("_t"), i * 4 + 1, 4)
-                        ),
-                    ),
-                    "\n",
-                ).alias("text"),
+            chunk_text_lines(
+                docs.select("doc_id", "text"), tokens_per_line=4
             ),
             min_docs=2,
         ).count(),

@@ -315,7 +315,10 @@ def build_ivf(
 
     Pass ``centroids`` (e.g. from the full-corpus :func:`kmeans`) to
     skip the sampled fit and build the cell table around a
-    higher-quality coarse quantizer."""
+    higher-quality coarse quantizer; ``n_centroids`` is IGNORED then —
+    the passed list's length defines the cell count (check
+    ``len(index.centroids)``, not the argument you sized probes for).
+    """
     cent = (
         centroids
         if centroids is not None
@@ -539,12 +542,23 @@ def kmeans(
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    normed = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.transform(
-            dvec, lambda x: x / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
-        ).alias("v"),
+    # norm projected as a scalar column BEFORE the per-element lambda —
+    # no CSE inside HOF lambdas, so an inline _norm() would re-reduce
+    # the whole vector per element (O(dim^2) per row, the house rule)
+    normed = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_dv"
+            ),
+        )
+        .select(
+            "vid", "_dv", F.greatest(_norm(F.col("_dv")), F.lit(1e-12)).alias("_nv")
+        )
+        .select(
+            "vid",
+            F.transform(F.col("_dv"), lambda x: x / F.col("_nv")).alias("v"),
+        )
     )
     seeds = (
         normed.select(
@@ -557,6 +571,11 @@ def kmeans(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans needs a non-empty embeddings table")
+    # fewer vectors than k: proceed with effective k = n (the returned
+    # centroid list's length is authoritative), mirroring
+    # _kmeans_centroids' min(n_centroids, sample) behavior
     cent = np.array([r["v"] for r in seeds], dtype=np.float64)
 
     def _assign(frame: DataFrame, centroids) -> DataFrame:

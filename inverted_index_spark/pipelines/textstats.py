@@ -511,6 +511,8 @@ def lm_score(
     take the sort-merge join). T and V ride a broadcast 1-row cross
     join. Nothing here is corpus-quadratic.
     """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
     )
@@ -613,14 +615,14 @@ def hashed_tfidf(
     tf = events.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    df_b = (
-        events.distinct()
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # df and N derive from the AGGREGATED tf table (its rows are
+    # already distinct (doc, bucket) pairs), so every branch reuses
+    # tf's shuffle exchange instead of re-scanning and re-hashing the
+    # token stream
+    df_b = tf.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
-    n = events.agg(
-        F.countDistinct("doc_id").cast("double").alias("n")
-    )
+    n = tf.agg(F.countDistinct("doc_id").cast("double").alias("n"))
     return (
         tf.join(F.broadcast(df_b), "bucket")
         .crossJoin(F.broadcast(n))

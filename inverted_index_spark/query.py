@@ -1218,14 +1218,17 @@ class FtsEngine:
         k: int = 3,
     ) -> DataFrame:
         """Per-bucket ranked hits (ES ``terms`` agg + ``top_hits``
-        sub-agg): for EVERY value of ``field``, that bucket's top-``k``
-        BM25 results -> (<field>, rank, doc_id, score) ordered value
-        asc, rank asc — "best three turns per tool" in one query.
+        sub-agg): for every ``field`` value WITH AT LEAST ONE MATCH,
+        that bucket's top-``k`` BM25 results -> (<field>, rank,
+        doc_id, score) ordered value asc, rank asc — "best three turns
+        per tool" in one query. Buckets whose docs all miss the query
+        are absent (ES terms-agg-over-hits semantics: buckets come
+        from the hit set), as are matched docs missing from ``meta``.
 
         Differs from :meth:`collapse` (which is a global ranking
         deduped per group): here the buckets themselves are the output
-        and no global limit applies, so empty-ish buckets still
-        surface their best hits.
+        and no global limit applies, so a low-scoring bucket still
+        surfaces its best hits instead of being crowded out.
 
         Plan: score every matching doc once (relational BM25,
         ``k=None``), one |matches|-sized join to the facet column, one

@@ -389,3 +389,103 @@ class TestTfidfKmeansComposition:
         assert len({got[i] for i in range(6)}) == 1
         assert len({got[i] for i in range(6, 12)}) == 1
         assert got[0] != got[6]
+
+
+class TestLineDedupRandomized:
+    def test_matches_python_oracle_on_random_corpus(self, spark):
+        """Randomized parity: line_dedup == a pure-Python reimplementation
+        over a corpus engineered to contain cross-doc duplicate lines,
+        in-doc repeats, all-dup docs and unique docs."""
+        import random
+
+        from inverted_index_spark.pipelines.dedup import line_dedup
+
+        rng = random.Random(42)
+        pool = [f"line {i}" for i in range(12)]  # small pool -> collisions
+        rows = []
+        for d in range(40):
+            n = rng.randint(1, 6)
+            rows.append((d, "\n".join(rng.choice(pool) for _ in range(n))))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        for min_docs in (2, 3, 10):
+            got = {
+                r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+                for r in line_dedup(docs, min_docs=min_docs).collect()
+            }
+            # python oracle
+            from collections import defaultdict
+
+            docs_per_line = defaultdict(set)
+            for d, t in rows:
+                for ln in t.split("\n"):
+                    docs_per_line[ln].add(d)
+            dup = {l for l, ds in docs_per_line.items() if len(ds) >= min_docs}
+            want = {}
+            for d, t in rows:
+                lines = t.split("\n")
+                kept = [l for l in lines if l not in dup]
+                want[d] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+            assert got == want
+
+
+class TestLmScoreRandomized:
+    def test_matches_python_oracle_on_random_corpus(self, spark):
+        import math
+        import random
+        from collections import Counter
+
+        from inverted_index_spark.pipelines.textstats import lm_score
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+            for d in range(60)
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in lm_score(
+                spark.createDataFrame(rows, ["doc_id", "text"]), alpha=0.25
+            ).collect()
+        }
+        c = Counter(t for _, txt in rows for t in txt.split(" "))
+        big_t, v = sum(c.values()), len(c)
+        logp = {
+            t: math.log((n + 0.25) / (big_t + 0.25 * v)) for t, n in c.items()
+        }
+        for d, txt in rows:
+            ts = txt.split(" ")
+            ce = -sum(logp[t] for t in ts) / len(ts)
+            assert out[d]["n_tokens"] == len(ts)
+            assert out[d]["cross_entropy"] == pytest.approx(ce, rel=1e-9)
+
+    def test_alpha_validation(self, spark):
+        from inverted_index_spark.pipelines.textstats import lm_score
+
+        with pytest.raises(ValueError):
+            lm_score(
+                spark.createDataFrame([(1, "a")], ["doc_id", "text"]),
+                alpha=0.0,
+            )
+
+
+class TestKmeansEdgeCases:
+    def test_empty_corpus_raises(self, spark):
+        from inverted_index_spark.pipelines.similarity import kmeans
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="non-empty"):
+            kmeans(empty, k=2)
+
+    def test_fewer_vectors_than_k(self, spark):
+        from inverted_index_spark.pipelines.similarity import kmeans
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+        )
+        cent, assigned = kmeans(df, k=5, iters=1)
+        # effective k = n; centroid list length is authoritative
+        assert len(cent) == 2
+        assert assigned.count() == 2

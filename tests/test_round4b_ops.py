@@ -489,3 +489,75 @@ class TestKmeansEdgeCases:
         # effective k = n; centroid list length is authoritative
         assert len(cent) == 2
         assert assigned.count() == 2
+
+
+class TestNewOpPlans:
+    """Plan pins for the scale-critical shapes of the late ops."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_lm_score_model_join_is_broadcast(self, spark):
+        from inverted_index_spark.pipelines.textstats import lm_score
+
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(10)], ["doc_id", "text"]
+        )
+        plan = self._plan(lm_score(docs))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_hashed_tfidf_weight_join_is_broadcast(self, spark):
+        from inverted_index_spark.pipelines.textstats import hashed_tfidf
+
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(10)], ["doc_id", "text"]
+        )
+        plan = self._plan(hashed_tfidf(docs, dim=8))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_kmeans_assignment_pass_is_shuffle_free(self, spark):
+        """The per-iteration assignment (centroids as literals, argmax
+        fold) must be a narrow map over the vector scan — any Exchange
+        here would shuffle the corpus once per Lloyd iteration."""
+        from pyspark.sql import functions as F
+
+        from inverted_index_spark.pipelines import similarity as S
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0]) for i in range(10)],
+            ["vec_id", "embedding"],
+        )
+        normed = (
+            emb.select(
+                F.col("vec_id").alias("vid"),
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ).alias("_dv"),
+            )
+            .select(
+                "vid",
+                "_dv",
+                F.greatest(S._norm(F.col("_dv")), F.lit(1e-12)).alias("_nv"),
+            )
+            .select(
+                "vid",
+                F.transform(F.col("_dv"), lambda x: x / F.col("_nv")).alias(
+                    "v"
+                ),
+            )
+        )
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        best_sim, best_idx = None, None
+        for i, c in enumerate(cents):
+            p = F.array(*[F.lit(float(x)) for x in c])
+            sim = S._dot(F.col("v"), p)
+            if best_sim is None:
+                best_sim, best_idx = sim, F.lit(i)
+            else:
+                best_idx = F.when(sim > best_sim, F.lit(i)).otherwise(best_idx)
+                best_sim = F.greatest(sim, best_sim)
+        assigned = normed.select("vid", best_idx.alias("cell"))
+        plan = self._plan(assigned)
+        assert "Exchange" not in plan

@@ -1876,6 +1876,31 @@ def _q_top_hits(spark, sf):
     )
 
 
+def _q_span_dedup(spark, sf):
+    """Span-level exact dedup (dedup.span_dedup, window=6) over docs
+    with a planted repeated span: one of five 8-token license headers
+    (picked by doc_id % 5) appended to each doc — the canonical lowest
+    (doc_id, pos) occurrence keeps it, every other loses it."""
+    from inverted_index_spark.pipelines.dedup import span_dedup
+
+    hdrs = [
+        "license header variant %d is provided without any warranty" % i
+        for i in range(5)
+    ]
+    docs2 = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(h) for h in hdrs]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    return span_dedup(docs2, window=6)
+
+
 def _q_tfidf_vec(spark, sf):
     """Hashing-trick TF-IDF featurizer (textstats.hashed_tfidf):
     md5-bucketed HashingTF + sklearn-smooth IDF, long sparse form."""
@@ -2063,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "redact": _q_redact,
         "tfidf_vec": _q_tfidf_vec,
+        "span_dedup": _q_span_dedup,
     }
 
 
@@ -4545,6 +4571,69 @@ def oracle_sql() -> dict[str, str]:
         )
         select tool, rnk::int as rnk, doc_id, round(score, 4) as score_r4
         from bucketed where rnk <= 3
+    """
+    # span-level exact dedup, window=6: windows hashed, canonical =
+    # min packed (doc_id*100000 + pos) per hash, non-canonical dup
+    # windows mask their 6 tokens, docs rebuilt from survivors
+    out["span_dedup"] = """
+        with d as (
+          select doc_id,
+                 text || ' ' || ([
+                   'license header variant 0 is provided without any warranty',
+                   'license header variant 1 is provided without any warranty',
+                   'license header variant 2 is provided without any warranty',
+                   'license header variant 3 is provided without any warranty',
+                   'license header variant 4 is provided without any warranty'
+                 ])[(doc_id % 5) + 1] as text
+          from documents
+        ),
+        t as (select doc_id, string_split(text, ' ') as ts from d),
+        wins as (
+          select doc_id, ts,
+                 unnest(range(1, greatest(len(ts) - 4, 1))) as i
+          from t
+        ),
+        occ as (
+          select doc_id, i - 1 as pos,
+                 md5(array_to_string(ts[i : i + 5], ' ')) as h,
+                 doc_id * 100000 + (i - 1) as k
+          from wins
+        ),
+        per_h as (
+          select h, count(*) as n_occ, min(k) as canon_k
+          from occ group by h
+        ),
+        dup_occ as (
+          select o.doc_id, o.pos
+          from occ o join per_h p using (h)
+          where p.n_occ >= 2 and o.k <> p.canon_k
+        ),
+        mask as (
+          select distinct doc_id, unnest(range(pos, pos + 6)) as ti
+          from dup_occ
+        ),
+        tok_rows as (
+          select doc_id, unnest(ts) as tok,
+                 generate_subscripts(ts, 1) - 1 as ti
+          from t
+        ),
+        kept as (
+          select tr.doc_id, tr.tok, tr.ti
+          from tok_rows tr
+          where not exists (
+            select 1 from mask m
+            where m.doc_id = tr.doc_id and m.ti = tr.ti
+          )
+        ),
+        reb as (
+          select doc_id, string_agg(tok, ' ' order by ti) as text,
+                 count(*)::bigint as n_kept
+          from kept group by doc_id
+        ),
+        tot as (select doc_id, len(ts)::bigint as n_tokens from t)
+        select tot.doc_id, coalesce(reb.text, '') as text, tot.n_tokens,
+               (tot.n_tokens - coalesce(reb.n_kept, 0))::bigint as n_removed
+        from tot left join reb using (doc_id)
     """
     # hashing-trick TF-IDF: bucket = first-8-hex(md5(term)) mod 64,
     # tf pooled per (doc, bucket), df per bucket, N = docs with tokens,

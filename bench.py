@@ -304,6 +304,7 @@ def main() -> None:
         chunk_text_lines,
         dedup_corpus,
         line_dedup,
+        span_dedup,
     )
     from inverted_index_spark.pipelines.similarity import kmeans, knn_join
     from inverted_index_spark.pipelines.sketches import group_quantiles
@@ -582,6 +583,12 @@ def main() -> None:
         # full embeddings table, k=8 (each iteration one codegen
         # assignment pass + one k*dim partial agg)
         "kmeans8": lambda: kmeans(embs, k=8, iters=2)[1].count(),
+        # span-level exact dedup: the amplified corpus repeats every
+        # doc text mult times, so duplicate windows are corpus-wide
+        # real — the op masks all but each span's canonical occurrence
+        "span_dedup": lambda: span_dedup(
+            docs.select("doc_id", "text"), window=8
+        ).count(),
     }
     qtimes, query_probes, query_attempts, query_degraded = run_guarded(
         lambda: {name: timed(fn) for name, fn in queries.items()},

@@ -561,3 +561,84 @@ class TestNewOpPlans:
         assigned = normed.select("vid", best_idx.alias("cell"))
         plan = self._plan(assigned)
         assert "Exchange" not in plan
+
+
+class TestSpanDedup:
+    def _oracle(self, rows, window):
+        """Pure-Python window-granular ExactSubstr reimplementation."""
+        from collections import defaultdict
+
+        occ = defaultdict(list)  # span text -> [(doc, pos)]
+        toks = {d: t.split(" ") for d, t in rows}
+        for d, ts in toks.items():
+            for p in range(len(ts) - window + 1):
+                occ[" ".join(ts[p : p + window])].append((d, p))
+        masked = defaultdict(set)
+        for span, os_ in occ.items():
+            if len(os_) >= 2:
+                canon = min(os_)
+                for d, p in os_:
+                    if (d, p) != canon:
+                        masked[d].update(range(p, p + window))
+        out = {}
+        for d, ts in toks.items():
+            kept = [t for i, t in enumerate(ts) if i not in masked[d]]
+            out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+        return out
+
+    def test_planted_repeated_span(self, spark):
+        from inverted_index_spark.pipelines.dedup import span_dedup
+
+        header = "this software is provided as is without any warranty"
+        rows = [
+            (d, f"unique{d}a unique{d}b unique{d}c {header} tail{d}")
+            for d in range(5)
+        ]
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+            for r in span_dedup(
+                spark.createDataFrame(rows, ["doc_id", "text"]), window=4
+            ).collect()
+        }
+        want = self._oracle(rows, 4)
+        assert got == want
+        # the canonical doc keeps its header; the others lose it
+        assert header in got[0][0]
+        for d in range(1, 5):
+            assert header not in got[d][0]
+            assert got[d][2] > 0
+
+    def test_random_corpus_matches_oracle(self, spark):
+        import random
+
+        from inverted_index_spark.pipelines.dedup import span_dedup
+
+        rng = random.Random(13)
+        vocab = [f"t{i}" for i in range(8)]  # tiny vocab -> real dups
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15))))
+            for d in range(30)
+        ]
+        for window in (2, 3):
+            got = {
+                r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+                for r in span_dedup(
+                    spark.createDataFrame(rows, ["doc_id", "text"]),
+                    window=window,
+                ).collect()
+            }
+            assert got == self._oracle(rows, window)
+
+    def test_short_docs_untouched_and_validation(self, spark):
+        import pytest
+
+        from inverted_index_spark.pipelines.dedup import span_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], ["doc_id", "text"]
+        )
+        # window=3 > doc length: no windows, nothing removed
+        out = {r["doc_id"]: r for r in span_dedup(docs, window=3).collect()}
+        assert out[1]["text"] == "a b" and out[1]["n_removed"] == 0
+        with pytest.raises(ValueError):
+            span_dedup(docs, window=1)

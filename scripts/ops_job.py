@@ -32,7 +32,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from inverted_index_spark.build import build_and_save, load_index
-    from inverted_index_spark.pipelines.dedup import dedup_corpus
+    from inverted_index_spark.pipelines.dedup import dedup_corpus, span_dedup
     from inverted_index_spark.pipelines.similarity import kmeans, knn_join
     from inverted_index_spark.pipelines.textstats import lm_score
     from inverted_index_spark.percolate import percolate
@@ -157,6 +157,9 @@ def main() -> None:
         # distributed Lloyd (2 iterations): per-iteration codegen
         # assignment pass + k*dim partial agg — the iterative-ML shape
         "kmeans8": lambda: kmeans(embs, k=8, iters=2)[1].count(),
+        # span-level exact dedup: window-hash groupBy + mask + rebuild
+        # over the amplified corpus (duplicate spans are real at mult>1)
+        "span_dedup": lambda: span_dedup(docs, window=8).count(),
         # reverse search: per-doc python matcher, embarrassingly
         # parallel over the doc axis — the width-scaling poster child
         # (filter FIRST on the raw scan so pushdown prunes, then spread)

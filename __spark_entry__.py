@@ -1876,6 +1876,20 @@ def _q_top_hits(spark, sf):
     )
 
 
+def _q_temp_mix(spark, sf):
+    """Temperature-scaled sampling mix (corpus.temperature_mix,
+    alpha=0.5) over the lang column: normalized p_i ~ n_i^alpha plus
+    the per-doc rate that realizes it for stratified_sample."""
+    from inverted_index_spark.pipelines.corpus import temperature_mix
+
+    return temperature_mix(_docs(spark, sf), "lang", 0.5).select(
+        "lang",
+        "n_docs",
+        F.round("weight", 6).alias("w_r6"),
+        F.round("rate", 6).alias("rate_r6"),
+    )
+
+
 def _q_span_dedup(spark, sf):
     """Span-level exact dedup (dedup.span_dedup, window=6) over docs
     with a planted repeated span: one of five 8-token license headers
@@ -2089,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact": _q_redact,
         "tfidf_vec": _q_tfidf_vec,
         "span_dedup": _q_span_dedup,
+        "temp_mix": _q_temp_mix,
     }
 
 
@@ -4571,6 +4586,20 @@ def oracle_sql() -> dict[str, str]:
         )
         select tool, rnk::int as rnk, doc_id, round(score, 4) as score_r4
         from bucketed where rnk <= 3
+    """
+    # temperature mix: weight = n^0.5 / sum(n^0.5); rate realizes the
+    # weight in expectation (weight * N / n, capped at 1)
+    out["temp_mix"] = """
+        with c as (
+          select lang, count(*)::bigint as n_docs
+          from documents group by lang
+        ),
+        p as (select lang, n_docs, pow(n_docs::double, 0.5) as pp from c),
+        t as (select sum(pp) as z, sum(n_docs)::double as n from p)
+        select lang, n_docs,
+               round(pp / z, 6) as w_r6,
+               round(least(1.0, pp / z * n / n_docs::double), 6) as rate_r6
+        from p cross join t
     """
     # span-level exact dedup, window=6: windows hashed, canonical =
     # min packed (doc_id*100000 + pos) per hash, non-canonical dup

@@ -193,3 +193,52 @@ def pack_sequences(
         (F.floor(cum_before / budget)).cast("bigint").alias("seq_id"),
         (cum_before % budget).cast("bigint").alias("seq_off"),
     )
+
+
+def temperature_mix(
+    docs: DataFrame, group_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled sampling mix (the multilingual/domain recipe:
+    p_i proportional to (n_i / N) ** alpha) -> one row per group:
+    (``group_col``, n_docs, weight, rate).
+
+    ``weight`` is the normalized sampling probability; ``rate`` is the
+    per-document inclusion rate that realizes it in expectation
+    (weight * N / n_i, capped at 1.0) — feed it straight into
+    :func:`stratified_sample`'s rates dict to materialize the mix
+    deterministically. ``alpha=1`` reproduces natural proportions,
+    ``alpha=0`` uniform-over-groups; 0.2-0.7 are the published
+    upsampling temperatures for low-resource groups.
+
+    Scale: one partial-agg groupBy (group cardinality rows) and a
+    broadcast 1-row total — corpus scanned once, output is tiny.
+    Deterministic double math end to end, so any engine reproduces the
+    weights bit-for-bit.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    powed = counts.select(
+        group_col,
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double"), float(alpha)).alias("_p"),
+    )
+    tot = powed.agg(
+        F.sum("_p").alias("_z"), F.sum("n_docs").cast("double").alias("_n")
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            (F.col("_p") / F.col("_z")).alias("weight"),
+            F.least(
+                F.lit(1.0),
+                (F.col("_p") / F.col("_z"))
+                * F.col("_n")
+                / F.col("n_docs").cast("double"),
+            ).alias("rate"),
+        )
+    )

@@ -642,3 +642,53 @@ class TestSpanDedup:
         assert out[1]["text"] == "a b" and out[1]["n_removed"] == 0
         with pytest.raises(ValueError):
             span_dedup(docs, window=1)
+
+
+class TestTemperatureMix:
+    def test_matches_hand_formula_and_feeds_sampler(self, spark):
+        from inverted_index_spark.pipelines.corpus import (
+            stratified_sample,
+            temperature_mix,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "en" if i < 80 else ("de" if i < 95 else "fr"))
+             for i in range(100)],
+            ["doc_id", "lang"],
+        )
+        out = {r["lang"]: r for r in temperature_mix(docs, "lang", 0.5).collect()}
+        import math
+
+        n = {"en": 80, "de": 15, "fr": 5}
+        z = sum(v ** 0.5 for v in n.values())
+        for lang, cnt in n.items():
+            w = cnt ** 0.5 / z
+            assert out[lang]["n_docs"] == cnt
+            assert out[lang]["weight"] == pytest.approx(w, rel=1e-12)
+            assert out[lang]["rate"] == pytest.approx(
+                min(1.0, w * 100 / cnt), rel=1e-12
+            )
+        # low-resource groups upsampled relative to natural share
+        assert out["fr"]["weight"] > 5 / 100
+        assert out["en"]["weight"] < 80 / 100
+        # rates feed the deterministic sampler directly
+        rates = {r["lang"]: r["rate"] for r in
+                 temperature_mix(docs, "lang", 0.5).collect()}
+        sampled = stratified_sample(docs, "lang", rates)
+        assert 0 < sampled.count() <= 100
+
+    def test_alpha_extremes(self, spark):
+        from inverted_index_spark.pipelines.corpus import temperature_mix
+
+        docs = spark.createDataFrame(
+            [(i, "a" if i < 9 else "b") for i in range(10)],
+            ["doc_id", "lang"],
+        )
+        nat = {r["lang"]: r["weight"]
+               for r in temperature_mix(docs, "lang", 1.0).collect()}
+        assert nat["a"] == pytest.approx(0.9) and nat["b"] == pytest.approx(0.1)
+        uni = {r["lang"]: r["weight"]
+               for r in temperature_mix(docs, "lang", 0.0).collect()}
+        assert uni["a"] == pytest.approx(0.5) and uni["b"] == pytest.approx(0.5)
+        with pytest.raises(ValueError):
+            temperature_mix(docs, "lang", -0.1)

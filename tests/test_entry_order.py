@@ -14,30 +14,17 @@ import sys
 
 DRIVER_WINDOW = 50
 
-# never driver-recorded before round 4 (absent from CORRECTNESS_r03);
-# each needs a CORRECTNESS_r04 row, so each must be inside the window
+# the 23 contracts never driver-recorded through round 4 (absent from
+# CORRECTNESS_r01..r04); each needs a CORRECTNESS_r05 row, so each must
+# sit inside the round-5 driver window, plus any round-5 additions
 NEED_WINDOW = {
-    # round-4 additions (never driver-recorded)
-    "bm25f", "dismax", "conv_having", "rescore", "stratified", "pack_seq",
-    "stemmed", "ltr",
-    # (audio_features, hybrid_weighted, phonetic_seg, at_least_seg,
-    # regex_seg sit at positions 51-55: twin/sibling variants whose
-    # primaries are inside the window and whose own correctness is
-    # pinned by tests — audio shares image_features' decode plumbing)
-    "hybrid_rrf", "recency_topk", "phonetic_docs",
-    "normalize_text", "time_travel", "lmd_topk",
-    "tfidf_topk",
-    "regex_docs", "term_vector",
-    "percolate", "synonyms", "facet_stats", "bm25_boosted",
-    "at_least", "suggest", "sig_terms", "explain_score", "min_window",
-    "bm25_page2", "date_hist", "sort_recent", "collapse",
-    "highlight", "image_features",
-    "dedup_corpus", "dedup_clusters", "dedup_keep_best",
-    "minhash_neardup", "incremental_neardup", "neardup_cosine",
-    "cosine_topk", "knn_join", "lsh_topk", "ivf_topk",
-    "token_counts", "rolling_fp",
-    "sessions", "hourly_events", "session_spans",
-    "stream_hourly", "stream_spans", "stream_sessions",
+    # round-4 stragglers (judge-verified green, never driver-recorded)
+    "audio_features", "hybrid_weighted", "phonetic_seg", "at_least_seg",
+    "regex_seg", "delete_by_query", "span_first", "tool_transitions",
+    "tool_usage", "kmv_distinct", "quantiles", "heavy_hitters",
+    "rank_eval", "cooccurrence", "changelog", "line_dedup", "lm_score",
+    "top_hits", "kmeans", "redact", "tfidf_vec", "span_dedup",
+    "temp_mix",
 }
 
 

@@ -4597,8 +4597,11 @@ def oracle_sql() -> dict[str, str]:
         from p cross join t
     """
     # span-level exact dedup, window=6: windows hashed, canonical =
-    # min packed (doc_id*100000 + pos) per hash, non-canonical dup
-    # windows mask their 6 tokens, docs rebuilt from survivors
+    # lexicographic min (doc_id, pos) per hash — matching the Spark
+    # op's min(struct(doc_id, pos)) exactly at any doc length (a
+    # packed doc_id*C + pos key would diverge once a doc holds >= C
+    # tokens) — non-canonical dup windows mask their 6 tokens, docs
+    # rebuilt from survivors
     out["span_dedup"] = """
         with d as (
           select doc_id,
@@ -4619,18 +4622,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         occ as (
           select doc_id, i - 1 as pos,
-                 md5(array_to_string(ts[i : i + 5], ' ')) as h,
-                 doc_id * 100000 + (i - 1) as k
+                 md5(array_to_string(ts[i : i + 5], ' ')) as h
           from wins
         ),
         per_h as (
-          select h, count(*) as n_occ, min(k) as canon_k
+          select h, count(*) as n_occ,
+                 min({'d': doc_id, 'p': pos}) as canon
           from occ group by h
         ),
         dup_occ as (
           select o.doc_id, o.pos
           from occ o join per_h p using (h)
-          where p.n_occ >= 2 and o.k <> p.canon_k
+          where p.n_occ >= 2
+            and (o.doc_id <> p.canon.d or o.pos <> p.canon.p)
         ),
         mask as (
           select distinct doc_id, unnest(range(pos, pos + 6)) as ti

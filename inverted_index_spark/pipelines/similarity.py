@@ -515,11 +515,17 @@ def kmeans(
     rate), every assignment and every centroid update here sees every
     vector, so small-but-real clusters survive.
 
-    Deterministic end to end, no RNG state: initial centroids are the
-    ``k`` vectors with the smallest ``(md5(seed|id), id)`` rank — a
-    pure function of the ids, layout/partitioning-independent, and
-    reproducible in any SQL engine (the contract oracle re-runs the
-    whole algorithm). Vectors are L2-normalized once up front;
+    Deterministic up to floating-point summation order, no RNG state:
+    initial centroids are the ``k`` vectors with the smallest
+    ``(md5(seed|id), id)`` rank — a pure function of the ids,
+    layout/partitioning-independent, and reproducible in any SQL
+    engine (the contract oracle re-runs the whole algorithm). The
+    per-(cell, dim) means are partial-aggregated doubles, so their
+    low-order bits depend on partition layout; a near-tie argmax (or a
+    value landing exactly on a rounding boundary) can therefore flip
+    between runs or engines. The contract rounds similarities to 4
+    decimals, which has held stable in practice but is not a
+    bit-exactness guarantee. Vectors are L2-normalized once up front;
     centroids are re-normalized after each mean, so "nearest" is
     cosine throughout (spherical k-means). An emptied cell keeps its
     previous centroid.

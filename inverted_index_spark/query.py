@@ -1238,6 +1238,16 @@ class FtsEngine:
         """
         if field not in meta.columns:
             raise ValueError(f"top_hits field {field!r} not in meta")
+        if field == "doc_id":
+            # doc_id would pass the membership check but makes
+            # meta.select("doc_id", field) a duplicate-column frame and
+            # the window partition ambiguous; every doc is its own
+            # bucket anyway, which is bm25(k=None) with rank=1
+            raise ValueError(
+                "top_hits field must be a facet column, not 'doc_id' "
+                "(grouping by doc_id puts every doc in its own bucket "
+                "— use bm25() directly)"
+            )
         if k < 1:
             raise ValueError("k must be >= 1")
         scored = self.bm25(text, k=None)

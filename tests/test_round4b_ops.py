@@ -31,6 +31,35 @@ class TestLineDedup:
         assert out[3]["text"] == "unique intro\nreal content three"
         assert out[3]["n_removed"] == 0
 
+    def test_plan_construction_runs_no_spark_job(self, spark):
+        """line_dedup/span_dedup internally localCheckpoint a shared
+        working table; with eager=False that must not launch a Spark
+        job until the caller runs an action (ADVICE r4: merely
+        building a never-used DataFrame used to trigger a job)."""
+        from inverted_index_spark.pipelines.dedup import (
+            line_dedup,
+            span_dedup,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+            ["doc_id", "text"],
+        )
+        sc = spark.sparkContext
+        group = "no-job-at-construction"
+        sc.setJobGroup(group, "plan construction only")
+        try:
+            ld = line_dedup(docs, min_docs=2)
+            sd = span_dedup(docs, window=4)
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+            assert jobs == [], (
+                f"plan construction launched Spark jobs {jobs}"
+            )
+        finally:
+            sc.setJobGroup("", "")
+        # the frames still work when acted on
+        assert ld.count() == 2 and sd.count() == 2
+
     def test_all_lines_removed_yields_empty_doc(self, spark):
         from inverted_index_spark.pipelines.dedup import line_dedup
 
@@ -175,6 +204,11 @@ class TestFacetTopHits:
             eng.facet_top_hits("merge", meta, "nope")
         with pytest.raises(ValueError):
             eng.facet_top_hits("merge", meta, "role", k=0)
+        # doc_id passes the membership check but would build a
+        # duplicate-column frame with an ambiguous window partition —
+        # must be a clear ValueError, not a late AnalysisException
+        with pytest.raises(ValueError, match="doc_id"):
+            eng.facet_top_hits("merge", meta, "doc_id")
 
 
 class TestKmeans:

@@ -1915,6 +1915,39 @@ def _q_span_dedup(spark, sf):
     return span_dedup(docs2, window=6)
 
 
+def _q_span_max(spark, sf):
+    """Maximal duplicated spans (dedup.dup_spans, window=6) over the
+    same planted-header corpus as span_dedup: non-canonical duplicate
+    windows coalesced gaps-and-islands into one row per maximal
+    region — ExactSubstr's removed-region granularity (Lee et al.),
+    cf. reference upsert granularity src/index.rs:36-51 (whole-doc)
+    which this family refines to sub-document spans."""
+    from inverted_index_spark.pipelines.dedup import dup_spans
+
+    hdrs = [
+        "license header variant %d is provided without any warranty" % i
+        for i in range(5)
+    ]
+    docs2 = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(h) for h in hdrs]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    return dup_spans(docs2, window=6).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "span_len",
+        "n_windows",
+    )
+
+
 def _q_tfidf_vec(spark, sf):
     """Hashing-trick TF-IDF featurizer (textstats.hashed_tfidf):
     md5-bucketed HashingTF + sklearn-smooth IDF, long sparse form."""
@@ -1996,6 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vec": _q_tfidf_vec,
         "span_dedup": _q_span_dedup,
         "temp_mix": _q_temp_mix,
+        # ---- round-5 additions ----
+        "span_max": _q_span_max,
         # ---- representative canaries (driver-green in r1-r4) ----
         "term_tf": _q_term_tf,
         "doc_stats": _q_doc_stats,
@@ -4602,7 +4637,9 @@ def oracle_sql() -> dict[str, str]:
     # packed doc_id*C + pos key would diverge once a doc holds >= C
     # tokens) — non-canonical dup windows mask their 6 tokens, docs
     # rebuilt from survivors
-    out["span_dedup"] = """
+    # shared CTE prefix (planted headers -> non-canonical duplicate
+    # window occurrences) for the span_dedup / span_max pair
+    span_prefix = """
         with d as (
           select doc_id,
                  text || ' ' || ([
@@ -4635,7 +4672,9 @@ def oracle_sql() -> dict[str, str]:
           from occ o join per_h p using (h)
           where p.n_occ >= 2
             and (o.doc_id <> p.canon.d or o.pos <> p.canon.p)
-        ),
+        )
+    """
+    out["span_dedup"] = span_prefix + """,
         mask as (
           select distinct doc_id, unnest(range(pos, pos + 6)) as ti
           from dup_occ
@@ -4662,6 +4701,32 @@ def oracle_sql() -> dict[str, str]:
         select tot.doc_id, coalesce(reb.text, '') as text, tot.n_tokens,
                (tot.n_tokens - coalesce(reb.n_kept, 0))::bigint as n_removed
         from tot left join reb using (doc_id)
+    """
+    # maximal duplicated spans: gaps-and-islands over the same dup_occ
+    # (new island when the start gap exceeds the window), span_end =
+    # last start + window - 1
+    out["span_max"] = span_prefix + """,
+        isl as (
+          select doc_id, pos,
+                 case when lag(pos) over w is null
+                      or pos - lag(pos) over w > 6
+                      then 1 else 0 end as ni
+          from dup_occ
+          window w as (partition by doc_id order by pos)
+        ),
+        isl2 as (
+          select doc_id, pos,
+                 sum(ni) over (partition by doc_id order by pos
+                               rows between unbounded preceding
+                               and current row) as island
+          from isl
+        )
+        select doc_id,
+               min(pos)::bigint as span_start,
+               (max(pos) + 5)::bigint as span_end,
+               (max(pos) + 5 - min(pos) + 1)::bigint as span_len,
+               count(*)::bigint as n_windows
+        from isl2 group by doc_id, island
     """
     # hashing-trick TF-IDF: bucket = first-8-hex(md5(term)) mod 64,
     # tf pooled per (doc, bucket), df per bucket, N = docs with tokens,

@@ -25,6 +25,8 @@ NEED_WINDOW = {
     "rank_eval", "cooccurrence", "changelog", "line_dedup", "lm_score",
     "top_hits", "kmeans", "redact", "tfidf_vec", "span_dedup",
     "temp_mix",
+    # round-5 additions
+    "span_max",
 }
 
 

@@ -678,6 +678,169 @@ class TestSpanDedup:
             span_dedup(docs, window=1)
 
 
+class TestSpanDedupMax:
+    """dup_spans / span_dedup_max: duplicate windows coalesced into
+    maximal spans (gaps-and-islands), ExactSubstr's removed-region
+    granularity."""
+
+    def _mask_oracle(self, rows, window):
+        """Per-doc masked-token-index set, reusing TestSpanDedup's
+        canonical-min semantics."""
+        from collections import defaultdict
+
+        occ = defaultdict(list)
+        toks = {d: t.split(" ") for d, t in rows}
+        for d, ts in toks.items():
+            for p in range(len(ts) - window + 1):
+                occ[" ".join(ts[p : p + window])].append((d, p))
+        masked = defaultdict(set)
+        for span, os_ in occ.items():
+            if len(os_) >= 2:
+                canon = min(os_)
+                for d, p in os_:
+                    if (d, p) != canon:
+                        masked[d].update(range(p, p + window))
+        return masked
+
+    @staticmethod
+    def _runs(idx_set):
+        """Maximal runs of consecutive indices -> [(start, end)]."""
+        runs, cur = [], None
+        for i in sorted(idx_set):
+            if cur is None or i > cur[1] + 1:
+                if cur:
+                    runs.append(tuple(cur))
+                cur = [i, i]
+            else:
+                cur[1] = i
+        if cur:
+            runs.append(tuple(cur))
+        return runs
+
+    def test_planted_region_is_one_span(self, spark):
+        from inverted_index_spark.pipelines.dedup import dup_spans
+
+        header = "this software is provided as is without any warranty ok"
+        rows = [
+            (d, f"u{d}a u{d}b {header} tail{d}") for d in range(4)
+        ]
+        spans = dup_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), window=4
+        ).collect()
+        # canonical doc 0 keeps its header; docs 1-3 each report ONE
+        # maximal span covering exactly the 10 header tokens
+        by_doc = {}
+        for r in spans:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 0 not in by_doc
+        for d in (1, 2, 3):
+            (s,) = by_doc[d]
+            assert (s["span_start"], s["span_end"]) == (2, 11)
+            assert s["span_len"] == 10 and s["n_windows"] == 7
+
+    def test_matches_span_dedup_and_mask_oracle(self, spark):
+        import random
+
+        from inverted_index_spark.pipelines.dedup import (
+            dup_spans,
+            span_dedup,
+            span_dedup_max,
+        )
+
+        rng = random.Random(29)
+        vocab = [f"t{i}" for i in range(8)]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15))))
+            for d in range(30)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        for window in (2, 3):
+            masked = self._mask_oracle(rows, window)
+            # span table == maximal consecutive runs of the masked set
+            want = {
+                (d, s, e)
+                for d, m in masked.items()
+                for s, e in self._runs(m)
+                if m
+            }
+            got_rows = dup_spans(docs, window=window).collect()
+            got = {
+                (r["doc_id"], r["span_start"], r["span_end"])
+                for r in got_rows
+            }
+            assert got == want
+            # property: spans per doc are disjoint with a gap >= 1
+            per_doc = {}
+            for r in got_rows:
+                per_doc.setdefault(r["doc_id"], []).append(
+                    (r["span_start"], r["span_end"])
+                )
+            for sp in per_doc.values():
+                sp.sort()
+                for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+                    assert s2 > e1 + 1
+            # span-driven rebuild == window-union rebuild, plus n_spans
+            a = {
+                r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+                for r in span_dedup(docs, window=window).collect()
+            }
+            b = {}
+            for r in span_dedup_max(docs, window=window).collect():
+                b[r["doc_id"]] = (r["text"], r["n_tokens"], r["n_removed"])
+                assert r["n_spans"] == len(per_doc.get(r["doc_id"], []))
+            assert a == b
+
+    def test_no_window_straddle_residue(self, spark):
+        """Every duplicate (non-canonical) window occurrence must lie
+        WHOLLY inside one reported maximal span — no duplicated run of
+        length >= window survives outside the span table."""
+        import random
+
+        from inverted_index_spark.pipelines.dedup import dup_spans
+
+        rng = random.Random(31)
+        vocab = [f"t{i}" for i in range(6)]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 20))))
+            for d in range(25)
+        ]
+        window = 3
+        masked = self._mask_oracle(rows, window)
+        spans = {}
+        for r in dup_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), window=window
+        ).collect():
+            spans.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        # recompute the raw dup occurrences from the oracle's mask
+        # membership: a masked window start p means tokens p..p+w-1 are
+        # all masked, and some span must contain the whole range
+        for d, m in masked.items():
+            for s, e in self._runs(m):
+                assert any(
+                    ss <= s and e <= se for ss, se in spans.get(d, [])
+                ), f"doc {d} run ({s},{e}) not covered"
+
+    def test_validation(self, spark):
+        import pytest
+
+        from inverted_index_spark.pipelines.dedup import (
+            dup_spans,
+            span_dedup_max,
+        )
+
+        docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            dup_spans(docs, window=1)
+        with pytest.raises(ValueError):
+            span_dedup_max(docs, window=0)
+        # no dups at all: empty span table, doc untouched, n_spans=0
+        assert dup_spans(docs, window=2).count() == 0
+        out = span_dedup_max(docs, window=2).collect()[0]
+        assert out["text"] == "a b" and out["n_spans"] == 0
+
+
 class TestTemperatureMix:
     def test_matches_hand_formula_and_feeds_sampler(self, spark):
         from inverted_index_spark.pipelines.corpus import (

@@ -1726,6 +1726,29 @@ def _q_quantiles(spark, sf):
     return group_quantiles(vals, "lang", "v", qs=(0.5, 0.9, 0.99))
 
 
+def _q_quantiles_approx(spark, sf):
+    """Mergeable DDSketch-style approximate per-group quantiles
+    (sketches.group_quantiles_approx, alpha=0.02) over the same
+    per-lang token lengths as the exact `quantiles` contract — the
+    100-TB path: the exchange is |groups x log-bins| instead of
+    |groups x distinct values|, bin counts are plain partial-agg sums.
+    The oracle replays the identical log-binning in DuckDB (same
+    inlined gamma/ln-gamma double literals), so the sketch being a
+    pure function of the multiset makes it hash-matchable, unlike
+    Spark's builtin percentile_approx."""
+    from inverted_index_spark.pipelines.sketches import (
+        group_quantiles_approx,
+    )
+
+    vals = _docs(spark, sf).select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("v"),
+    )
+    return group_quantiles_approx(
+        vals, "lang", "v", qs=(0.5, 0.9, 0.99), alpha=0.02
+    )
+
+
 def _q_heavy_hitters(spark, sf):
     """Nested terms aggregation (sketches.heavy_hitters): per lang, the
     10 most frequent tokens with counts and ranks, ties by value asc."""
@@ -2031,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_mix": _q_temp_mix,
         # ---- round-5 additions ----
         "span_max": _q_span_max,
+        "quantiles_approx": _q_quantiles_approx,
         # ---- representative canaries (driver-green in r1-r4) ----
         "term_tf": _q_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2138,6 +2162,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # -- DuckDB oracles ---------------------------------------------------------
+
+# the quantiles_approx contract's DDSketch constants (alpha=0.02),
+# computed exactly as sketches.group_quantiles_approx computes them so
+# the inlined oracle literals are the identical IEEE doubles
+_QA_GAMMA = (1.0 + 0.02) / (1.0 - 0.02)
+_QA_LN_GAMMA = __import__("math").log(_QA_GAMMA)
 
 _TOKS = "select doc_id, unnest(string_split(text, ' ')) as term, " \
         "(generate_subscripts(string_split(text, ' '), 1) - 1)::int as pos " \
@@ -2674,6 +2704,48 @@ def oracle_sql() -> dict[str, str]:
             from cum cross join qs
             where cum >= ceil(q * n)
             group by lang, q
+        """,
+        # DDSketch log-binned approx quantiles, alpha=0.02: identical
+        # gamma / ln-gamma double literals as the Spark op, zero bin
+        # exact, representative = geometric bin midpoint rounded to 4
+        "quantiles_approx": f"""
+            with vals as (
+              select lang, len(string_split(text, ' '))::bigint as v
+              from documents
+            ),
+            bins as (
+              select lang,
+                     case when v = 0 then -1000000000
+                          else ceil(ln(v::double) / {_QA_LN_GAMMA!r}
+                                    - 1e-9)::bigint
+                     end as b
+              from vals
+            ),
+            counts as (
+              select lang, b, count(*)::bigint as c
+              from bins group by lang, b
+            ),
+            cum as (
+              select lang, b,
+                     sum(c) over (partition by lang order by b) as cum,
+                     sum(c) over (partition by lang) as n
+              from counts
+            ),
+            qs as (
+              select unnest([0.5::double, 0.9::double, 0.99::double]) as q
+            ),
+            sel as (
+              select lang, q, min(b) as b
+              from cum cross join qs
+              where cum >= ceil(q * n)
+              group by lang, q
+            )
+            select lang, q,
+                   round(case when b = -1000000000 then 0.0
+                              else 2.0 * pow({_QA_GAMMA!r}, b)
+                                   / {_QA_GAMMA + 1.0!r}
+                         end, 4) as value
+            from sel
         """,
         # per-lang top-10 tokens by frequency, ties by token asc
         "heavy_hitters": f"""

@@ -180,3 +180,99 @@ def heavy_hitters(
         )
         .orderBy(group_col, "rank")
     )
+
+
+def group_quantiles_approx(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Mergeable approximate per-group quantiles with a RELATIVE-error
+    guarantee (the DDSketch scheme — Masson et al., VLDB 2019) -> one
+    row per (group, q): (``group_col``, q: double, value: double
+    rounded to 4 decimals), ordered by (group, q).
+
+    Values are log-binned: bin ``ceil(ln(v) / ln(gamma))`` with
+    ``gamma = (1 + alpha) / (1 - alpha)``, representative
+    ``2 * gamma^bin / (gamma + 1)`` (the bin's geometric midpoint), so
+    every value in a bin is within relative ``alpha`` of the
+    representative. The returned quantile is the representative of the
+    bin the exact ``quantile_disc`` value falls in (binning preserves
+    order and multiplicity), hence
+    ``|approx - exact| <= alpha * exact`` — pinned by a property test.
+    Non-negative values only (``v == 0`` gets its own exact bin);
+    negative input raises, matching DDSketch's positive-store contract.
+
+    Why not :func:`group_quantiles` at 100 TB: the exact path's
+    exchange is the per-(group, value) count — |distinct values| rows —
+    and its cumulative window walks each group's full distinct domain.
+    Here the exchange and the window are both bounded by the BIN count,
+    O(log(max/min) / alpha) per group (~2.3k bins for values spanning
+    1..1e10 at alpha=0.01) regardless of how many distinct values the
+    corpus holds, and bin counts are plain sums — partial-agg
+    combinable map-side and mergeable across days/shards/streams.
+    (Spark's builtin ``percentile_approx`` is the same idea with a GK
+    sketch but rank-error semantics and implementation-defined
+    results — unusable for a cross-engine contract; this sketch is a
+    pure function of the multiset.)
+
+    Determinism note: the bin index is computed from IEEE-double ``ln``
+    with a 1e-9 downward guard, so a value sitting within one ulp of a
+    bin boundary bins identically across engines in practice; outputs
+    round to 4 decimals like the other cross-engine float contracts.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"every q must be in (0, 1], got {qs}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ln_gamma = math.log(gamma)
+    v = F.col(value_col).cast("double")
+    zero_bin = -(10**9)  # sorts below every log bin we can reach
+    bin_col = (
+        F.when(v < 0, F.raise_error(F.lit(
+            "group_quantiles_approx: negative values unsupported"
+        )))
+        .when(v == 0, F.lit(zero_bin).cast("bigint"))
+        .otherwise(
+            F.ceil(F.log(v) / F.lit(ln_gamma) - F.lit(1e-9)).cast("bigint")
+        )
+    )
+    binned = (
+        df.select(F.col(group_col).alias("g"), bin_col.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("b")
+    cum = binned.select(
+        "g",
+        "b",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    rep = F.when(F.col("b") == zero_bin, F.lit(0.0)).otherwise(
+        F.lit(2.0)
+        * F.pow(F.lit(gamma), F.col("b"))
+        / F.lit(gamma + 1.0)
+    )
+    return (
+        cum.join(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("g", "q")
+        .agg(F.min("b").alias("b"))
+        .select(
+            F.col("g").alias(group_col),
+            "q",
+            F.round(rep, 4).alias("value"),
+        )
+        .orderBy(group_col, "q")
+    )

@@ -265,6 +265,88 @@ def test_group_quantiles_matches_python_ranks(spark):
         assert got == expect, (q, got, expect)
 
 
+def test_group_quantiles_approx_error_bound(spark):
+    """DDSketch guarantee: |approx - exact| <= alpha * exact for every
+    (group, q) — the approx bin CONTAINS the exact quantile value and
+    every bin member is within relative alpha of the representative."""
+    import random
+
+    from inverted_index_spark.pipelines.sketches import (
+        group_quantiles,
+        group_quantiles_approx,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (f"g{i % 3}", float(rng.randint(1, 100000))) for i in range(4000)
+    ] + [("g0", 0.0)] * 7  # zeros exercise the exact zero bin
+    df = spark.createDataFrame(rows, ["g", "v"])
+    qs = (0.01, 0.5, 0.9, 0.99)
+    for alpha in (0.01, 0.05):
+        exact = {
+            (r["g"], r["q"]): r["value"]
+            for r in group_quantiles(df, "g", "v", qs=qs).collect()
+        }
+        approx = {
+            (r["g"], r["q"]): r["value"]
+            for r in group_quantiles_approx(
+                df, "g", "v", qs=qs, alpha=alpha
+            ).collect()
+        }
+        assert set(approx) == set(exact)
+        for k, ex in exact.items():
+            # small slack over alpha for the 4-decimal output rounding
+            assert abs(approx[k] - ex) <= alpha * ex + 1e-3, (
+                k, approx[k], ex, alpha
+            )
+
+
+def test_group_quantiles_approx_zero_and_validation(spark):
+    import pytest as _pytest
+
+    from inverted_index_spark.pipelines.sketches import (
+        group_quantiles_approx,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.0)] * 9 + [("a", 5.0)], ["g", "v"]
+    )
+    rows = {
+        r["q"]: r["value"]
+        for r in group_quantiles_approx(
+            df, "g", "v", qs=(0.5, 1.0)
+        ).collect()
+    }
+    assert rows[0.5] == 0.0  # zero bin is exact
+    assert abs(rows[1.0] - 5.0) <= 0.01 * 5.0
+    with _pytest.raises(ValueError):
+        group_quantiles_approx(df, "g", "v", qs=())
+    with _pytest.raises(ValueError):
+        group_quantiles_approx(df, "g", "v", qs=(1.5,))
+    with _pytest.raises(ValueError):
+        group_quantiles_approx(df, "g", "v", alpha=0.0)
+    neg = spark.createDataFrame([("a", -1.0)], ["g", "v"])
+    with _pytest.raises(Exception, match="negative"):
+        group_quantiles_approx(neg, "g", "v").collect()
+
+
+def test_group_quantiles_approx_mergeable(spark):
+    """Sketching half the corpus, then the other half, then summing the
+    bins equals sketching the whole — i.e. the plan's partial aggs are
+    true merges. Verified at the API level: union(a, b) == whole."""
+    from inverted_index_spark.pipelines.sketches import (
+        group_quantiles_approx,
+    )
+
+    rows = [("g", float((i * 37) % 101 + 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    half1 = spark.createDataFrame(rows[:250], ["g", "v"])
+    half2 = spark.createDataFrame(rows[250:], ["g", "v"])
+    whole = group_quantiles_approx(df, "g", "v").collect()
+    merged = group_quantiles_approx(half1.union(half2), "g", "v").collect()
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+
+
 def test_heavy_hitters_ranks_and_ties(spark):
     from inverted_index_spark.pipelines.sketches import heavy_hitters
 

@@ -256,3 +256,89 @@ def test_min_window_plan_prunes_before_python(engine):
     assert "FlatMapGroupsInPandas" not in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def _lambda_spans(plan: str):
+    """Extract the text of every lambdafunction(...) scope (balanced
+    parens) from an optimized-plan string."""
+    spans = []
+    i = 0
+    needle = "lambdafunction("
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            break
+        depth, k = 1, j + len(needle)
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        spans.append(plan[j:k])
+        i = k
+    return spans
+
+
+def _assert_no_split_in_lambdas(df, op_name):
+    """The no-CSE-inside-HOF-lambdas house rule (ARCHITECTURE.md):
+    Catalyst re-evaluates a `split(text)` referenced inside a
+    transform/filter lambda on EVERY element access — O(tokens^2) per
+    row (cooccurrence was 10x slower before the fix). The token array
+    must be projected once and the lambda must reference the column.
+    A split of a lambda-bound variable (per-element work on already-
+    small input) is fine; a split of an outer attribute is the bug."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for span in _lambda_spans(plan):
+        import re
+
+        bad = [
+            m.group(0)
+            for m in re.finditer(r"split\((?!lambda)[^,)]*", span)
+        ]
+        assert not bad, (
+            f"{op_name}: split() of a non-lambda input inside a HOF "
+            f"lambda (O(tokens^2)/row re-evaluation): {bad}"
+        )
+
+
+def test_hof_lambdas_never_resplit_text(spark):
+    """Plan canary across the shingle family: reintroducing an inline
+    split(text) into any higher-order-function lambda fails here."""
+    import pyspark.sql.functions as F
+
+    from inverted_index_spark.pipelines.dedup import (
+        dup_spans,
+        line_dedup,
+        ngram_jaccard_pairs,
+        shingles,
+        span_dedup,
+        span_dedup_max,
+    )
+    from inverted_index_spark.pipelines.textstats import (
+        cooccurrence,
+        fingerprint,
+        repetition,
+        rolling_fingerprint,
+        token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        ["doc_id", "text"],
+    )
+    ops = {
+        "shingles": shingles(docs, k=3),
+        "ngram_jaccard_pairs": ngram_jaccard_pairs(docs, k=3),
+        "span_dedup": span_dedup(docs, window=3),
+        "span_dedup_max": span_dedup_max(docs, window=3),
+        "dup_spans": dup_spans(docs, window=3),
+        "line_dedup": line_dedup(docs, min_docs=2),
+        "cooccurrence": cooccurrence(docs, window=2),
+        "repetition": repetition(docs, k=3),
+        "rolling_fingerprint": rolling_fingerprint(docs, window=4),
+        "fingerprint": fingerprint(docs),
+        "token_counts": token_counts(docs),
+    }
+    for name, df in ops.items():
+        _assert_no_split_in_lambdas(df, name)

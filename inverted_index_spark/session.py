@@ -25,6 +25,22 @@ def ship_package(spark: SparkSession) -> None:
     real multi-node cluster.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # the package itself was imported from an archive (spark-submit
+        # --py-files): there is no source tree to zip, and spark-submit
+        # already distributes the archive to every executor. Re-add the
+        # containing zip if it is findable on disk (harmless when the
+        # context came from spark-submit; necessary when a library user
+        # built the SparkSession manually with the zip only on the
+        # driver's sys.path), else no-op.
+        p = pkg_dir
+        while p not in ("", os.path.dirname(p)):
+            if p.lower().endswith(".zip"):
+                break
+            p = os.path.dirname(p)
+        if p.lower().endswith(".zip") and os.path.isfile(p):
+            spark.sparkContext.addPyFile(p)
+        return
     root = os.path.dirname(pkg_dir)
     # the cache file is keyed on WHICH checkout it was built from: two
     # clones on one machine must not share a zip, or one clone's

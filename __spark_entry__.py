@@ -887,6 +887,27 @@ def _q_contamination(spark, sf):
     return ngram_contamination(docs, docs.filter(F.col("doc_id") < 10), n=8)
 
 
+def _q_bloom_contamination(spark, sf):
+    """Bloom-filter decontamination (corpus.bloom_contamination,
+    m=4096 bits, k=3 md5-derived hashes, 8-gram shingles, eval =
+    doc_id < 10): the scale path for `contamination` — the broadcast
+    side is the bounded set-bit table, never the raw eval shingles.
+    Flags (false positives included) are a pure function of the
+    inputs, so the DuckDB oracle reproduces them bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from inverted_index_spark.pipelines.corpus import bloom_contamination
+
+    docs = _docs(spark, sf)
+    return bloom_contamination(
+        docs,
+        docs.filter(F.col("doc_id") < 10),
+        n=8,
+        m_bits=4096,
+        k_hashes=3,
+    )
+
+
 def _q_corpus_split(spark, sf):
     from inverted_index_spark.pipelines.corpus import corpus_split
 
@@ -2055,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-5 additions ----
         "span_max": _q_span_max,
         "quantiles_approx": _q_quantiles_approx,
+        "bloom_contamination": _q_bloom_contamination,
         # ---- representative canaries (driver-green in r1-r4) ----
         "term_tf": _q_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2080,9 +2102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_seq": _q_pack_seq,
         "time_travel": _q_time_travel,
         "token_counts": _q_token_counts,
+        # ---- driver-window boundary (position 50): all below hold
+        # green driver rows from earlier rounds ----
         "quality": _q_quality,
-        # ---- driver-window boundary (~50): all below hold green
-        # driver rows from earlier rounds ----
         "bm25f": _q_bm25f,
         "dismax": _q_dismax,
         "conv_having": _q_conv_having,
@@ -4533,6 +4555,54 @@ def oracle_sql() -> dict[str, str]:
         select t.doc_id, count(*)::bigint as n_hits
         from tr t join ev using (shingle)
         group by 1
+    """
+    # Bloom decontamination (m=4096, k=3): bit j of a shingle is the
+    # kmv '0x'-hex md5 idiom mod m; a shingle is flagged iff all 3 of
+    # its probe rows find their bit in the eval set-bit table; false
+    # positives are identical cross-engine by construction
+    out["bloom_contamination"] = """
+        with tr as (
+          select distinct doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+            i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) as shingle
+          from documents
+        ),
+        ev as (
+          select distinct unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+            i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) as shingle
+          from documents where doc_id < 10
+        ),
+        js as (select unnest([0, 1, 2]) as j),
+        bits as (
+          select distinct
+                 ('0x' || substr(md5(j::varchar || ':' || shingle), 1, 8))::bigint
+                   % 4096 as pos
+          from ev cross join js
+        ),
+        probe as (
+          select doc_id, shingle,
+                 ('0x' || substr(md5(j::varchar || ':' || shingle), 1, 8))::bigint
+                   % 4096 as pos
+          from tr cross join js
+        ),
+        fl as (
+          select doc_id, shingle
+          from probe join bits using (pos)
+          group by doc_id, shingle having count(*) = 3
+        ),
+        flagged as (
+          select doc_id, count(*)::bigint as n_flagged
+          from fl group by doc_id
+        ),
+        totals as (
+          select doc_id, count(*)::bigint as n_grams
+          from tr group by doc_id
+        )
+        select t.doc_id, t.n_grams,
+               coalesce(f.n_flagged, 0)::bigint as n_flagged,
+               coalesce(f.n_flagged, 0) > 0 as contaminated
+        from totals t left join flagged f using (doc_id)
     """
     # deterministic hash split (corpus.corpus_split, default weights,
     # seed 'fts'); the 0.9500000000000001 threshold reproduces the

@@ -242,3 +242,95 @@ def temperature_mix(
             ).alias("rate"),
         )
     )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination probe -> one row per training doc:
+    (doc_id, n_grams: bigint distinct n-gram shingles, n_flagged:
+    bigint shingles whose ``k_hashes`` Bloom bits are ALL set,
+    contaminated: boolean). Zero-overlap docs are present with
+    n_flagged = 0 (unlike :func:`ngram_contamination`, which only
+    emits hits — this op's output is the per-doc decision table).
+
+    The 100-TB path for :func:`ngram_contamination`: the exact check
+    broadcasts the eval side's DISTINCT SHINGLES — fine for one
+    benchmark, impossible when the blocklist is billions of n-grams
+    (every eval suite + licensed-text corpus ever collected). Here the
+    broadcast side is the Bloom SET-BIT table, at most ``m_bits`` rows
+    no matter how large the eval corpus grows, and building it is one
+    distinct over (shingle x k positions) — partial-agg combinable and
+    mergeable across eval shards by construction (a Bloom union is a
+    bit OR == a distinct union of set positions).
+
+    One-sided error, cross-engine exact: a flagged doc may be a false
+    positive (rate ~ (1 - e^(-k n_ev / m))^k; size ``m_bits`` to the
+    blocklist), but flags are a PURE FUNCTION of the inputs — bit j of
+    a shingle is md5-derived (same ``'0x'||hex`` idiom as
+    ``kmv_distinct``), so Spark and the DuckDB oracle flag the exact
+    same docs, false positives included. Deduplicate-then-drop
+    pipelines anti-join ``contaminated`` exactly as
+    :func:`decontaminate` does; route the survivors of a Bloom
+    pre-filter into the exact check when a zero-FP guarantee matters
+    (classic two-stage filter, Bloom kills ~all of the corpus first).
+    """
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+
+    def bit(col, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    ev = shingles(eval_docs, k=n).select("shingle").distinct()
+    bits = (
+        ev.select(
+            F.explode(
+                F.array(*[bit(F.col("shingle"), j) for j in range(k_hashes)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    tr = shingles(docs, k=n).select("doc_id", "shingle").distinct()
+    probe = tr.select(
+        "doc_id",
+        "shingle",
+        F.posexplode(
+            F.array(*[bit(F.col("shingle"), j) for j in range(k_hashes)])
+        ).alias("j", "pos"),
+    )
+    flagged = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == k_hashes)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+    )
+    totals = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    return totals.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_flagged"), F.lit(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
+    )

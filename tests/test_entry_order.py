@@ -26,7 +26,7 @@ NEED_WINDOW = {
     "top_hits", "kmeans", "redact", "tfidf_vec", "span_dedup",
     "temp_mix",
     # round-5 additions
-    "span_max", "quantiles_approx",
+    "span_max", "quantiles_approx", "bloom_contamination",
 }
 
 

@@ -651,6 +651,59 @@ def test_ngram_contamination_and_decontaminate(spark):
     assert clean == [2]
 
 
+def test_bloom_contamination_superset_and_merge(spark):
+    """Bloom flags must be a SUPERSET of the exact hits (one-sided
+    error), deterministic, and mergeable across eval shards (Bloom
+    union == bit OR == distinct set-bit union)."""
+    import pytest as _pytest
+
+    from inverted_index_spark.pipelines.corpus import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    train = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    evals = train.filter("doc_id < 6")
+    exact = {
+        r["doc_id"]
+        for r in ngram_contamination(train, evals, n=8).collect()
+    }
+    out = bloom_contamination(
+        train, evals, n=8, m_bits=4096, k_hashes=3
+    ).collect()
+    flagged = {r["doc_id"] for r in out if r["contaminated"]}
+    assert exact <= flagged, "Bloom missed a true hit (impossible)"
+    # every train doc has a decision row
+    assert {r["doc_id"] for r in out} == {
+        r["doc_id"] for r in train.select("doc_id").collect()
+    }
+    for r in out:
+        assert r["contaminated"] == (r["n_flagged"] > 0)
+        assert 0 <= r["n_flagged"] <= r["n_grams"]
+    # a generous filter has no false positives on this corpus scale
+    big = bloom_contamination(
+        train, evals, n=8, m_bits=1 << 20, k_hashes=4
+    ).collect()
+    assert {r["doc_id"] for r in big if r["contaminated"]} == exact
+    # mergeability: filter built from eval split A union split B ==
+    # filter built from the whole eval set
+    a = evals.filter("doc_id % 2 = 0")
+    b = evals.filter("doc_id % 2 = 1")
+    whole = sorted(
+        map(tuple, bloom_contamination(train, evals, n=8).collect())
+    )
+    merged = sorted(
+        map(tuple, bloom_contamination(train, a.union(b), n=8).collect())
+    )
+    assert whole == merged
+    with _pytest.raises(ValueError):
+        bloom_contamination(train, evals, m_bits=1)
+    with _pytest.raises(ValueError):
+        bloom_contamination(train, evals, k_hashes=0)
+
+
 def test_corpus_split_deterministic_and_proportional(spark):
     from inverted_index_spark.pipelines.corpus import corpus_split
 

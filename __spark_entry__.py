@@ -2023,6 +2023,27 @@ def _q_redact(spark, sf):
     return redact(pii).select("doc_id", "text")
 
 
+def _q_domain_stats(spark, sf):
+    """Per-domain corpus stats (textstats.domain_stats): deterministic
+    URL payloads appended to each doc — site{doc_id % 7}.example.com
+    plus a mixed-case Hub.example.org on every doc (exercises host
+    lowercasing) — aggregated to (domain, n_docs, n_urls)."""
+    from inverted_index_spark.pipelines.textstats import domain_stats
+
+    urls = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and https://Hub.example.org/x"),
+        ).alias("text"),
+    )
+    return domain_stats(urls)
+
+
 def _q_kmeans(spark, sf):
     """Distributed spherical k-means (similarity.kmeans): full-corpus
     Lloyd, k=4, 2 iterations, deterministic md5-ranked init — the
@@ -2077,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_max": _q_span_max,
         "quantiles_approx": _q_quantiles_approx,
         "bloom_contamination": _q_bloom_contamination,
+        "domain_stats": _q_domain_stats,
         # ---- representative canaries (driver-green in r1-r4) ----
         "term_tf": _q_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2101,9 +2123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "pack_seq": _q_pack_seq,
         "time_travel": _q_time_travel,
-        "token_counts": _q_token_counts,
         # ---- driver-window boundary (position 50): all below hold
         # green driver rows from earlier rounds ----
+        "token_counts": _q_token_counts,
         "quality": _q_quality,
         "bm25f": _q_bm25f,
         "dismax": _q_dismax,
@@ -4555,6 +4577,33 @@ def oracle_sql() -> dict[str, str]:
         select t.doc_id, count(*)::bigint as n_hits
         from tr t join ev using (shingle)
         group by 1
+    """
+    # per-domain stats over deterministic URL payloads; the host regex
+    # is in the Java==RE2 POSIX-safe family, hosts lowercased
+    out["domain_stats"] = """
+        with d as (
+          select doc_id,
+                 text || ' see http://site' || (doc_id % 7)::varchar
+                      || '.example.com/p' || doc_id::varchar
+                      || ' and https://Hub.example.org/x' as text
+          from documents
+        ),
+        h as (
+          select doc_id,
+                 lower(unnest(regexp_extract_all(
+                   text, 'https?://([A-Za-z0-9.-]+)', 1))) as domain
+          from d
+        ),
+        nd as (
+          select domain, count(distinct doc_id)::bigint as n_docs
+          from h group by domain
+        ),
+        nu as (
+          select domain, count(*)::bigint as n_urls
+          from h group by domain
+        )
+        select nd.domain, nd.n_docs, nu.n_urls
+        from nd join nu using (domain)
     """
     # Bloom decontamination (m=4096, k=3): bit j of a shingle is the
     # kmv '0x'-hex md5 idiom mod m; a shingle is flagged iff all 3 of

@@ -635,3 +635,40 @@ def hashed_tfidf(
             ).alias("w"),
         )
     )
+
+
+def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain corpus statistics -> one row per URL host seen in the
+    corpus: (domain, n_docs: bigint distinct docs mentioning it,
+    n_urls: bigint total URL occurrences), domain-sorted.
+
+    The C4/RefinedWeb per-domain curation primitive: domain blocklists,
+    per-domain caps ("at most N pages per site") and domain-level
+    quality priors all start from this table. Domains are the host
+    part of every ``http(s)://`` URL in the text, lowercased; the
+    extraction pattern stays in the POSIX-compatible subset Java regex
+    and RE2 evaluate identically (the :func:`pattern_counts` /
+    :func:`redact` family), so an oracle reproduces the table exactly.
+
+    Scale shape: one in-plan ``regexp_extract_all`` (JVM, no UDF) over
+    the corpus, one explode of the per-doc URL list (output rows =
+    URL occurrences, typically << tokens), then two partial aggs:
+    (domain, doc) distinct -> n_docs, and a plain count -> n_urls. A
+    mega-domain is one partial-agg group, never a sort partition —
+    combinable all the way down, nothing corpus-quadratic.
+    """
+    url_host = r"https?://([A-Za-z0-9.-]+)"
+    hosts = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(url_host), F.lit(1))
+        ).alias("host"),
+    ).select("doc_id", F.lower(F.col("host")).alias("domain"))
+    per_doc = hosts.select("domain", "doc_id").distinct()
+    n_docs = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_urls = hosts.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls")
+    )
+    return n_docs.join(n_urls, "domain").orderBy("domain")

@@ -704,6 +704,27 @@ def test_bloom_contamination_superset_and_merge(spark):
         bloom_contamination(train, evals, k_hashes=0)
 
 
+def test_domain_stats_hand_golden(spark):
+    from inverted_index_spark.pipelines.textstats import domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see http://A.com/x and https://a.com/y plus http://b.org/z"),
+            (2, "again http://a.com/q only"),
+            (3, "no urls at all"),
+            (4, "scheme-less www.c.net is not matched http://C.net/ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in domain_stats(docs).collect()}
+    # hosts lowercase; n_docs distinct-doc counts; n_urls occurrences
+    assert rows == {
+        "a.com": (2, 3),
+        "b.org": (1, 1),
+        "c.net": (1, 1),
+    }
+
+
 def test_corpus_split_deterministic_and_proportional(spark):
     from inverted_index_spark.pipelines.corpus import corpus_split
 

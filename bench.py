@@ -299,15 +299,22 @@ def main() -> None:
         bm25f_topk,
         build_multifield_index,
     )
-    from inverted_index_spark.pipelines.corpus import pack_sequences
+    from inverted_index_spark.pipelines.corpus import (
+        bloom_contamination,
+        pack_sequences,
+    )
     from inverted_index_spark.pipelines.dedup import (
         chunk_text_lines,
         dedup_corpus,
+        dup_spans,
         line_dedup,
         span_dedup,
     )
     from inverted_index_spark.pipelines.similarity import kmeans, knn_join
-    from inverted_index_spark.pipelines.sketches import group_quantiles
+    from inverted_index_spark.pipelines.sketches import (
+        group_quantiles,
+        group_quantiles_approx,
+    )
     from inverted_index_spark.pipelines.textstats import cooccurrence, lm_score
     from inverted_index_spark.transcripts import conversation_having
 
@@ -588,6 +595,31 @@ def main() -> None:
         # real — the op masks all but each span's canonical occurrence
         "span_dedup": lambda: span_dedup(
             docs.select("doc_id", "text"), window=8
+        ).count(),
+        # round-5 ops at the same amplified scale:
+        # maximal-span table (gaps-and-islands over the dup windows)
+        "span_max": lambda: dup_spans(
+            docs.select("doc_id", "text"), window=8
+        ).count(),
+        # DDSketch approx quantiles: bin-bounded exchange vs the exact
+        # entry's distinct-value domain above
+        "quantiles_approx": lambda: group_quantiles_approx(
+            docs.select(
+                (F.col("doc_id") % 8).alias("g"),
+                F.size(F.split(F.col("text"), " ")).cast("bigint").alias("v"),
+            ),
+            "g",
+            "v",
+            qs=(0.5, 0.9, 0.99),
+        ).count(),
+        # Bloom decontamination: set-bit broadcast + 3-probe join over
+        # the corpus shingles (eval = 64 source docs)
+        "bloom_decon": lambda: bloom_contamination(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("doc_id") < 64).select("doc_id", "text"),
+            n=8,
+            m_bits=1 << 16,
+            k_hashes=3,
         ).count(),
     }
     qtimes, query_probes, query_attempts, query_degraded = run_guarded(

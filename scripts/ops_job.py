@@ -32,8 +32,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from inverted_index_spark.build import build_and_save, load_index
+    from inverted_index_spark.pipelines.corpus import bloom_contamination
     from inverted_index_spark.pipelines.dedup import dedup_corpus, span_dedup
     from inverted_index_spark.pipelines.similarity import kmeans, knn_join
+    from inverted_index_spark.pipelines.sketches import group_quantiles_approx
     from inverted_index_spark.pipelines.textstats import lm_score
     from inverted_index_spark.percolate import percolate
     from inverted_index_spark.qast import AndNot, AtLeast, Match, Phrase
@@ -160,6 +162,27 @@ def main() -> None:
         # span-level exact dedup: window-hash groupBy + mask + rebuild
         # over the amplified corpus (duplicate spans are real at mult>1)
         "span_dedup": lambda: span_dedup(docs, window=8).count(),
+        # DDSketch approx quantiles: the bin-bounded exchange shape —
+        # aggregate work is O(rows) map-side + O(groups x bins) shuffle
+        "quantiles_approx": lambda: group_quantiles_approx(
+            docs.select(
+                (F.col("doc_id") % 8).alias("g"),
+                F.size(F.split(F.col("text"), " "))
+                .cast("bigint")
+                .alias("v"),
+            ),
+            "g",
+            "v",
+        ).count(),
+        # Bloom decontamination: shingle explode + bounded set-bit
+        # broadcast join — the probe-join pipeline shape
+        "bloom_decon": lambda: bloom_contamination(
+            docs,
+            docs.filter(F.col("doc_id") < 64),
+            n=8,
+            m_bits=1 << 16,
+            k_hashes=3,
+        ).count(),
         # reverse search: per-doc python matcher, embarrassingly
         # parallel over the doc axis — the width-scaling poster child
         # (filter FIRST on the raw scan so pushdown prunes, then spread)

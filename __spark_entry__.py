@@ -2064,11 +2064,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verified 100 of the 123 contracts; the 23 never-recorded
     # stragglers (judge-verified green in round 4) lead the round-5
     # window so CORRECTNESS_r05 gives them official rows, followed by
-    # 25 representative regression canaries spanning build/search/
-    # segment/dedup/ANN/streaming/pipeline. Remaining window slots are
-    # reserved for round-5 additions. tests/test_entry_order.py pins
-    # this; scripts/check_contract.py stays the order-independent full
-    # local gate over every entry.
+    # the 4 round-5 additions and 23 representative regression
+    # canaries spanning build/search/segment/dedup/ANN/streaming/
+    # pipeline (= exactly 50). tests/test_entry_order.py pins this;
+    # scripts/check_contract.py stays the order-independent full local
+    # gate over every entry.
     return {
         # ---- 23 contracts never driver-recorded through round 4 ----
         "audio_features": _q_audio_features,
@@ -4648,10 +4648,12 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, count(*)::bigint as n_grams
           from tr group by doc_id
         )
-        select t.doc_id, t.n_grams,
+        select d.doc_id, coalesce(t.n_grams, 0)::bigint as n_grams,
                coalesce(f.n_flagged, 0)::bigint as n_flagged,
                coalesce(f.n_flagged, 0) > 0 as contaminated
-        from totals t left join flagged f using (doc_id)
+        from (select distinct doc_id from documents) d
+        left join totals t using (doc_id)
+        left join flagged f using (doc_id)
     """
     # deterministic hash split (corpus.corpus_split, default weights,
     # seed 'fts'); the 0.9500000000000001 threshold reproduces the

@@ -305,6 +305,7 @@ def bloom_contamination(
         )
         .distinct()
     )
+    all_docs = docs.select("doc_id").distinct()
     tr = shingles(docs, k=n).select("doc_id", "shingle").distinct()
     probe = tr.select(
         "doc_id",
@@ -324,13 +325,22 @@ def bloom_contamination(
     totals = tr.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams")
     )
-    return totals.join(flagged, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce(F.col("n_flagged"), F.lit(0))
-        .cast("bigint")
-        .alias("n_flagged"),
-        (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).alias(
-            "contaminated"
-        ),
+    # anchor on ALL input docs: a doc shorter than n tokens has no
+    # shingles at all, but still gets its decision row (n_grams = 0,
+    # never contaminated) — "one row per training doc" holds literally
+    return (
+        all_docs.join(totals, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.coalesce(F.col("n_flagged"), F.lit(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
     )

@@ -40,6 +40,19 @@ def ship_package(spark: SparkSession) -> None:
             p = os.path.dirname(p)
         if p.lower().endswith(".zip") and os.path.isfile(p):
             spark.sparkContext.addPyFile(p)
+        else:
+            # not silently: executors will ImportError far from here if
+            # the runtime did NOT already distribute the archive
+            import warnings
+
+            warnings.warn(
+                "ship_package: package imported from an archive that "
+                f"could not be re-shipped ({pkg_dir!r}); relying on the "
+                "runtime (spark-submit --py-files) having distributed "
+                "it to executors",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return
     root = os.path.dirname(pkg_dir)
     # the cache file is keyed on WHICH checkout it was built from: two

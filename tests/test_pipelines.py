@@ -702,6 +702,19 @@ def test_bloom_contamination_superset_and_merge(spark):
         bloom_contamination(train, evals, m_bits=1)
     with _pytest.raises(ValueError):
         bloom_contamination(train, evals, k_hashes=0)
+    # a doc shorter than n tokens has no shingles but still gets its
+    # decision row: n_grams = 0, never contaminated
+    short = spark.createDataFrame(
+        [(9001, "too short"), (9002, " ".join(f"w{i}" for i in range(12)))],
+        ["doc_id", "text"],
+    )
+    srows = {
+        r["doc_id"]: r
+        for r in bloom_contamination(short, evals, n=8).collect()
+    }
+    assert set(srows) == {9001, 9002}
+    assert srows[9001]["n_grams"] == 0
+    assert srows[9001]["contaminated"] is False
 
 
 def test_domain_stats_hand_golden(spark):

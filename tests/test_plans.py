@@ -342,3 +342,47 @@ def test_hof_lambdas_never_resplit_text(spark):
     }
     for name, df in ops.items():
         _assert_no_split_in_lambdas(df, name)
+
+
+def test_round5_op_plans_broadcast_no_smj(spark):
+    """Round-5 ops keep their scale shapes: Bloom's set-bit table and
+    the quantile q-list ride broadcast (never a SortMergeJoin of the
+    corpus side), everything stays JVM-side (no Python eval nodes),
+    and the approx-quantile aggregation is hash-based."""
+    import pyspark.sql.functions as F
+
+    from inverted_index_spark.pipelines.corpus import bloom_contamination
+    from inverted_index_spark.pipelines.dedup import dup_spans
+    from inverted_index_spark.pipelines.sketches import (
+        group_quantiles_approx,
+    )
+    from inverted_index_spark.pipelines.textstats import domain_stats
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    p = _formatted(bloom_contamination(docs, docs.filter("doc_id < 6")))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+    vals = docs.select(
+        (F.col("doc_id") % 8).alias("g"),
+        F.size(F.split("text", " ")).cast("bigint").alias("v"),
+    )
+    p = _formatted(group_quantiles_approx(vals, "g", "v"))
+    # the q-list join is keyless -> broadcast nested loop over 3 rows
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "HashAggregate" in p
+    assert "EvalPython" not in p
+
+    p = _formatted(dup_spans(docs, window=4))
+    assert "Window" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+    p = _formatted(domain_stats(docs))
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p

@@ -280,6 +280,8 @@ def test_group_quantiles_approx_error_bound(spark):
     rows = [
         (f"g{i % 3}", float(rng.randint(1, 100000))) for i in range(4000)
     ] + [("g0", 0.0)] * 7  # zeros exercise the exact zero bin
+    # fractional values in (0, 1) exercise NEGATIVE log bins
+    rows += [("gf", rng.uniform(0.001, 10.0)) for _ in range(1000)]
     df = spark.createDataFrame(rows, ["g", "v"])
     qs = (0.01, 0.5, 0.9, 0.99)
     for alpha in (0.01, 0.05):

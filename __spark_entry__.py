@@ -4942,7 +4942,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # PII redaction: identical synthetic payloads, identical
     # POSIX-subset patterns, replace-all ('g') in the same order
-    out["redact"] = """
+    out["redact"] = r"""
         select doc_id,
                regexp_replace(regexp_replace(regexp_replace(
                  text || ' u' || doc_id::varchar

@@ -887,6 +887,17 @@ def _q_contamination(spark, sf):
     return ngram_contamination(docs, docs.filter(F.col("doc_id") < 10), n=8)
 
 
+def _q_group_sample(spark, sf):
+    """Deterministic exactly-n-per-group sampling
+    (corpus.group_sample_n, n=25 per lang, oversample=4): two-phase —
+    broadcast per-group rate cap prefilter, then exact md5-order rank —
+    so the window input is ~oversample*n rows per group regardless of
+    group size. The oracle replays both phases."""
+    from inverted_index_spark.pipelines.corpus import group_sample_n
+
+    return group_sample_n(_docs(spark, sf), "lang", n=25)
+
+
 def _q_bloom_contamination(spark, sf):
     """Bloom-filter decontamination (corpus.bloom_contamination,
     m=4096 bits, k=3 md5-derived hashes, 8-gram shingles, eval =
@@ -2099,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_approx": _q_quantiles_approx,
         "bloom_contamination": _q_bloom_contamination,
         "domain_stats": _q_domain_stats,
+        "group_sample": _q_group_sample,
         # ---- representative canaries (driver-green in r1-r4) ----
         "term_tf": _q_term_tf,
         "doc_stats": _q_doc_stats,
@@ -2121,10 +2133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": _q_sessions,
         "stream_sessions": _q_stream_sessions,
         "image_features": _q_image_features,
-        "pack_seq": _q_pack_seq,
         "time_travel": _q_time_travel,
         # ---- driver-window boundary (position 50): all below hold
         # green driver rows from earlier rounds ----
+        "pack_seq": _q_pack_seq,
         "token_counts": _q_token_counts,
         "quality": _q_quality,
         "bm25f": _q_bm25f,
@@ -4577,6 +4589,31 @@ def oracle_sql() -> dict[str, str]:
         select t.doc_id, count(*)::bigint as n_hits
         from tr t join ev using (shingle)
         group by 1
+    """
+    # two-phase exact-n-per-group sample: per-group rate cap
+    # least(1, oversample*n/cnt) prefilter on the md5 uniform, then
+    # exact (u, doc_id) rank — both phases replayed here
+    out["group_sample"] = """
+        with u as (
+          select lang, doc_id,
+                 (('0x' || substr(md5('fts|' || doc_id::varchar), 1, 8))::bigint)::double
+                   / 4294967296.0 as u
+          from documents
+        ),
+        c as (select lang, count(*)::bigint as cnt from u group by lang),
+        pre as (
+          select u.lang, u.doc_id, u.u
+          from u join c using (lang)
+          where u.u < least(1.0, 100.0 / c.cnt)
+        ),
+        r as (
+          select lang, doc_id,
+                 row_number() over (
+                   partition by lang order by u asc, doc_id asc
+                 ) as rank
+          from pre
+        )
+        select lang, doc_id, rank::int as rank from r where rank <= 25
     """
     # per-domain stats over deterministic URL payloads; the host regex
     # is in the Java==RE2 POSIX-safe family, hosts lowercased

@@ -344,3 +344,78 @@ def bloom_contamination(
             ),
         )
     )
+
+
+def group_sample_n(
+    docs: DataFrame,
+    group_col: str,
+    n: int,
+    seed: str = "fts",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Deterministic exactly-``n``-per-group sample -> (``group_col``,
+    doc_id, rank: int 1..n), ordered (group, rank) — the balanced
+    eval-set / per-domain-cap primitive ("25 docs per language",
+    "at most N pages per site") that :func:`stratified_sample`'s
+    rate-based form cannot pin to an exact count.
+
+    A doc's sort key is the md5 uniform ``u(seed, doc_id)`` (ties by
+    doc_id): a pure function of (seed, doc_id), so the selected set is
+    bit-reproducible on any engine or layout, and groups smaller than
+    ``n`` return whole.
+
+    Scale — the naive plan (row_number over each full group) makes a
+    mega-group ONE sort partition, the classic skew trap. Two phases
+    instead: (1) one partial-agg count per group derives a survival
+    rate ``min(1, oversample * n / count)``; (2) the corpus is
+    prefiltered by ``u < rate`` (narrow, no shuffle, rate joined in by
+    broadcast), so the per-group window input is ~``oversample * n``
+    rows REGARDLESS of group size, then the exact rank keeps ``n``.
+    The prefilter keeps at least ``n`` with probability astronomically
+    close to 1 for any group (binomial with mean ``oversample * n``;
+    groups <= ``oversample * n`` pass rate 1.0 and are exact by
+    construction) — and because the oracle replays both phases, the
+    result is deterministic either way.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if oversample < 1.0:
+        raise ValueError(f"oversample must be >= 1.0, got {oversample}")
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + "|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(oversample) * n) / F.col("_cnt")
+    )
+    pre = (
+        docs.select(F.col(group_col), F.col("doc_id"), u.alias("_u"))
+        .join(F.broadcast(counts), group_col)
+        .filter(F.col("_u") < rate)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("_u"), F.asc("doc_id")
+    )
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(group_col, "doc_id", F.col("rank").cast("int").alias("rank"))
+        .orderBy(group_col, "rank")
+    )

@@ -27,7 +27,7 @@ NEED_WINDOW = {
     "temp_mix",
     # round-5 additions
     "span_max", "quantiles_approx", "bloom_contamination",
-    "domain_stats",
+    "domain_stats", "group_sample",
 }
 
 

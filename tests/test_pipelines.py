@@ -717,6 +717,43 @@ def test_bloom_contamination_superset_and_merge(spark):
     assert srows[9001]["contaminated"] is False
 
 
+def test_group_sample_n_exact_and_deterministic(spark):
+    import hashlib
+
+    from inverted_index_spark.pipelines.corpus import group_sample_n
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 400 else "small") for i in range(410)],
+        ["doc_id", "g"],
+    )
+    out = group_sample_n(docs, "g", n=25).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    # exact n from the big group; the 10-doc group returns whole
+    assert len(by_g["big"]) == 25
+    assert len(by_g["small"]) == 10
+    assert [r["rank"] for r in by_g["small"]] == list(range(1, 11))
+    # selection = the n smallest md5 uniforms (pure python recompute)
+    def u(doc_id):
+        return int(
+            hashlib.md5(f"fts|{doc_id}".encode()).hexdigest()[:8], 16
+        ) / 2**32
+
+    want_big = sorted(range(400), key=lambda d: (u(d), d))[:25]
+    got_big = [r["doc_id"] for r in sorted(by_g["big"], key=lambda r: r["rank"])]
+    assert got_big == want_big
+    # layout-independent
+    again = group_sample_n(docs.repartition(13), "g", n=25).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_sample_n(docs, "g", n=0)
+    with _pytest.raises(ValueError):
+        group_sample_n(docs, "g", n=5, oversample=0.5)
+
+
 def test_domain_stats_hand_golden(spark):
     from inverted_index_spark.pipelines.textstats import domain_stats
 

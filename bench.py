@@ -287,6 +287,20 @@ def main() -> None:
         fn()
         return round(time.perf_counter() - t, 4)
 
+    def force(df) -> int:
+        """Fully evaluate a DataFrame: xxhash64 over EVERY column of
+        EVERY row, bit-XORed (overflow-free under ANSI). ``count()`` is NOT a valid forcing action
+        for these ops — Catalyst eliminates row-preserving left joins
+        to provably-unique right sides (and any column-only work) under
+        a bare count, so e.g. span_dedup(...).count() was measuring an
+        empty plan (no md5, no join — verified round 5). A sum of row
+        hashes cannot be pruned."""
+        from pyspark.sql import functions as FF
+
+        return df.select(
+            FF.bit_xor(FF.xxhash64(*df.columns)).alias("h")
+        ).collect()[0]["h"]
+
     from inverted_index_spark.segquery import (
         segment_phrase,
         segment_query,
@@ -515,15 +529,15 @@ def main() -> None:
         # dedup (the amplification IS a planted exact-dup cluster per
         # source doc — the exact-first pass collapses it before LSH ever
         # sees a mega-bucket) and the LSH-bucketed batch ANN join
-        "dedup_corpus": lambda: dedup_corpus(
+        "dedup_corpus": lambda: force(dedup_corpus(
             docs.select("doc_id", "text"),
             num_hashes=8, rows_per_band=2, k=3, threshold=0.5,
             max_bucket_size=64,
-        ).count(),
-        "knn_join64": lambda: knn_join(
+        )),
+        "knn_join64": lambda: force(knn_join(
             embs.filter(F.col("vec_id") < 64), embs,
             k=10, n_planes=8, hamming=1,
-        ).count(),
+        )),
         # hybrid lexical+vector: WAND-routed BM25 top-20 + cosine
         # top-20 fused by RRF; the fusion join itself is <= 40 rows
         "hybrid_rrf": lambda: eng.hybrid(
@@ -553,19 +567,19 @@ def main() -> None:
         ).count(),
         # chunked sequence packing over the full corpus: distributed
         # prefix-sum (range partition + broadcast offsets)
-        "pack_seq": lambda: pack_sequences(
+        "pack_seq": lambda: force(pack_sequences(
             docs.select(
                 "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
             ),
             2048,
-        ).count(),
+        )),
         # windowed co-occurrence + PMI: O(tokens x window) pair events
         # from in-plan array expressions, no positional self-join
-        "cooccurrence": lambda: cooccurrence(
+        "cooccurrence": lambda: force(cooccurrence(
             docs, window=3, min_count=3
-        ).count(),
+        )),
         # exact per-group quantiles over the compressed value domain
-        "quantiles": lambda: group_quantiles(
+        "quantiles": lambda: force(group_quantiles(
             docs.select(
                 (F.col("doc_id") % 8).alias("g"),
                 F.size(F.split(F.col("text"), " ")).cast("bigint").alias("v"),
@@ -573,37 +587,37 @@ def main() -> None:
             "g",
             "v",
             qs=(0.5, 0.9, 0.99),
-        ).count(),
+        )),
         # line-level boilerplate removal: the corpus re-chunked into
         # 4-token lines (manufactures cross-doc duplicates), dedup'd
         # and rebuilt — three shuffle-bounded passes
-        "line_dedup": lambda: line_dedup(
+        "line_dedup": lambda: force(line_dedup(
             chunk_text_lines(
                 docs.select("doc_id", "text"), tokens_per_line=4
             ),
             min_docs=2,
-        ).count(),
+        )),
         # unigram-LM perplexity: model fit (vocab agg) + broadcast
         # scoring join over the compressed (doc, term, tf) table
-        "lm_score": lambda: lm_score(docs.select("doc_id", "text")).count(),
+        "lm_score": lambda: force(lm_score(docs.select("doc_id", "text"))),
         # distributed spherical k-means: 2 Lloyd iterations over the
         # full embeddings table, k=8 (each iteration one codegen
         # assignment pass + one k*dim partial agg)
-        "kmeans8": lambda: kmeans(embs, k=8, iters=2)[1].count(),
+        "kmeans8": lambda: force(kmeans(embs, k=8, iters=2)[1]),
         # span-level exact dedup: the amplified corpus repeats every
         # doc text mult times, so duplicate windows are corpus-wide
         # real — the op masks all but each span's canonical occurrence
-        "span_dedup": lambda: span_dedup(
+        "span_dedup": lambda: force(span_dedup(
             docs.select("doc_id", "text"), window=8
-        ).count(),
+        )),
         # round-5 ops at the same amplified scale:
         # maximal-span table (gaps-and-islands over the dup windows)
-        "span_max": lambda: dup_spans(
+        "span_max": lambda: force(dup_spans(
             docs.select("doc_id", "text"), window=8
-        ).count(),
+        )),
         # DDSketch approx quantiles: bin-bounded exchange vs the exact
         # entry's distinct-value domain above
-        "quantiles_approx": lambda: group_quantiles_approx(
+        "quantiles_approx": lambda: force(group_quantiles_approx(
             docs.select(
                 (F.col("doc_id") % 8).alias("g"),
                 F.size(F.split(F.col("text"), " ")).cast("bigint").alias("v"),
@@ -611,16 +625,16 @@ def main() -> None:
             "g",
             "v",
             qs=(0.5, 0.9, 0.99),
-        ).count(),
+        )),
         # Bloom decontamination: set-bit broadcast + 3-probe join over
         # the corpus shingles (eval = 64 source docs)
-        "bloom_decon": lambda: bloom_contamination(
+        "bloom_decon": lambda: force(bloom_contamination(
             docs.select("doc_id", "text"),
             docs.filter(F.col("doc_id") < 64).select("doc_id", "text"),
             n=8,
             m_bits=1 << 16,
             k_hashes=3,
-        ).count(),
+        )),
     }
     qtimes, query_probes, query_attempts, query_degraded = run_guarded(
         lambda: {name: timed(fn) for name, fn in queries.items()},

@@ -138,6 +138,16 @@ def main() -> None:
 
     # percolate doc count scales with mult (512*mult turns) so the
     # width comparison measures matcher work, not fixed job overhead
+
+    def force(df) -> int:
+        """Full evaluation: xxhash64 over every column of every row,
+        bit-XORed (overflow-free under ANSI) — count() is NOT a valid forcing action (Catalyst prunes
+        row-preserving joins / column-only work under a bare count; a
+        span_dedup count measured an EMPTY plan)."""
+        return df.select(
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+        ).collect()[0]["h"]
+
     ops = {
         # BM25 top-k batch throughput (the north rule's query metric):
         # 64 queries in one pass over the block-max segments, one task
@@ -145,26 +155,26 @@ def main() -> None:
         "wand_batch64": lambda: wand_topk_batch(
             spark, idx_dir, batch_texts, k=10, mode="spark",
         ).count(),
-        "dedup_corpus": lambda: dedup_corpus(
+        "dedup_corpus": lambda: force(dedup_corpus(
             docs, num_hashes=8, rows_per_band=2, k=3, threshold=0.5,
             max_bucket_size=64,
-        ).count(),
-        "knn_join64": lambda: knn_join(
+        )),
+        "knn_join64": lambda: force(knn_join(
             q_side, embs, k=10, n_planes=8, hamming=1,
-        ).count(),
+        )),
         # unigram-LM scoring: vocab-model fit + broadcast weight join
         # over the compressed (doc, term, tf) table — the join-bearing
         # pipeline shape (vs dedup's groupBy-bearing shape)
-        "lm_score": lambda: lm_score(docs).count(),
+        "lm_score": lambda: force(lm_score(docs)),
         # distributed Lloyd (2 iterations): per-iteration codegen
         # assignment pass + k*dim partial agg — the iterative-ML shape
-        "kmeans8": lambda: kmeans(embs, k=8, iters=2)[1].count(),
+        "kmeans8": lambda: force(kmeans(embs, k=8, iters=2)[1]),
         # span-level exact dedup: window-hash groupBy + mask + rebuild
         # over the amplified corpus (duplicate spans are real at mult>1)
-        "span_dedup": lambda: span_dedup(docs, window=8).count(),
+        "span_dedup": lambda: force(span_dedup(docs, window=8)),
         # DDSketch approx quantiles: the bin-bounded exchange shape —
         # aggregate work is O(rows) map-side + O(groups x bins) shuffle
-        "quantiles_approx": lambda: group_quantiles_approx(
+        "quantiles_approx": lambda: force(group_quantiles_approx(
             docs.select(
                 (F.col("doc_id") % 8).alias("g"),
                 F.size(F.split(F.col("text"), " "))
@@ -173,16 +183,16 @@ def main() -> None:
             ),
             "g",
             "v",
-        ).count(),
+        )),
         # Bloom decontamination: shingle explode + bounded set-bit
         # broadcast join — the probe-join pipeline shape
-        "bloom_decon": lambda: bloom_contamination(
+        "bloom_decon": lambda: force(bloom_contamination(
             docs,
             docs.filter(F.col("doc_id") < 64),
             n=8,
             m_bits=1 << 16,
             k_hashes=3,
-        ).count(),
+        )),
         # reverse search: per-doc python matcher, embarrassingly
         # parallel over the doc axis — the width-scaling poster child
         # (filter FIRST on the raw scan so pushdown prunes, then spread)

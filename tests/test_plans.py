@@ -378,8 +378,21 @@ def test_round5_op_plans_broadcast_no_smj(spark):
     assert "HashAggregate" in p
     assert "EvalPython" not in p
 
-    p = _formatted(dup_spans(docs, window=4))
+    # dup_spans lazily checkpoints its span table before the final
+    # sort (so range-partition sampling never re-runs the pipeline),
+    # which hides the upstream plan behind a Scan ExistingRDD — pin
+    # the island scan on the pre-checkpoint helper instead
+    from inverted_index_spark.pipelines.dedup import (
+        _coalesce_islands,
+        _span_dup_occ,
+    )
+
+    _, dup_occ = _span_dup_occ(docs, 4, checkpoint=False)
+    p = _formatted(_coalesce_islands(dup_occ, 4))
     assert "Window" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+    p = _formatted(dup_spans(docs, window=4))
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p
 

@@ -413,9 +413,14 @@ def group_sample_n(
     w = Window.partitionBy(group_col).orderBy(
         F.asc("_u"), F.asc("doc_id")
     )
-    return (
+    picked = (
         pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
         .select(group_col, "doc_id", F.col("rank").cast("int").alias("rank"))
-        .orderBy(group_col, "rank")
+        .localCheckpoint(eager=False)
     )
+    # checkpoint before the global sort (same reasoning as dup_spans):
+    # range partitioning samples its input, which would re-run the
+    # prefilter + window pipeline a second time; the picked table is
+    # |groups| x n — small — so the sample reads it for free
+    return picked.orderBy(group_col, "rank")
